@@ -1,0 +1,514 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.ops.HashKey._
+
+/** A registered operator query: the Spark implementation plus (where
+  * SQL-expressible) the DuckDB oracle the driver hash-compares against. */
+final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+/** Core operator queries — one per SURVEY.md §2 row (reference semantics).
+  * Determinism rules (FIXTURES.md): full-key ORDER BY everywhere, explicit
+  * pivot lists, no order-dependent aggregates; aggregate aliases match
+  * between Spark and oracle SQL exactly.
+  */
+object QueriesCore {
+  import Tables.{pixelsSql, locationsSql}
+
+  /** MSR descriptor hash for the flagship merge — computed with the
+    * reference-faithful canonical-JSON SHA-1 (`queue/request_tools.py:37-45`). */
+  val msrHash: String = keyOf(JObj(Seq(
+    "dataset" -> JStr("nigeriaaims"),
+    "filters" -> JObj(Seq("donors" -> JArr(Seq(JStr("AFDB"))))))))
+  val msrH7: String = Naming.hash7(msrHash)
+
+  // ---- §2.4 extract catalog -------------------------------------------
+  private def exQ(method: String, sqlAgg: String): (String, Q) =
+    s"extract_$method" -> Q(
+      (s, d) => Extracts.extract(Tables.pixels(s, d), method).orderBy("asdf_id"),
+      Some(s"""WITH pixels AS ($pixelsSql) SELECT asdf_id, $sqlAgg FROM pixels GROUP BY asdf_id ORDER BY asdf_id"""))
+
+  private val extractQueries: Seq[(String, Q)] = Seq(
+    exQ("mean", """avg(value) AS "mean""""),
+    exQ("count", """count(value) AS "count""""),
+    exQ("sum", """sum(value) AS "sum""""),
+    exQ("min", """min(value) AS "min""""),
+    exQ("max", """max(value) AS "max""""),
+    exQ("weighted_mean", """sum(value*weight)/sum(weight) AS "weighted_mean""""),
+    exQ("weighted_count", """sum(weight) AS "weighted_count""""),
+    exQ("weighted_sum", """sum(value*weight) AS "weighted_sum""""),
+    exQ("std", """stddev_samp(value) AS "std""""),
+    exQ("var", """var_samp(value) AS "var""""),
+    exQ("median", """quantile_cont(value, 0.5) AS "median""""),
+    exQ("percentile", """quantile_cont(value, 0.95) AS "percentile""""),
+    exQ("unique", """count(DISTINCT value) AS "unique""""),
+    exQ("range", """max(value)-min(value) AS "range""""),
+    "extract_categorical" -> Q(
+      (s, d) => Extracts.extract(Tables.pixels(s, d), "categorical",
+        classes = Seq("A", "N", "R")).orderBy("asdf_id"),
+      Some(s"""WITH pixels AS ($pixelsSql)
+        SELECT asdf_id,
+          CAST(sum(CASE WHEN cls='A' THEN 1 ELSE 0 END) AS BIGINT) AS categorical_A,
+          CAST(sum(CASE WHEN cls='N' THEN 1 ELSE 0 END) AS BIGINT) AS categorical_N,
+          CAST(sum(CASE WHEN cls='R' THEN 1 ELSE 0 END) AS BIGINT) AS categorical_R
+        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")),
+    "extract_reliability" -> Q(
+      (s, d) => {
+        val px = Tables.pixels(s, d)
+          .withColumn("realized", col("value") * (lit(1.0) - col("l_discount")))
+        Extracts.extract(px, "reliability", value = "realized", weight = "value")
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS ($pixelsSql)
+        SELECT asdf_id, sum(value*(1-l_discount)) AS "sum",
+          sum(value) AS potential,
+          sum(value*(1-l_discount))/sum(value) AS reliability
+        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")),
+    "extract_mode" -> Q(
+      (s, d) => Extracts.extract(Tables.pixels(s, d), "mode").orderBy("asdf_id"),
+      Some(s"""WITH pixels AS ($pixelsSql),
+        c AS (SELECT asdf_id, value, count(*) AS cnt FROM pixels GROUP BY 1,2)
+        SELECT asdf_id, pick AS "mode" FROM (
+          SELECT asdf_id, value AS pick,
+            row_number() OVER (PARTITION BY asdf_id ORDER BY cnt DESC, value ASC) AS rn
+          FROM c) t WHERE rn=1 ORDER BY asdf_id""")),
+    "extract_majority" -> Q(
+      (s, d) => Extracts.extract(Tables.pixels(s, d), "majority").orderBy("asdf_id"),
+      Some(s"""WITH pixels AS ($pixelsSql),
+        c AS (SELECT asdf_id, cls, count(*) AS cnt FROM pixels GROUP BY 1,2)
+        SELECT asdf_id, pick AS majority FROM (
+          SELECT asdf_id, cls AS pick,
+            row_number() OVER (PARTITION BY asdf_id ORDER BY cnt DESC, cls ASC) AS rn
+          FROM c) t WHERE rn=1 ORDER BY asdf_id""")),
+    "extract_minority" -> Q(
+      (s, d) => Extracts.extract(Tables.pixels(s, d), "minority").orderBy("asdf_id"),
+      Some(s"""WITH pixels AS ($pixelsSql),
+        c AS (SELECT asdf_id, cls, count(*) AS cnt FROM pixels GROUP BY 1,2)
+        SELECT asdf_id, pick AS minority FROM (
+          SELECT asdf_id, cls AS pick,
+            row_number() OVER (PARTITION BY asdf_id ORDER BY cnt ASC, cls ASC) AS rn
+          FROM c) t WHERE rn=1 ORDER BY asdf_id""")))
+
+  // ---- §2.3 joins ------------------------------------------------------
+  private val joinQueries: Seq[(String, Q)] = Seq(
+    "zone_join" -> Q(
+      (s, d) => Tables.pixels(s, d)
+        .select(col("asdf_id"), col("l_orderkey"), col("l_linenumber"), col("value"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""WITH pixels AS ($pixelsSql)
+        SELECT asdf_id, l_orderkey, l_linenumber, value FROM pixels
+        ORDER BY l_orderkey, l_linenumber""")),
+    "merge_wide" -> Q(
+      (s, d) => {
+        val px = Tables.pixels(s, d)
+        val e1 = Extracts.extract(px.filter(col("temporal") === 1995), "mean")
+          .select(col("asdf_id"), col("mean").as(Naming.col("udel_precip_v401", "1995", "mean")))
+        val e2 = Extracts.extract(px.filter(col("temporal") === 1996), "sum")
+          .select(col("asdf_id"), col("sum").as(Naming.col("udel_precip_v401", "1996", "sum")))
+        val rel = Extracts.extract(
+            px.withColumn("realized", col("value") * (lit(1.0) - col("l_discount"))),
+            "reliability", value = "realized", weight = "value")
+          .select(col("asdf_id"),
+            col("sum").as(Naming.col("nigeriaaims", msrH7, "sum")),
+            col("potential").as(Naming.col("nigeriaaims", msrH7, "potential")),
+            col("reliability").as(Naming.col("nigeriaaims", msrH7, "reliability")))
+        val base = Tables.nation(s, d)
+          .select(col("n_nationkey").as("asdf_id"), col("n_name"))
+        Merge.wide(base, Seq(e1, e2, rel)).orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS ($pixelsSql),
+        e1 AS (SELECT asdf_id, avg(value) AS v FROM pixels WHERE temporal=1995 GROUP BY asdf_id),
+        e2 AS (SELECT asdf_id, sum(value) AS v FROM pixels WHERE temporal=1996 GROUP BY asdf_id),
+        e3 AS (SELECT asdf_id, sum(value*(1-l_discount)) AS s, sum(value) AS p,
+                      sum(value*(1-l_discount))/sum(value) AS r
+               FROM pixels GROUP BY asdf_id)
+        SELECT n_nationkey AS asdf_id,
+          e1.v AS "udel_precip_v401__1995__mean",
+          e2.v AS "udel_precip_v401__1996__sum",
+          e3.s AS "nigeriaaims__${msrH7}__sum",
+          e3.p AS "nigeriaaims__${msrH7}__potential",
+          e3.r AS "nigeriaaims__${msrH7}__reliability",
+          n_name
+        FROM nation
+        LEFT JOIN e1 ON n_nationkey = e1.asdf_id
+        LEFT JOIN e2 ON n_nationkey = e2.asdf_id
+        LEFT JOIN e3 ON n_nationkey = e3.asdf_id
+        ORDER BY asdf_id""")),
+    "doc_meta" -> Q(
+      (s, d) => {
+        val sel = Tables.lineitem(s, d).select(col("l_partkey").as("pk")).distinct()
+        val j = sel.join(broadcast(Tables.part(s, d)), col("pk") === col("p_partkey"), "left")
+          .select(col("pk"), col("p_name"), col("p_brand"), col("p_type"))
+        import org.apache.spark.sql.expressions.Window
+        j.withColumn("rn", row_number().over(
+            Window.partitionBy(col("p_brand")).orderBy(col("pk"))))
+          .filter(col("rn") === 1).drop("rn")
+          .select(col("p_brand"), col("pk"), col("p_name"), col("p_type"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH sel AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+        j AS (SELECT pk, p_name, p_brand, p_type FROM sel LEFT JOIN part ON pk = p_partkey)
+        SELECT p_brand, pk, p_name, p_type FROM (
+          SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY pk) AS rn FROM j) t
+        WHERE rn=1 ORDER BY p_brand""")),
+    "cache_probe" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val items = li.filter(year(col("l_shipdate")) === 1997)
+          .select(col("l_partkey").as("item")).distinct()
+        val done = li.filter(year(col("l_shipdate")) <= 1996)
+          .select(col("l_partkey").as("done_item")).distinct()
+        items.join(done, col("item") === col("done_item"), "left")
+          .select(col("item"),
+            when(col("done_item").isNotNull, lit(1)).otherwise(lit(0)).as("status"))
+          .orderBy("item")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_partkey AS item FROM lineitem WHERE year(l_shipdate)=1997),
+        done AS (SELECT DISTINCT l_partkey AS done_item FROM lineitem WHERE year(l_shipdate)<=1996)
+        SELECT item, CASE WHEN done_item IS NOT NULL THEN 1 ELSE 0 END AS status
+        FROM items LEFT JOIN done ON item = done_item ORDER BY item""")),
+    "cache_misses" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val items = li.filter(year(col("l_shipdate")) === 1997)
+          .select(col("l_partkey").as("item")).distinct()
+        val done = li.filter(year(col("l_shipdate")) <= 1996)
+          .select(col("l_partkey").as("item")).distinct()
+        items.join(done, Seq("item"), "left_anti")
+          .join(broadcast(Tables.part(s, d)), col("item") === col("p_partkey"))
+          .groupBy(col("p_brand")).agg(count(lit(1)).as("missing"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_partkey AS item FROM lineitem WHERE year(l_shipdate)=1997),
+        done AS (SELECT DISTINCT l_partkey AS item FROM lineitem WHERE year(l_shipdate)<=1996)
+        SELECT p_brand, count(*) AS missing FROM items JOIN part ON item = p_partkey
+        WHERE item NOT IN (SELECT item FROM done)
+        GROUP BY p_brand ORDER BY p_brand"""))
+  )
+
+  // ---- §2.4 A12 msr surface -------------------------------------------
+  private val msrQueries: Seq[(String, Q)] = Seq(
+    "msr_surface" -> Q(
+      (s, d) => {
+        val locs = Msr.applyFilters(Tables.locations(s, d), Map(
+          "donor" -> Seq("1-URGENT", "2-HIGH"), "status" -> Seq("O", "F"),
+          "ignored" -> Seq("All")))
+        Msr.surface(locs).orderBy("cell_id")
+      },
+      Some(s"""WITH locs AS (SELECT * FROM ($locationsSql) l
+          WHERE donor IN ('1-URGENT','2-HIGH') AND status IN ('O','F')),
+        a AS (SELECT cell_id, amount,
+                amount / (count(*) OVER (PARTITION BY project_id)) AS alloc
+              FROM locs)
+        SELECT cell_id, sum(alloc) AS "sum", sum(amount) AS potential,
+          sum(alloc)/sum(amount) AS reliability
+        FROM a GROUP BY cell_id ORDER BY cell_id""")))
+
+  // ---- §2.2 filters ----------------------------------------------------
+  private val filterQueries: Seq[(String, Q)] = Seq(
+    "filter_in" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        AND o_orderstatus IN ('O','F') ORDER BY o_orderkey""")),
+    "filter_range" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_totalprice").cast("double").between(50000.0, 150000.0))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE CAST(o_totalprice AS DOUBLE) BETWEEN 50000.0 AND 150000.0
+        ORDER BY o_orderkey""")),
+    "filter_year_overlap" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(min(year(col("l_shipdate"))).as("start_year"),
+          max(year(col("l_shipdate"))).as("end_year"))
+        .filter(col("start_year") <= 1997 && col("end_year") >= 1997)
+        .orderBy("okey"),
+      Some("""WITH spans AS (SELECT l_orderkey AS okey,
+          min(year(l_shipdate)) AS start_year, max(year(l_shipdate)) AS end_year
+        FROM lineitem GROUP BY 1)
+        SELECT okey, start_year, end_year FROM spans
+        WHERE start_year <= 1997 AND end_year >= 1997 ORDER BY okey""")),
+    "filter_normalize" -> Q(
+      (s, d) => {
+        // P1 (`queue/request_tools.py:362-369`): entries whose value list
+        // contains 'All'/'None'/null are dropped. Nested-map op — non-SQL.
+        import s.implicits._
+        val reqs = Seq(
+          (1L, Map("donors" -> Seq("AFDB", "World Bank"), "sectors" -> Seq("All"))),
+          (2L, Map("donors" -> Seq("None"), "years" -> Seq("1998", "1999"))),
+          (3L, Map("status" -> Seq(null.asInstanceOf[String]), "donors" -> Seq("AFDB")))
+        ).toDF("request_id", "filters")
+        reqs.withColumn("filters",
+            map_filter(col("filters"), (_, v) =>
+              !exists(v, x => x.isNull || x.isin("All", "None"))))
+          .select(col("request_id"), explode(col("filters")).as(Seq("field", "vals")))
+          .select(col("request_id"), col("field"), array_join(col("vals"), "|").as("vals"))
+          .orderBy("request_id", "field")
+      },
+      None),
+    "validate_request" -> Q(
+      (s, d) => {
+        // P6 (`queue/processing.py:144-147`): reject requests with no
+        // boundary or no data selections. Nested array-of-struct — non-SQL.
+        val reqs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(first(col("o_orderstatus")).as("st"),
+            sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))).as("release_data"))
+          .withColumn("boundary", when(col("st") === "F", lit(null)).otherwise(lit("nga_adm0_gadm28")))
+          .withColumn("raster_data", expr("array()"))
+        reqs.filter(col("boundary").isNotNull
+            && (size(col("release_data")) > 0 || size(col("raster_data")) > 0))
+          .select(col("o_orderkey"), col("boundary"), size(col("release_data")).as("n_selections"))
+          .orderBy("o_orderkey")
+      },
+      None))
+
+  // ---- §2.1/§2.6/§2.8 queue + state -----------------------------------
+  /** Orders-as-queue mapping (FIXTURES.md): numeric priority derived from
+    * `o_orderpriority` ("1-URGENT" → 5 … "5-LOW" → 1, higher = sooner). */
+  private val prioritySql = "6 - CAST(substring(o_orderpriority,1,1) AS INT)"
+  private def queueDf(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      (lit(6) - substring(col("o_orderpriority"), 1, 1).cast("int")).as("priority"),
+      unix_timestamp(col("o_orderdate")).as("submit_time"))
+  private val queueSql =
+    s"""SELECT o_orderkey AS id, o_orderstatus AS status,
+       | $prioritySql AS priority,
+       | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS submit_time FROM orders""".stripMargin.replace("\n", "")
+
+  private val queueQueries: Seq[(String, Q)] = Seq(
+    "queue_poll" -> Q(
+      (s, d) => Queue.poll(queueDf(s, d), "O", 50),
+      Some(s"""WITH q AS ($queueSql)
+        SELECT * FROM q WHERE status='O'
+        ORDER BY priority DESC, submit_time ASC, id ASC LIMIT 50""")),
+    "queue_poll_two_phase" -> Q(
+      (s, d) => Queue.pollTwoPhase(queueDf(s, d), "P", "O", 100),
+      Some(s"""WITH q AS ($queueSql),
+        t AS (SELECT *, CASE WHEN status='P' THEN 0 ELSE 1 END AS phase
+              FROM q WHERE status IN ('P','O'))
+        SELECT id, status, priority, submit_time, phase FROM t
+        ORDER BY phase ASC, priority DESC, submit_time ASC, id ASC LIMIT 100""")),
+    "queue_rank" -> Q(
+      (s, d) => Queue.rank(queueDf(s, d)).select(col("id"), col("rank")).orderBy("id"),
+      Some(s"""WITH q AS ($queueSql)
+        SELECT id, row_number() OVER (ORDER BY priority DESC, submit_time ASC, id ASC) AS rank
+        FROM q ORDER BY id""")),
+    "point_lookup" -> Q(
+      (s, d) => Tables.orders(s, d).filter(col("o_orderkey") === 42).limit(1),
+      Some("SELECT * FROM orders WHERE o_orderkey = 42 LIMIT 1")),
+    "status_transition" -> Q(
+      (s, d) => {
+        val q = queueDf(s, d).withColumn("status",
+          when(col("status") === "O", 0).when(col("status") === "P", 2).otherwise(1))
+        Queue.transition(q, 42, 2, 1700000000L)
+          .select(col("id"), col("status"), col("process_time")).orderBy("id")
+      },
+      Some(s"""WITH q AS ($queueSql)
+        SELECT id,
+          CASE WHEN id=42 THEN 2
+               ELSE (CASE WHEN status='O' THEN 0 WHEN status='P' THEN 2 ELSE 1 END) END AS status,
+          CASE WHEN id=42 THEN CAST(1700000000 AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS process_time
+        FROM q ORDER BY id""")),
+    "queue_upsert" -> Q(
+      (s, d) => {
+        val q = queueDf(s, d)
+        val existing = q.filter(col("id") % 3 === 0)
+          .select(col("id"), lit(1).as("status"), col("submit_time"))
+        val incoming = q.filter(col("id") % 2 === 0)
+          .select(col("id"), lit(0).as("status"), lit(1700000000L).as("submit_time"))
+        Queue.upsert(existing, incoming, Seq("id")).orderBy("id")
+      },
+      Some(s"""WITH q AS ($queueSql),
+        e AS (SELECT id, 1 AS status, submit_time FROM q WHERE id % 3 = 0),
+        i AS (SELECT id, 0 AS status, CAST(1700000000 AS BIGINT) AS submit_time FROM q WHERE id % 2 = 0)
+        SELECT COALESCE(e.id, i.id) AS id, COALESCE(e.status, i.status) AS status,
+          COALESCE(e.submit_time, i.submit_time) AS submit_time
+        FROM e FULL OUTER JOIN i ON e.id = i.id ORDER BY id""")))
+
+  // ---- §2.6 sorts / dedup / union -------------------------------------
+  private val sortQueries: Seq[(String, Q)] = Seq(
+    "temporal_sort" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("dataset"),
+          concat_ws("_", col("p_brand"), year(col("l_shipdate"))).as("fname"))
+        .select(col("dataset"),
+          element_at(split(col("fname"), "_"), -1).cast("int").as("yr"))
+        .distinct()
+        .orderBy(col("dataset").asc, col("yr").desc),
+      Some("""SELECT DISTINCT p_brand AS dataset,
+          CAST((string_split(p_brand || '_' || CAST(year(l_shipdate) AS VARCHAR), '_'))[-1] AS INT) AS yr
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        ORDER BY dataset ASC, yr DESC""")),
+    "dedup_datasets" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.part(s, d)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))))
+          .filter(col("rn") === 1)
+          .select(col("p_brand"), col("p_partkey"), col("p_name"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, p_partkey, p_name FROM (
+          SELECT p_brand, p_partkey, p_name,
+            row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+          FROM part) t WHERE rn=1 ORDER BY p_brand""")),
+    "union_selections" -> Q(
+      (s, d) => {
+        val release = Tables.orders(s, d).select(
+          lit("release").as("kind"), col("o_orderkey").as("key"),
+          col("o_totalprice").as("amount"))
+        val raster = Tables.lineitem(s, d).select(
+          lit("raster").as("kind"), col("l_orderkey").as("key"),
+          col("l_linenumber").as("file"))
+        release.unionByName(raster, allowMissingColumns = true)
+          .orderBy(col("kind").asc, col("key").asc, col("file").asc_nulls_first)
+      },
+      Some("""SELECT * FROM (
+          SELECT 'release' AS kind, o_orderkey AS key, o_totalprice AS amount,
+            CAST(NULL AS INT) AS file FROM orders
+          UNION ALL
+          SELECT 'raster', l_orderkey, CAST(NULL AS DOUBLE), l_linenumber FROM lineitem) t
+        ORDER BY kind ASC, key ASC, file ASC NULLS FIRST""")),
+    "explode_selections" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("files"))
+        .withColumn("file", explode(col("files")))
+        .withColumn("method", explode(array(lit("max"), lit("mean"))))
+        .select(col("l_orderkey"), col("file"), col("method"))
+        .orderBy("l_orderkey", "file", "method"),
+      Some("""SELECT l_orderkey, l_linenumber AS file, m.method
+        FROM lineitem CROSS JOIN (VALUES ('max'),('mean')) m(method)
+        ORDER BY l_orderkey, file, method""")))
+
+  // ---- §2.7 scalar functions ------------------------------------------
+  private val fnQueries: Seq[(String, Q)] = Seq(
+    "hash_key" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("canon", canonicalJson(struct(
+          col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))))
+        .select(col("o_orderkey"), col("canon"), sha2(col("canon"), 256).as("h"))
+        .orderBy("o_orderkey"),
+      Some("""WITH c AS (SELECT o_orderkey,
+          '{"priority": "' || o_orderpriority || '", "status": "' || o_orderstatus || '"}' AS canon
+        FROM orders)
+        SELECT o_orderkey, canon, sha256(canon) AS h FROM c ORDER BY o_orderkey""")),
+    "hash_prefix" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("canon", canonicalJson(struct(
+          col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))))
+        .select(col("o_orderkey"), substring(sha2(col("canon"), 256), 1, 7).as("h7"))
+        .orderBy("o_orderkey"),
+      Some("""WITH c AS (SELECT o_orderkey,
+          '{"priority": "' || o_orderpriority || '", "status": "' || o_orderstatus || '"}' AS canon
+        FROM orders)
+        SELECT o_orderkey, substring(sha256(canon),1,7) AS h7 FROM c ORDER BY o_orderkey""")),
+    "fn_string" -> Q(
+      (s, d) => Tables.part(s, d).selectExpr(
+        "p_partkey",
+        "startswith(p_name, 'worldbank') AS is_wb",
+        "endswith(p_type, 'd') AS ends_d",
+        "element_at(split(p_type, ' '), -1) AS last_word",
+        "substring(p_name, 6) AS sliced",
+        "replace(p_type, ' ', '_') AS replaced")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+          starts_with(p_name, 'worldbank') AS is_wb,
+          ends_with(p_type, 'd') AS ends_d,
+          (string_split(p_type, ' '))[-1] AS last_word,
+          substring(p_name, 6) AS sliced,
+          replace(p_type, ' ', '_') AS replaced
+        FROM part ORDER BY p_partkey""")),
+    "fn_concat" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("dataset"), year(col("l_shipdate")).as("yr"))
+        .distinct()
+        .select(col("dataset"), col("yr"),
+          concat_ws(".", col("dataset"), col("yr"), lit("mean")).as("colname"))
+        .orderBy("dataset", "yr"),
+      Some("""SELECT DISTINCT p_brand AS dataset, year(l_shipdate) AS yr,
+          concat_ws('.', p_brand, CAST(year(l_shipdate) AS VARCHAR), 'mean') AS colname
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        ORDER BY dataset, yr""")),
+    "fn_time" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("t", when(col("event_type") === "error", lit(0L))
+          .otherwise(unix_timestamp(col("ts"))))
+        .select(col("event_id"), col("t"),
+          when(col("t") === 0, lit("---"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("disp"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, ts, event_type,
+          CASE WHEN event_type='error' THEN 0
+               ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS t FROM events)
+        SELECT event_id, t,
+          CASE WHEN t=0 THEN '---' ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS disp
+        FROM e ORDER BY event_id""")),
+    "fn_cond" -> Q(
+      (s, d) => Tables.part(s, d)
+        .withColumn("dsname", when(col("p_partkey") % 5 === 0,
+          concat(lit("worldbank_"), col("p_name"))).otherwise(col("p_name")))
+        .select(col("p_partkey"), col("dsname"),
+          when(col("dsname").startsWith("worldbank"), lit("sum"))
+            .otherwise(lit("reliability")).as("method"))
+        .orderBy("p_partkey"),
+      Some("""WITH t AS (SELECT p_partkey,
+          CASE WHEN p_partkey % 5 = 0 THEN 'worldbank_' || p_name ELSE p_name END AS dsname
+        FROM part)
+        SELECT p_partkey, dsname,
+          CASE WHEN starts_with(dsname, 'worldbank') THEN 'sum' ELSE 'reliability' END AS method
+        FROM t ORDER BY p_partkey""")),
+    "fn_array" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ", ").as("segments"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey,
+          array_to_string(list_sort(list(DISTINCT c_mktsegment)), ', ') AS segments
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")))
+
+  // ---- §2.1 sources ----------------------------------------------------
+  private val sourceQueries: Seq[(String, Q)] = Seq(
+    "scan_csv" -> Q(
+      (s, d) => {
+        // Reference CSV semantics (S1, `queue/request_tools.py:645-646`):
+        // quotechar `"`, only the empty string is null. Round-trip a
+        // snapshot through CSV with those options and read it back.
+        val sf = d.replaceAll(".*/", "")
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_$sf"
+        val snap = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag")).as("flag"),
+          col("l_quantity"))
+        snap.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read
+          .option("header", "true").option("quote", "\"").option("nullValue", "")
+          .schema("l_orderkey LONG, l_linenumber INT, flag STRING, l_quantity DOUBLE")
+          .csv(tmp)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          CASE WHEN l_returnflag='N' THEN NULL ELSE l_returnflag END AS flag,
+          l_quantity
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")))
+
+  val all: Seq[(String, Q)] =
+    extractQueries ++ joinQueries ++ msrQueries ++ filterQueries ++
+      queueQueries ++ sortQueries ++ fnQueries ++ sourceQueries
+}

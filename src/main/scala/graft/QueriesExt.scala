@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.streaming.Streamy
+
+/** [EXT] operator queries (SURVEY.md §2.10-§2.11): streaming windows over
+  * `events`, dedup / similarity / text analysis over `documents` and
+  * `embeddings`. Oracle parity notes: DuckDB lists are 1-based, Spark arrays
+  * 0-based; md5-hex-string ordering is used for portable MinHash; cosine
+  * values are rounded to 6 decimals before any ranking/thresholding so both
+  * engines make identical decisions.
+  */
+object QueriesExt {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+  private val embSql =
+    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+  private val normSql =
+    """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  // ---- §2.10 streaming windows (batch-verifiable, same code path) ------
+  private val streamQueries: Seq[(String, Q)] = Seq(
+    "stream_tumbling" -> Q(
+      (s, d) => Streamy.tumbling(Tables.events(s, d)).orderBy("wstart", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
+          count(*) AS n, sum(value) AS total
+        FROM events GROUP BY 1,2 ORDER BY wstart, event_type""")),
+    "stream_sliding" -> Q(
+      (s, d) => Streamy.sliding(Tables.events(s, d)).orderBy("wstart", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS wstart,
+          event_type, count(*) AS n, sum(value) AS total
+        FROM events CROSS JOIN (VALUES (0),(1)) k(k)
+        GROUP BY 1,2 ORDER BY wstart, event_type""")),
+    "stream_session" -> Q(
+      (s, d) => Streamy.sessions(Tables.events(s, d)).orderBy("user_id", "sstart"),
+      Some("""WITH o AS (SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        SELECT min(ts) AS sstart, user_id, count(*) AS n, sum(value) AS total
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart""")))
+
+  // ---- §2.11 dedup family ---------------------------------------------
+  private val dedupQueries: Seq[(String, Q)] = Seq(
+    "dedup_exact" -> Q(
+      (s, d) => LlmOps.dedupExact(docs(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT sha256($normSql) AS h, min(doc_id) AS doc_id,
+          count(*) AS n_copies
+        FROM documents GROUP BY h ORDER BY doc_id""")),
+    "dedup_minhash" -> Q(
+      (s, d) => {
+        // MinHash over word-bigram shingles; 8 permutations, 2 bands × 4 —
+        // candidate pairs share a full 4-signature band.
+        val withNorm = docs(s, d).withColumn("norm", LlmOps.normText(col("text")))
+        val sh = withNorm.withColumn("sh", LlmOps.bigramShingles("norm"))
+        val sigs = (0 until 8).foldLeft(sh) { (df, k) =>
+          df.withColumn(s"s$k", LlmOps.minhashSig(col("sh"), k))
+        }
+        val bands = sigs.select(col("doc_id"), explode(array(
+          struct(lit(0).as("band"),
+            LlmOps.bandKey(Seq(col("s0"), col("s1"), col("s2"), col("s3"))).as("bk")),
+          struct(lit(1).as("band"),
+            LlmOps.bandKey(Seq(col("s4"), col("s5"), col("s6"), col("s7"))).as("bk")))).as("b"))
+          .select(col("doc_id"), col("b.band"), col("b.bk"))
+        val a = bands.toDF("doc_a", "band", "bk")
+        val b = bands.toDF("doc_b", "band", "bk")
+        a.join(b, Seq("band", "bk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id,
+          list_transform(range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2]) AS shingles
+        FROM n),
+        sig AS (SELECT doc_id,
+          list_min(list_transform(shingles, x -> md5('0|' || x))) AS s0,
+          list_min(list_transform(shingles, x -> md5('1|' || x))) AS s1,
+          list_min(list_transform(shingles, x -> md5('2|' || x))) AS s2,
+          list_min(list_transform(shingles, x -> md5('3|' || x))) AS s3,
+          list_min(list_transform(shingles, x -> md5('4|' || x))) AS s4,
+          list_min(list_transform(shingles, x -> md5('5|' || x))) AS s5,
+          list_min(list_transform(shingles, x -> md5('6|' || x))) AS s6,
+          list_min(list_transform(shingles, x -> md5('7|' || x))) AS s7
+        FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS bk FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, md5(s4 || s5 || s6 || s7) AS bk FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+          AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""")),
+    "dedup_simhash" -> Q(
+      (s, d) => LlmOps.simhash16(docs(s, d), "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        tok AS (SELECT doc_id, word FROM n, unnest(w) AS t(word)),
+        bits AS (SELECT doc_id, j,
+          CASE WHEN ((strpos('0123456789abcdef',
+              substring(md5(word), 1 + CAST(floor(j/4) AS INT), 1)) - 1) >> (j % 4)) & 1 = 1
+            THEN 1 ELSE -1 END AS contrib
+        FROM tok, unnest(range(16)) AS b(j)),
+        perbit AS (SELECT doc_id, j,
+          CASE WHEN sum(contrib) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM bits GROUP BY doc_id, j)
+        SELECT doc_id, sum(bit << j) AS simhash
+        FROM perbit GROUP BY doc_id ORDER BY doc_id""")),
+    "dedup_ngram_jaccard" -> Q(
+      (s, d) => {
+        val withSh = docs(s, d)
+          .withColumn("norm", LlmOps.normText(col("text")))
+          .withColumn("sh", expr(
+            "array_distinct(transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3)))"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"))
+        val a = withSh.toDF("doc_a", "lang", "na", "sha")
+        val b = withSh.toDF("doc_b", "lang", "nb", "shb")
+        a.join(b, Seq("lang"))
+          .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 3)
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("inter").cast("double") /
+              (size(col("sha")) + size(col("shb")) - col("inter")), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, lang, n_chars,
+          list_distinct(list_transform(range(length($normSql)-2),
+            i -> substring($normSql, i+1, 3))) AS sh
+        FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 3
+        ORDER BY doc_a, doc_b""")),
+    "dedup_embed_cosine" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.toDF("vec_a", "label", "va")
+        val b = e.toDF("vec_b", "label", "vb")
+        a.join(b, Seq("label"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cos_r", round(LlmOps.cosine(col("va"), col("vb")), 6))
+          .filter(col("cos_r") >= 0.3)
+          .select(col("vec_a"), col("vec_b"), col("cos_r"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH e AS ($embSql)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_r
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.3
+        ORDER BY vec_a, vec_b""")))
+
+  // ---- §2.11 similarity search ----------------------------------------
+  private def topkDf(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0).toDF("qid", "qlabel", "qv")
+    val joined =
+      if (sameCellOnly)
+        q.join(e, col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      else q.join(e, col("vec_id") =!= col("qid"))
+    import org.apache.spark.sql.expressions.Window
+    joined
+      .withColumn("cos_r", round(LlmOps.cosine(col("qv"), col("v")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id").as("cand"), col("cos_r"))
+      .orderBy("qid", "rn")
+  }
+  private def topkSql(joinCond: String): String =
+    s"""WITH e AS ($embSql),
+      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id % 50 = 0),
+      sims AS (SELECT q.qid, c.vec_id AS cand,
+        round(list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1]*c.v[i+1])) /
+          (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+           sqrt(list_sum(list_transform(c.v, x -> x*x)))), 6) AS cos_r
+        FROM q JOIN e c ON $joinCond)
+      SELECT qid, rn, cand, cos_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand ASC) AS rn
+        FROM sims) t
+      WHERE rn <= 5 ORDER BY qid, rn"""
+
+  private val simQueries: Seq[(String, Q)] = Seq(
+    "sim_topk" -> Q(
+      (s, d) => topkDf(s, d, sameCellOnly = false),
+      Some(topkSql("c.vec_id != q.qid"))),
+    "sim_topk_ivf" -> Q(
+      (s, d) => topkDf(s, d, sameCellOnly = true),
+      Some(topkSql("c.label = q.qlabel AND c.vec_id != q.qid"))))
+
+  // ---- §2.11 text analysis --------------------------------------------
+  private val textQueries: Seq[(String, Q)] = Seq(
+    "text_stats" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("norm", LlmOps.normText(col("text")))
+        .withColumn("tokens", split(col("norm"), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          expr("size(filter(tokens, t -> t IN ('the','a','key','value')))")
+            .cast("long").as("stop_cnt"))
+        .withColumn("stop_ratio",
+          round(col("stop_cnt").cast("double") / col("n_tokens"), 6))
+        .withColumn("quality",
+          round(col("stop_cnt").cast("double") / col("n_tokens")
+            + least(col("n_tokens"), lit(50L)) / lit(50.0), 6))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS tokens
+        FROM documents)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+          CAST(len(tokens) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(tokens, x -> x IN ('the','a','key','value'))) AS BIGINT) AS stop_cnt,
+          round(CAST(len(list_filter(tokens, x -> x IN ('the','a','key','value'))) AS DOUBLE)
+            / len(tokens), 6) AS stop_ratio,
+          round(CAST(len(list_filter(tokens, x -> x IN ('the','a','key','value'))) AS DOUBLE)
+            / len(tokens) + least(len(tokens), 50) / 50.0, 6) AS quality
+        FROM t ORDER BY doc_id""")),
+    "text_langid" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("tokens", split(LlmOps.normText(col("text")), " "))
+        .withColumn("sc_de", expr("size(filter(tokens, t -> t IN ('der','die','und')))"))
+        .withColumn("sc_en", expr("size(filter(tokens, t -> t IN ('the','and','of')))"))
+        .withColumn("sc_es", expr("size(filter(tokens, t -> t IN ('el','los','y')))"))
+        .withColumn("sc_fr", expr("size(filter(tokens, t -> t IN ('le','la','et')))"))
+        .withColumn("pred",
+          when(col("sc_de") >= col("sc_en") && col("sc_de") >= col("sc_es")
+            && col("sc_de") >= col("sc_fr"), "de")
+          .when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_fr"), "en")
+          .when(col("sc_es") >= col("sc_fr"), "es")
+          .otherwise("fr"))
+        .select(col("doc_id"), col("lang"), col("sc_de"), col("sc_en"),
+          col("sc_es"), col("sc_fr"), col("pred"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS tokens
+        FROM documents),
+        sc AS (SELECT doc_id, lang,
+          len(list_filter(tokens, x -> x IN ('der','die','und'))) AS sc_de,
+          len(list_filter(tokens, x -> x IN ('the','and','of'))) AS sc_en,
+          len(list_filter(tokens, x -> x IN ('el','los','y'))) AS sc_es,
+          len(list_filter(tokens, x -> x IN ('le','la','et'))) AS sc_fr
+        FROM t)
+        SELECT doc_id, lang, sc_de, sc_en, sc_es, sc_fr,
+          CASE WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+               WHEN sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+               WHEN sc_es >= sc_fr THEN 'es'
+               ELSE 'fr' END AS pred
+        FROM sc ORDER BY doc_id""")),
+    "text_tokens" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+            .cast("long").as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+        FROM documents ORDER BY doc_id""")),
+    "text_fingerprint" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("norm", LlmOps.normText(col("text")))
+        .withColumn("pre", expr("substring(norm, 1, 256)"))
+        .select(col("doc_id"),
+          expr("array_min(transform(sequence(1, length(pre)-7), i -> md5(substring(pre, i, 8))))")
+            .as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, substring($normSql, 1, 256) AS pre FROM documents)
+        SELECT doc_id,
+          list_min(list_transform(range(length(pre)-7), i -> md5(substring(pre, i+1, 8)))) AS fingerprint
+        FROM t ORDER BY doc_id""")),
+    "multimodal_meta" -> Q(
+      (s, d) => docs(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("content_hash"))
+        .withColumn("width", (col("byte_len") % 64 + 16).cast("long"))
+        .withColumn("height", (col("byte_len") % 48 + 16).cast("long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          md5(text) AS content_hash,
+          CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS width,
+          CAST(octet_length(encode(text)) % 48 + 16 AS BIGINT) AS height
+        FROM documents ORDER BY doc_id""")))
+
+  val all: Seq[(String, Q)] =
+    streamQueries ++ dedupQueries ++ simQueries ++ textQueries
+}

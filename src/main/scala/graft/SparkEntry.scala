@@ -1,13 +1,25 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries live in [[QueriesCore]] (reference operators, SURVEY.md §2) and
+  * [[QueriesExt]] (streaming + LLM-pipeline [EXT] operators, §2.10-§2.11).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private lazy val registry: Map[String, Q] = (QueriesCore.all ++ QueriesExt.all).toMap
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full spine (SURVEY.md §7.3 M0): scan → broadcast zone join →
+    * extract aggregations → naming grammar → wide merge → ordered result. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry("merge_wide").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, q) => k -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
 }

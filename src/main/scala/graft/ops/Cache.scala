@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-addressed result memoization — the reference's signature
+  * workload-level optimization (SURVEY.md §4): every unit of work is keyed by
+  * SHA-1 of its canonical-JSON descriptor ([[HashKey]]); completed work is
+  * reused across requests, missing work is computed (or enqueued) once
+  * (`queue/request_tools.py:37-45,383-447`).
+  *
+  * Layout mirrors the reference's partition-pruned cache tree
+  * (`extracts/<version>/<boundary>/cache/<dataset>/...`,
+  * `queue/extract_check.py:92-98`): one Parquet dir per key under `root`.
+  * Probe = dir exists AND `_SUCCESS` marker present AND non-empty — the
+  * reference's belt-and-suspenders artifact check
+  * (`queue/extract_check.py:104`, `queue/msr_check.py:47-51`).
+  */
+final class Cache(spark: SparkSession, root: String, version: String = "v1") {
+  private def dir(key: String) = s"$root/$version/$key"
+
+  /** Q3 completion probe: present and non-empty. */
+  def probe(key: String): Boolean = {
+    val p = Paths.get(dir(key))
+    Files.exists(p.resolve("_SUCCESS")) && {
+      val files = p.toFile.listFiles()
+      files != null && files.exists(f => f.getName.endsWith(".parquet") && f.length > 0)
+    }
+  }
+
+  /** Memoized compute: return the cached frame if the probe passes, else
+    * compute, persist (bucket-friendly single write), and read back. Reading
+    * back (rather than returning `compute` directly) means downstream plans
+    * see a plain Parquet scan — prunable and reusable. */
+  def getOrCompute(key: String, dryRun: Boolean = false)(compute: => DataFrame): DataFrame = {
+    if (probe(key)) spark.read.parquet(dir(key))
+    else if (dryRun) compute
+    else {
+      compute.write.mode("overwrite").parquet(dir(key))
+      spark.read.parquet(dir(key))
+    }
+  }
+
+  /** Anti-join miss detection over a descriptor frame carrying a `key`
+    * column: which work units are not yet materialized (J4 / A13). Driver
+    * collects only keys (small: one row per work unit, not per data row). */
+  def misses(descriptors: DataFrame, keyCol: String = "key"): DataFrame = {
+    val keys = descriptors.select(col(keyCol)).distinct().collect().map(_.getString(0))
+    val done = keys.filter(probe)
+    descriptors.filter(!col(keyCol).isin(done.toSeq: _*))
+  }
+
+  def invalidate(key: String): Unit = {
+    val d = Paths.get(dir(key))
+    if (Files.exists(d)) {
+      d.toFile.listFiles().foreach(_.delete())
+      Files.delete(d)
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The zonal-statistics aggregation catalog (SURVEY.md §2.4; reference
+  * `extract_options`, `queue/extract_check.py:27-52`): group pixel/point
+  * values by boundary feature (`asdf_id`), optional coverage-fraction
+  * weight. Includes the reference's declared-future methods (`std, median,
+  * majority, minority, unique, range, percentile, var, mode` — commented in
+  * the reference catalog).
+  *
+  * Every method is a single-shuffle `HashAggregateExec` over built-in,
+  * codegen'd aggregates (no UDAFs): partial aggregation happens map-side, so
+  * at 100 TB each method moves only one partial-agg row per (zone ×
+  * partition) through the exchange. `majority`/`minority`/`mode` pre-reduce
+  * on (zone, class) first — two shuffles, but the second input is already
+  * |zones|×|classes| rows, tiny at any scale.
+  */
+object Extracts {
+
+  val methods: Seq[String] = Seq(
+    "mean", "count", "sum", "min", "max",
+    "weighted_mean", "weighted_count", "weighted_sum",
+    "categorical", "reliability",
+    "std", "median", "majority", "minority", "unique", "range",
+    "percentile", "var", "mode")
+
+  /** Zonal aggregate of `value` (weighted by `weight` where applicable),
+    * grouped by `zone`. Output column is named `method` (aliased by callers
+    * via [[Naming]]). Deterministic: no order-dependent aggregates.
+    *
+    * @param classes explicit pivot class list for `categorical`
+    *                (determinism rule — FIXTURES.md).
+    * @param p       percentile fraction for `percentile`.
+    */
+  def extract(
+      pixels: DataFrame,
+      method: String,
+      zone: String = "asdf_id",
+      value: String = "value",
+      weight: String = "weight",
+      cls: String = "cls",
+      classes: Seq[String] = Nil,
+      p: Double = 0.95): DataFrame = {
+    val z = col(zone)
+    val v = col(value)
+    val w = col(weight)
+    def agg1(c: Column): DataFrame = pixels.groupBy(z).agg(c.as(method))
+    method match {
+      case "mean"           => agg1(avg(v))
+      case "count"          => agg1(count(v))
+      case "sum"            => agg1(sum(v))
+      case "min"            => agg1(min(v))
+      case "max"            => agg1(max(v))
+      case "weighted_mean"  => agg1(sum(v * w) / sum(w))
+      case "weighted_count" => agg1(sum(w))
+      case "weighted_sum"   => agg1(sum(v * w))
+      case "std"            => agg1(stddev_samp(v))
+      case "var"            => agg1(var_samp(v))
+      case "median"         => agg1(median(v))
+      case "percentile"     => agg1(percentile(v, lit(p)))
+      case "unique"         => agg1(count_distinct(v))
+      case "range"          => agg1(max(v) - min(v))
+      case "categorical" =>
+        // one column per class: <cls>-count pivot with an explicit class
+        // list so the plan (and the oracle) has a stable schema
+        // (`queue/templates/field_names.txt:27-32`).
+        val pivoted = pixels.groupBy(z).pivot(cls, classes).count()
+        classes.foldLeft(pivoted) { (df, c) =>
+          df.withColumn(s"categorical_$c", coalesce(col(s"`$c`"), lit(0L)))
+            .drop(c)
+        }
+      case "mode" =>
+        // most frequent value; ties broken by smallest value (deterministic,
+        // unlike the built-in `mode`): min(struct(-cnt, value)).
+        pixels.groupBy(z, v).agg(count(lit(1)).as("cnt"))
+          .groupBy(z)
+          .agg(min(struct((-col("cnt")).as("neg"), v.as("pick"))).as("m"))
+          .select(z, col("m.pick").as(method))
+      case "majority" =>
+        // most frequent class, ties → lexicographically smallest class
+        // (SURVEY.md §2.5 W3 tie-break).
+        pixels.groupBy(z, col(cls)).agg(count(lit(1)).as("cnt"))
+          .groupBy(z)
+          .agg(min(struct((-col("cnt")).as("neg"), col(cls).as("pick"))).as("m"))
+          .select(z, col("m.pick").as(method))
+      case "minority" =>
+        pixels.groupBy(z, col(cls)).agg(count(lit(1)).as("cnt"))
+          .groupBy(z)
+          .agg(min(struct(col("cnt"), col(cls).as("pick"))).as("m"))
+          .select(z, col("m.pick").as(method))
+      case "reliability" =>
+        // sum / potential ratio (`queue/templates/field_names.txt:17-22`):
+        // here `value` = realized amount, `weight` column = potential amount.
+        pixels.groupBy(z)
+          .agg(sum(v).as("sum"), sum(w).as("potential"))
+          .withColumn(method, col("sum") / col("potential"))
+      case other => throw new IllegalArgumentException(s"unknown extract method: $other")
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] LLM-training-data pipeline operators (SURVEY.md §2.11): exact and
+  * near-duplicate detection, similarity search, and text analysis. All pure
+  * `Column` builders over built-in codegen'd functions — no UDFs — so every
+  * operator stays inside whole-stage codegen and scales linearly with
+  * executors.
+  *
+  * Scale notes:
+  *  - Exact dedup is one hash-shuffle on the content digest.
+  *  - MinHash/LSH dedup shuffles once on band keys; candidate-pair output is
+  *    bounded by bucket sizes, never the full N² pair space.
+  *  - Brute-force cosine top-k is O(|queries|·N) — the baseline; the IVF
+  *    variant probes one coarse cell (precomputed assignment column),
+  *    cutting candidates by the cell count, the standard ANN scale path.
+  */
+object LlmOps {
+
+  /** Whitespace/case normalization applied before hashing or shingling. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Content digest for exact dedup (X1). */
+  def contentHash(c: Column): Column = sha2(normText(c), 256)
+
+  /** Exact dedup: keep the smallest id per digest, count copies. */
+  def dedupExact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.withColumn("h", contentHash(col(text)))
+      .groupBy(col("h"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+
+  /** Word bigram shingles of a normalized text column (0-based Spark array
+    * indexing). */
+  def bigramShingles(textCol: String): Column =
+    expr(s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
+             i -> concat(split($textCol, ' ')[i], ' ', split($textCol, ' ')[i+1]))""")
+
+  /** One MinHash signature: min over shingles of a salted md5. Using the md5
+    * hex string itself as the hash value keeps the signature portable across
+    * engines (string min is total-ordered everywhere). */
+  def minhashSig(shingles: Column, perm: Int): Column =
+    array_min(transform(shingles, x => md5(concat(lit(s"$perm|"), x))))
+
+  /** LSH band key over a contiguous signature slice. */
+  def bandKey(sigs: Seq[Column]): Column = md5(concat(sigs: _*))
+
+  /** Cosine similarity between two `array<double>` columns — sequential
+    * fold, so the float association order is deterministic. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** 16-bit SimHash of the word multiset of `textCol`: per bit j, sum +1/-1
+    * over tokens by bit j of md5(token); sign → bit (X-family near-dup). */
+  def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(id),
+      explode(split(normText(col(textCol)), " ")).as("w"))
+    val bits = tokens
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("hexd",
+        expr("instr('0123456789abcdef', substring(md5(w), 1 + CAST(floor(j/4) AS INT), 1)) - 1"))
+      .withColumn("contrib",
+        when(expr("(hexd >> (j % 4)) & 1") === 1, lit(1)).otherwise(lit(-1)))
+    bits.groupBy(col(id), col("j"))
+      .agg(sum(col("contrib")).as("sc"))
+      .withColumn("bit", when(col("sc") >= 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col(id))
+      .agg(sum(expr("bit << j")).as("simhash"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (TESTDATA.md / FIXTURES.md) plus the
+  * canonical relational stand-ins for the reference's domain objects
+  * (SURVEY.md §7.2: a raster IS a relation `(cell_id, value)`, a boundary IS
+  * `(cell_id, asdf_id, weight)`).
+  *
+  * Scale posture: `lineitem` is the fact table (the "pixels"); `supplier`,
+  * `nation`, `part` are small dimensions and are always broadcast into joins
+  * so the pixel→zone map join is shuffle-free at any scale.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default; read nanos as long and convert to a
+    * microsecond timestamp with exact integer division (values carry no
+    * sub-microsecond precision — verified; DuckDB reads the same file as a
+    * plain µs TIMESTAMP, so both engines see identical instants). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** The canonical "pixels ⋈ zone_map" relation used by the zonal-statistics
+    * extract queries (SURVEY.md §2.4). Zones ⇐ `s_nationkey` (`asdf_id`),
+    * pixel value ⇐ `l_extendedprice`, coverage weight ⇐ `l_quantity`,
+    * categorical class ⇐ `l_returnflag`, temporal slice ⇐ `year(l_shipdate)`.
+    *
+    * The dimension side is explicitly broadcast: at 100 TB the fact side
+    * never shuffles for this join.
+    */
+  def pixels(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("s_nationkey").as("asdf_id"),
+        col("l_extendedprice").as("value"),
+        col("l_quantity").as("weight"),
+        col("l_returnflag").as("cls"),
+        year(col("l_shipdate")).as("temporal"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_partkey"),
+        col("l_discount"))
+
+  /** DuckDB-side equivalent of [[pixels]] as a CTE body (oracle SQL). */
+  val pixelsSql: String =
+    """SELECT s_nationkey AS asdf_id, l_extendedprice AS value,
+      | l_quantity AS weight, l_returnflag AS cls,
+      | year(l_shipdate) AS temporal, l_orderkey, l_linenumber, l_partkey,
+      | l_discount
+      | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin.replace("\n", "")
+
+  /** Project-location points for the MSR path (FIXTURES.md: project =
+    * `o_orderkey`, location = line item, amount = `o_totalprice`, grid cell ⇐
+    * `l_partkey`). Orders is the smaller side but still large at scale: this
+    * is a key-partitioned shuffle join on `l_orderkey`/`o_orderkey`, which
+    * AQE handles; no broadcast assumption.
+    */
+  def locations(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderkey").as("project_id"),
+        col("l_partkey").as("cell_id"),
+        col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("donor"),
+        col("o_orderstatus").as("status"),
+        col("l_linenumber"))
+
+  val locationsSql: String =
+    """SELECT o_orderkey AS project_id, l_partkey AS cell_id,
+      | o_totalprice AS amount, o_orderpriority AS donor,
+      | o_orderstatus AS status, l_linenumber
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin.replace("\n", "")
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** [EXT] Structured-Streaming operators (SURVEY.md §2.10). The reference's
+  * only streaming construct is the cron micro-batch queue drain
+  * (`queue/processing.py:1-3,121-130`); its Spark analog is a
+  * `Trigger.AvailableNow` stream over the queue directory. The window
+  * operators below take a plain DataFrame so the SAME code path serves both
+  * `readStream` sources and batch verification (SURVEY.md §7.5.6).
+  */
+object Streamy {
+
+  /** T2: tumbling event-time window aggregation (with watermark — a no-op on
+    * batch frames, late-data bound on streams). */
+  def tumbling(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), gap), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
+  /** T2 sliding variant: 1-hour windows every 30 minutes (each event lands
+    * in 2 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
+  /** T3: session windows per user with a 30-minute inactivity gap. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("sstart"), col("user_id"), col("n"), col("total"))
+
+  /** T1: the reference's cron queue drain as an AvailableNow micro-batch
+    * stream over a Parquet queue directory — processes everything pending,
+    * then stops, exactly like one cron tick. */
+  def queueDrain(spark: SparkSession, queueDir: String, checkpoint: String)(
+      process: DataFrame => DataFrame): DataStreamWriter[Row] = {
+    val schema = spark.read.parquet(queueDir).schema
+    val stream = spark.readStream.schema(schema).parquet(queueDir)
+    process(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+  }
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf parquet tables and compare with the Verify parquet
+output (columns sorted by name; doubles compared with tolerance)."""
+import json, math, sys
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df
+
+def cmp_vals(a, b):
+    if a is None and b is None: return True
+    if pd.isna(a) if not isinstance(a, (list, tuple)) else False:
+        return pd.isna(b) if not isinstance(b, (list, tuple)) else False
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb): return True
+        return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+fails, passes, skips = [], [], []
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        got = canon(con.execute(f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')").df())
+    except Exception as e:
+        fails.append((name, f"no spark output: {e}")); continue
+    try:
+        want = canon(con.execute(sql).df())
+    except Exception as e:
+        fails.append((name, f"oracle sql error: {e}")); continue
+    if list(got.columns) != list(want.columns):
+        fails.append((name, f"columns differ: spark={list(got.columns)} duck={list(want.columns)}")); continue
+    if len(got) != len(want):
+        fails.append((name, f"rowcount differ: spark={len(got)} duck={len(want)}")); continue
+    bad = None
+    for col in got.columns:
+        ga, wa = got[col].tolist(), want[col].tolist()
+        for i, (x, y) in enumerate(zip(ga, wa)):
+            if not cmp_vals(x, y):
+                bad = f"col {col} row {i}: spark={x!r} duck={y!r}"
+                break
+        if bad: break
+    if bad: fails.append((name, bad))
+    else: passes.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+if fails:
+    print(f"FAIL {len(fails)}:")
+    for n, why in fails:
+        print(f"  {n}: {why}")
+sys.exit(1 if fails else 0)
