@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Cache
+
+class CacheSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def newCache() = new Cache(spark, Files.createTempDirectory("graft_cache").toString)
+
+  test("probe misses before materialization, hits after (Q3)") {
+    val c = newCache()
+    assert(!c.probe("k1"))
+    c.getOrCompute("k1")(Seq((1, "a")).toDF("id", "v"))
+    assert(c.probe("k1"))
+  }
+
+  test("getOrCompute computes exactly once per key (§4 memoization)") {
+    val c = newCache()
+    var computes = 0
+    def compute = { computes += 1; Seq((1, "a")).toDF("id", "v") }
+    c.getOrCompute("k")(compute)
+    c.getOrCompute("k")(compute)
+    assert(computes == 1)
+  }
+
+  test("dry run probes without materializing (queue/processing.py:85)") {
+    val c = newCache()
+    c.getOrCompute("k", dryRun = true)(Seq((1, "a")).toDF("id", "v")).count()
+    assert(!c.probe("k"))
+  }
+
+  test("misses anti-join: only unmaterialized keys remain (J4/A13)") {
+    val c = newCache()
+    c.getOrCompute("done")(Seq((1, "a")).toDF("id", "v"))
+    val desc = Seq("done", "todo1", "todo2").toDF("key")
+    val missing = c.misses(desc).as[String].collect().toSet
+    assert(missing == Set("todo1", "todo2"))
+  }
+
+  test("version bump invalidates (version-based invalidation §4)") {
+    val root = Files.createTempDirectory("graft_cache").toString
+    val v1 = new Cache(spark, root, "v1")
+    val v2 = new Cache(spark, root, "v2")
+    v1.getOrCompute("k")(Seq((1, "a")).toDF("id", "v"))
+    assert(v1.probe("k") && !v2.probe("k"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.ops.Extracts
+
+class ExtractsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // zone 1: values 1,2,3 (weights 1,1,2; classes A,A,R); zone 2: value 10 (w 4, R)
+  def px = Seq(
+    (1, 1.0, 1.0, "A"), (1, 2.0, 1.0, "A"), (1, 3.0, 2.0, "R"),
+    (2, 10.0, 4.0, "R")
+  ).toDF("asdf_id", "value", "weight", "cls")
+
+  def one(method: String): Map[Int, Row] =
+    Extracts.extract(px, method).collect().map(r => r.getInt(0) -> r).toMap
+
+  test("mean / count / sum / min / max") {
+    assert(one("mean")(1).getDouble(1) == 2.0)
+    assert(one("count")(1).getLong(1) == 3L)
+    assert(one("sum")(1).getDouble(1) == 6.0)
+    assert(one("min")(1).getDouble(1) == 1.0)
+    assert(one("max")(2).getDouble(1) == 10.0)
+  }
+
+  test("weighted family uses coverage fraction") {
+    assert(one("weighted_mean")(1).getDouble(1) == (1 * 1 + 2 * 1 + 3 * 2) / 4.0)
+    assert(one("weighted_count")(1).getDouble(1) == 4.0)
+    assert(one("weighted_sum")(1).getDouble(1) == 9.0)
+  }
+
+  test("categorical pivots with explicit classes; missing class is 0 not null") {
+    val r = Extracts.extract(px, "categorical", classes = Seq("A", "N", "R"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(r(1).getAs[Long]("categorical_A") == 2L)
+    assert(r(1).getAs[Long]("categorical_N") == 0L) // absent class
+    assert(r(1).getAs[Long]("categorical_R") == 1L)
+  }
+
+  test("majority ties break to lexicographically smallest class") {
+    // zone 3: A=1, B=1 tie -> A
+    val t = Seq((3, 1.0, 1.0, "B"), (3, 2.0, 1.0, "A")).toDF("asdf_id", "value", "weight", "cls")
+    assert(Extracts.extract(t, "majority").collect().head.getString(1) == "A")
+    assert(Extracts.extract(t, "minority").collect().head.getString(1) == "A")
+  }
+
+  test("mode ties break to smallest value") {
+    val t = Seq((1, 2.0), (1, 2.0), (1, 1.0), (1, 1.0))
+      .toDF("asdf_id", "value").withColumn("weight", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("cls", org.apache.spark.sql.functions.lit("A"))
+    assert(Extracts.extract(t, "mode").collect().head.getDouble(1) == 1.0)
+  }
+
+  test("declared-future methods: std var median unique range percentile") {
+    assert(math.abs(one("std")(1).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(one("var")(1).getDouble(1) - 1.0) < 1e-12)
+    assert(one("median")(1).getDouble(1) == 2.0)
+    assert(one("unique")(1).getLong(1) == 3L)
+    assert(one("range")(1).getDouble(1) == 2.0)
+    assert(one("percentile")(1).getDouble(1) == 2.9) // exact interpolated p95 of 1,2,3
+  }
+
+  test("reliability = sum/potential (field_names.txt:17-22)") {
+    val r = Extracts.extract(px, "reliability", value = "value", weight = "weight")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getAs[Double]("sum") == 6.0)
+    assert(r(1).getAs[Double]("potential") == 4.0)
+    assert(r(1).getAs[Double]("reliability") == 1.5)
+  }
+
+  test("weighted_mean stays within [min,max] of values") {
+    val wm = one("weighted_mean")(1).getDouble(1)
+    assert(wm >= 1.0 && wm <= 3.0)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.LlmOps
+
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 2.0)),
+      (Seq(1.0, 2.0), Seq(-1.0, -2.0))
+    ).toDF("a", "b").select(LlmOps.cosine($"a", $"b").as("c"))
+    val cs = df.as[Double].collect()
+    assert(math.abs(cs(0) - 1.0) < 1e-12)
+    assert(math.abs(cs(1)) < 1e-12)
+    assert(math.abs(cs(2) + 1.0) < 1e-12)
+  }
+
+  test("dedupExact collapses case/whitespace variants, keeps smallest id") {
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "  HELLO WORLD  "),
+      (9L, "unique text")
+    ).toDF("doc_id", "text")
+    val out = LlmOps.dedupExact(docs).select("doc_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 9L -> 1L))
+  }
+
+  test("bigram shingles: n-1 shingles in order") {
+    val df = Seq("a b c d").toDF("norm")
+      .select(LlmOps.bigramShingles("norm").as("sh"))
+    assert(df.as[Seq[String]].collect().head == Seq("a b", "b c", "c d"))
+  }
+
+  test("minhash signature is deterministic and permutation-sensitive") {
+    val df = Seq("a b c d", "a b c d", "x y z w").toDF("norm")
+      .select(LlmOps.minhashSig(LlmOps.bigramShingles("norm"), 0).as("s0"),
+        LlmOps.minhashSig(LlmOps.bigramShingles("norm"), 1).as("s1"))
+    val rows = df.collect()
+    assert(rows(0) == rows(1))           // same text, same signature
+    assert(rows(0) != rows(2))           // different text differs
+    assert(rows(0).getString(0) != rows(0).getString(1)) // perms differ
+  }
+
+  test("simhash16: identical docs share hash; hash is within 16 bits") {
+    val docs = Seq((1L, "spark query engine"), (2L, "spark query engine"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val out = LlmOps.simhash16(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out.values.forall(h => h >= 0 && h < 65536))
+  }
+}

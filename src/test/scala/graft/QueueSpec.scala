@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Queue
+
+class QueueSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (id, status, priority, submit_time)
+  def q = Seq(
+    (1L, 0, 0, 100L), (2L, 0, 5, 300L), (3L, 0, 5, 200L),
+    (4L, 1, 9, 100L), (5L, -1, 0, 50L)
+  ).toDF("id", "status", "priority", "submit_time")
+
+  test("poll: priority desc then submit asc (S3/O1)") {
+    val ids = Queue.poll(q, 0, 10).select("id").as[Long].collect().toSeq
+    assert(ids == Seq(3L, 2L, 1L))
+  }
+
+  test("poll: limit<=0 drains everything (queue/request_tools.py:110)") {
+    assert(Queue.poll(q, 0, 0).count() == 3)
+    assert(Queue.poll(q, 0, 2).count() == 2)
+  }
+
+  test("two-phase poll: new (-1) before waiting (0) regardless of priority") {
+    val ids = Queue.pollTwoPhase(q, -1, 0, 10).select("id").as[Long].collect().toSeq
+    assert(ids == Seq(5L, 3L, 2L, 1L))
+  }
+
+  test("rank mirrors poll order (W2)") {
+    val r = Queue.rank(q).select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(r(4L) == 1 && r(3L) == 2 && r(2L) == 3)
+  }
+
+  test("transition sets status and stamps the mapped stage time (Q1)") {
+    val out = Queue.transition(q, 2L, 2, 777L)
+      .select("id", "status", "process_time").as[(Long, Int, Option[Long])]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(2L) == (2, Some(777L)))
+    assert(out(1L) == (0, None)) // untouched rows keep status, no stamp
+    val done = Queue.transition(q, 3L, 1, 888L)
+      .filter($"id" === 3L).select("complete_time").as[Option[Long]].collect().head
+    assert(done == Some(888L))
+  }
+
+  test("upsert: existing rows win, new rows insert (Q2 idempotent enqueue)") {
+    val existing = Seq((1L, 1, 100L), (2L, 2, 200L)).toDF("id", "status", "submit_time")
+    val incoming = Seq((2L, 0, 999L), (9L, 0, 900L)).toDF("id", "status", "submit_time")
+    val out = Queue.upsert(existing, incoming, Seq("id"))
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(2L) == (2, 200L)) // no double-enqueue: existing state kept
+    assert(out(9L) == (0, 900L)) // inserted
+    assert(out(1L) == (1, 100L))
+    assert(out.size == 3)
+  }
+
+  test("upsert is idempotent") {
+    val existing = Seq((1L, 1, 100L)).toDF("id", "status", "submit_time")
+    val once = Queue.upsert(existing, existing, Seq("id"))
+    assert(once.count() == 1)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Streamy
+
+class StreamySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  def events = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 00:55:00"), 7L, "click", 2.0),
+    (3L, ts("2024-01-01 01:10:00"), 7L, "view", 4.0),
+    (4L, ts("2024-01-01 03:00:00"), 8L, "click", 8.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling 1h windows aggregate per (window, type) (T2)") {
+    val out = Streamy.tumbling(events)
+      .select($"wstart".cast("string"), $"event_type", $"n", $"total")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 4.0),
+      ("2024-01-01 03:00:00", "click", 1L, 8.0)))
+  }
+
+  test("sliding 1h/30m: every event lands in exactly 2 windows") {
+    val out = Streamy.sliding(events)
+    assert(out.agg(sum($"n")).as[Long].collect().head == events.count() * 2)
+  }
+
+  test("session windows split at >=30min inactivity (T3)") {
+    // user 7: 00:05 and 00:55 are 50min apart -> 2 sessions; 00:55+01:10 are
+    // 15min apart -> merged.
+    val out = Streamy.sessions(events)
+      .select($"sstart".cast("string"), $"user_id", $"n", $"total")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 00:05:00", 7L, 1L, 1.0),
+      ("2024-01-01 00:55:00", 7L, 2L, 6.0),
+      ("2024-01-01 03:00:00", 8L, 1L, 8.0)))
+  }
+
+  test("queueDrain runs the same transform as a real AvailableNow stream (T1)") {
+    val dir = Files.createTempDirectory("graft_queue").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    events.write.mode("overwrite").parquet(dir)
+    // complete mode: append would hold back the last window still inside
+    // the watermark (correct streaming behavior, but here we want the drain)
+    val query = Streamy.queueDrain(spark, dir, ckpt)(df =>
+      Streamy.tumbling(df)).format("memory").queryName("drained")
+      .outputMode("complete").start()
+    query.awaitTermination(60000)
+    val drained = spark.table("drained")
+    assert(drained.count() == 3) // same 3 windows as the batch test
+  }
+}
