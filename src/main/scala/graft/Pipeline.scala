@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.ops._
+import graft.ops.HashKey._
+
+/** The request lifecycle (SURVEY.md §3.1), rebuilt as one Spark job DAG:
+  * request → check (normalize filters → descriptor hash → cache probe) →
+  * compute missing extracts (memoized) → wide merge → artifact frames.
+  *
+  * The reference splits this across cron passes and external worker fleets
+  * (`queue/processing.py:137-216`); here the "workers" are the extract/msr
+  * operators themselves, and the [[Cache]] layer provides the same
+  * content-addressed reuse across requests (§4) — the engine's signature
+  * workload-level optimization.
+  *
+  * Scale: requests are small metadata; per-request planning is driver-side
+  * over a handful of selections, while all data movement (extracts, merge)
+  * stays distributed. No collect touches pixel-scale data.
+  */
+final class Pipeline(
+    spark: SparkSession,
+    cache: Cache,
+    msrVersion: String = "0.1",
+    msrResolution: Double = 0.05) {
+
+  /** The msr descriptor the reference hashes
+    * (`queue/request_tools.py:371-383`). */
+  def msrDescriptor(sel: ReleaseSelection): JVal = JObj(Seq(
+    "dataset" -> JStr(sel.dataset),
+    "type" -> JStr("release"),
+    "resolution" -> JFloat(msrResolution),
+    "version" -> JStr(msrVersion),
+    "filters" -> JObj(
+      Msr.normalizeFilters(sel.filters).toSeq
+        .map { case (k, vs) => k -> JArr(vs.map(JStr(_))) })))
+
+  /** Q4 hash write-back with the reference's guard: only absent-or-unchanged
+    * hashes are (re)written (`queue/request_tools.py:386-390`); pass
+    * `rehash=true` for the documented escape hatch (SURVEY.md §7.5.4). */
+  def writeBackHash(sel: ReleaseSelection, rehash: Boolean = false): ReleaseSelection = {
+    val h = keyOf(msrDescriptor(sel))
+    if (rehash || sel.hash.isEmpty || sel.hash.contains(h)) sel.copy(hash = Some(h))
+    else sel
+  }
+
+  /** check_request (`queue/request_tools.py:334-508`): derive every work
+    * item for a request. Release selections → one msr item each (method per
+    * F12: worldbank → sum, else reliability); raster selections →
+    * files × extract_types items (F18). */
+  def checkRequest(req: Request): Seq[WorkItem] = {
+    val msrItems = req.release_data.map { sel0 =>
+      val sel = writeBackHash(sel0)
+      val h = sel.hash.get
+      val method =
+        if (sel.dataset.startsWith("worldbank")) "sum" else "reliability"
+      WorkItem(req.id, sel.dataset, "release", Naming.hash7(h), method, h)
+    }
+    val rasterItems = for {
+      r <- req.raster_data
+      f <- r.files
+      t <- r.extract_types
+    } yield {
+      val temporal =
+        if (f.name.length > r.name.length) f.name.substring(r.name.length + 1)
+        else "none"
+      val key = keyOf(JObj(Seq(
+        "boundary" -> JStr(req.boundary.name),
+        "data" -> JStr(f.name),
+        "extract_type" -> JStr(t),
+        "version" -> JStr(msrVersion))))
+      WorkItem(req.id, r.name, "raster", temporal, t, key)
+    }
+    msrItems ++ rasterItems
+  }
+
+  /** Which items still need computing (probe-only when `dryRun` — the
+    * reference's shadow-execution mode, `queue/processing.py:85,213-215`). */
+  def misses(items: Seq[WorkItem]): Seq[WorkItem] =
+    items.filterNot(i => cache.probe(i.key))
+
+  /** Materialize one work item from the pixels/locations relations —
+    * the in-engine replacement for the external worker fleets. */
+  def compute(item: WorkItem, pixels: DataFrame, locations: DataFrame,
+      dryRun: Boolean = false): DataFrame =
+    cache.getOrCompute(item.key, dryRun) {
+      item.kind match {
+        case "release" =>
+          // msr surface zonally extracted: per-zone sum/potential/reliability
+          Extracts.extract(locations, "reliability",
+            zone = "asdf_id", value = "alloc", weight = "amount")
+        case _ =>
+          val slice =
+            if (item.temporal == "none") pixels
+            else pixels.filter(col("temporal") === item.temporal.toInt)
+          Extracts.extract(slice, item.method,
+            classes = Seq("A", "N", "R"))
+      }
+    }
+
+  /** build_output (`queue/request_tools.py:516-613`): compute/reuse every
+    * extract, rename through the [[Naming]] grammar, wide-merge onto the
+    * boundary attribute frame, reorder. Returns the merged result plus the
+    * request echo (S6 analog). */
+  def buildOutput(req: Request, base: DataFrame, pixels: DataFrame,
+      locations: DataFrame): (DataFrame, String) = {
+    val items = checkRequest(req)
+    val frames = items.map { item =>
+      val df = compute(item, pixels, locations)
+      item.kind match {
+        case "release" =>
+          val cols = Naming.msrMethods(item.dataset)
+          df.select(col("asdf_id") +: cols.map(m =>
+            col(m).as(Naming.col(item.dataset, item.temporal, m))): _*)
+        case _ =>
+          if (item.method == "categorical") {
+            val cls = df.columns.filter(_.startsWith("categorical_"))
+            df.select(col("asdf_id") +: cls.toSeq.map(c =>
+              col(c).as(Naming.col(item.dataset, item.temporal, c))): _*)
+          } else
+            df.select(col("asdf_id"),
+              col(item.method).as(Naming.col(item.dataset, item.temporal, item.method)))
+      }
+    }
+    val merged = Merge.wide(base, frames)
+    val echo = render(toJVal(Map(
+      "id" -> req.id,
+      "boundary" -> req.boundary.name,
+      "datasets" -> (req.release_data.map(_.dataset) ++ req.raster_data.map(_.name)))))
+    (merged, echo)
+  }
+
+  /** One cron tick (§3.1): drain the queue head in priority order and
+    * process each request end-to-end. `queue` is the request state table;
+    * only the (small) queue head is collected. */
+  def tick(queue: Seq[Request], base: DataFrame, pixels: DataFrame,
+      locations: DataFrame): Seq[(String, DataFrame)] = {
+    val ordered = queue
+      .filter(r => r.status == -1 || r.status == 0)
+      .sortBy(r => (-r.priority, r.stage.find(_.name == "submit").map(_.time).getOrElse(0L)))
+    ordered.map { req =>
+      val valid = req.boundary != null && req.boundary.name.nonEmpty &&
+        (req.release_data.nonEmpty || req.raster_data.nonEmpty)
+      if (!valid) req.id -> spark.emptyDataFrame
+      else req.id -> buildOutput(req, base, pixels, locations)._1
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.ops.Cache
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def pipeline() = new Pipeline(spark,
+    new Cache(spark, Files.createTempDirectory("graft_pipe").toString))
+
+  val request = Request(
+    id = "57a2ff1bc15e002f448b4568",
+    boundary = Boundary("nga_adm0_gadm28"),
+    release_data = Seq(ReleaseSelection(
+      dataset = "nigeriaaims_geocodedresearchrelease_level1_v1_3",
+      filters = Map("donors" -> Seq("AFDB"), "ad_sector_names" -> Seq("All")))),
+    raster_data = Seq(RasterSelection(
+      name = "udel_precip_v401_min",
+      extract_types = Seq("mean"),
+      files = Seq(RasterFile("udel_precip_v401_min_1998")))),
+    status = -1, priority = 0,
+    stage = Seq(StageTime("submit", 1470299931L)))
+
+  def base = Seq((1, "zoneA"), (2, "zoneB")).toDF("asdf_id", "name")
+  def pixels = Seq(
+    (1, 10.0, 1.0, "A", 1998), (1, 20.0, 1.0, "R", 1998),
+    (2, 5.0, 2.0, "A", 1998), (2, 7.0, 1.0, "A", 1999)
+  ).toDF("asdf_id", "value", "weight", "cls", "temporal")
+  def locations = Seq(
+    (1, 40.0, 100.0), (2, 60.0, 100.0)
+  ).toDF("asdf_id", "alloc", "amount")
+
+  test("checkRequest derives msr + raster work items with golden hash") {
+    val items = pipeline().checkRequest(request)
+    assert(items.size == 2)
+    val msr = items.find(_.kind == "release").get
+    assert(msr.key == "1e7b27768cb5caeb17d80b25dacd89bf84fc2f10")
+    assert(msr.temporal == "1e7b277" && msr.method == "reliability")
+    val raster = items.find(_.kind == "raster").get
+    assert(raster.temporal == "1998" && raster.method == "mean")
+  }
+
+  test("worldbank selections pick sum (F12)") {
+    val wb = request.copy(release_data = Seq(
+      ReleaseSelection(dataset = "worldbank_wdi")))
+    assert(pipeline().checkRequest(wb).head.method == "sum")
+  }
+
+  test("hash write-back guard: stale hash is preserved (Q4 quirk)") {
+    val p = pipeline()
+    val sel = request.release_data.head
+    val fresh = p.writeBackHash(sel)
+    assert(fresh.hash.contains("1e7b27768cb5caeb17d80b25dacd89bf84fc2f10"))
+    val stale = p.writeBackHash(sel.copy(hash = Some("deadbeef")))
+    assert(stale.hash.contains("deadbeef"))          // NOT refreshed
+    assert(p.writeBackHash(sel.copy(hash = Some("deadbeef")), rehash = true)
+      .hash.contains("1e7b27768cb5caeb17d80b25dacd89bf84fc2f10"))
+  }
+
+  test("buildOutput: wide merge with reference column grammar, end-to-end") {
+    val (out, echo) = pipeline().buildOutput(request, base, pixels, locations)
+    val cols = out.columns.toSeq
+    assert(cols.head == "asdf_id" && cols.last == "name")
+    assert(cols.contains("udel_precip_v401_min__1998__mean"))
+    assert(cols.contains(
+      "nigeriaaims_geocodedresearchrelease_level1_v1_3__1e7b277__sum"))
+    assert(cols.contains(
+      "nigeriaaims_geocodedresearchrelease_level1_v1_3__1e7b277__reliability"))
+    val r = out.orderBy("asdf_id").collect()
+    assert(r(0).getAs[Double]("udel_precip_v401_min__1998__mean") == 15.0)
+    assert(r(0).getAs[Double](
+      "nigeriaaims_geocodedresearchrelease_level1_v1_3__1e7b277__reliability") == 0.4)
+    assert(echo.contains("nga_adm0_gadm28"))
+  }
+
+  test("cross-request memoization: second request reuses the cache (§4)") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val c = new Cache(spark, root)
+    val p = new Pipeline(spark, c)
+    p.buildOutput(request, base, pixels, locations)
+    val items = p.checkRequest(request)
+    assert(p.misses(items).isEmpty, "all items cached after first build")
+    // a different request with the same selections shares every work item
+    val req2 = request.copy(id = "other")
+    assert(p.misses(p.checkRequest(req2)).isEmpty)
+  }
+
+  test("tick: drains queue in priority order, skips invalid requests") {
+    val p = pipeline()
+    val invalid = request.copy(id = "bad", raster_data = Seq.empty,
+      release_data = Seq.empty)
+    val hi = request.copy(id = "hi", priority = 5)
+    val out = p.tick(Seq(request, invalid, hi), base, pixels, locations)
+    assert(out.map(_._1) == Seq("hi", request.id, "bad"))
+    assert(out.head._2.count() == 2)
+    assert(out.last._2.isEmpty)
+  }
+}
