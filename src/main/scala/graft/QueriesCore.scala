@@ -259,12 +259,16 @@ object QueriesCore {
       (s, d) => {
         // P6 (`queue/processing.py:144-147`): reject requests with no
         // boundary or no data selections. Nested array-of-struct — non-SQL.
+        // selections built from pre-aggregated lineitem (collect_list over
+        // ints after a map-side-combinable count — far cheaper than
+        // collecting structs of the raw fact rows)
+        val sel = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(collect_list(col("l_linenumber")).as("release_data"))
         val reqs = Tables.orders(s, d)
-          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .groupBy(col("o_orderkey"))
-          .agg(first(col("o_orderstatus")).as("st"),
-            sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))).as("release_data"))
-          .withColumn("boundary", when(col("st") === "F", lit(null)).otherwise(lit("nga_adm0_gadm28")))
+          .join(sel, col("o_orderkey") === col("l_orderkey"))
+          .withColumn("boundary",
+            when(col("o_orderstatus") === "F", lit(null)).otherwise(lit("nga_adm0_gadm28")))
           .withColumn("raster_data", expr("array()"))
         reqs.filter(col("boundary").isNotNull
             && (size(col("release_data")) > 0 || size(col("raster_data")) > 0))

@@ -18,6 +18,7 @@ object QueriesExt {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", LlmOps.norm(col("v"))) // once per vector, not per pair
   private val embSql =
     "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
   private val normSql =
@@ -58,17 +59,14 @@ object QueriesExt {
       (s, d) => {
         // MinHash over word-bigram shingles; 8 permutations, 2 bands × 4 —
         // candidate pairs share a full 4-signature band.
-        val withNorm = docs(s, d).withColumn("norm", LlmOps.normText(col("text")))
-        val sh = withNorm.withColumn("sh", LlmOps.bigramShingles("norm"))
-        val sigs = (0 until 8).foldLeft(sh) { (df, k) =>
-          df.withColumn(s"s$k", LlmOps.minhashSig(col("sh"), k))
-        }
+        val sigs = LlmOps.minhashSignatures(docs(s, d), "doc_id", "text", 8)
         val bands = sigs.select(col("doc_id"), explode(array(
           struct(lit(0).as("band"),
             LlmOps.bandKey(Seq(col("s0"), col("s1"), col("s2"), col("s3"))).as("bk")),
           struct(lit(1).as("band"),
             LlmOps.bandKey(Seq(col("s4"), col("s5"), col("s6"), col("s7"))).as("bk")))).as("b"))
           .select(col("doc_id"), col("b.band"), col("b.bk"))
+          .cache() // tiny (2 rows/doc); avoids recomputing signatures on both join sides
         val a = bands.toDF("doc_a", "band", "bk")
         val b = bands.toDF("doc_b", "band", "bk")
         a.join(b, Seq("band", "bk"))
@@ -81,14 +79,14 @@ object QueriesExt {
           list_transform(range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2]) AS shingles
         FROM n),
         sig AS (SELECT doc_id,
-          list_min(list_transform(shingles, x -> md5('0|' || x))) AS s0,
-          list_min(list_transform(shingles, x -> md5('1|' || x))) AS s1,
-          list_min(list_transform(shingles, x -> md5('2|' || x))) AS s2,
-          list_min(list_transform(shingles, x -> md5('3|' || x))) AS s3,
-          list_min(list_transform(shingles, x -> md5('4|' || x))) AS s4,
-          list_min(list_transform(shingles, x -> md5('5|' || x))) AS s5,
-          list_min(list_transform(shingles, x -> md5('6|' || x))) AS s6,
-          list_min(list_transform(shingles, x -> md5('7|' || x))) AS s7
+          list_min(list_transform(shingles, x -> substring(md5(x), 1, 8))) AS s0,
+          list_min(list_transform(shingles, x -> substring(md5(x), 9, 8))) AS s1,
+          list_min(list_transform(shingles, x -> substring(md5(x), 17, 8))) AS s2,
+          list_min(list_transform(shingles, x -> substring(md5(x), 25, 8))) AS s3,
+          list_min(list_transform(shingles, x -> substring(md5('|' || x), 1, 8))) AS s4,
+          list_min(list_transform(shingles, x -> substring(md5('|' || x), 9, 8))) AS s5,
+          list_min(list_transform(shingles, x -> substring(md5('|' || x), 17, 8))) AS s6,
+          list_min(list_transform(shingles, x -> substring(md5('|' || x), 25, 8))) AS s7
         FROM sh),
         bands AS (
           SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS bk FROM sig
@@ -142,11 +140,12 @@ object QueriesExt {
     "dedup_embed_cosine" -> Q(
       (s, d) => {
         val e = emb(s, d)
-        val a = e.toDF("vec_a", "label", "va")
-        val b = e.toDF("vec_b", "label", "vb")
+        val a = e.toDF("vec_a", "label", "va", "na")
+        val b = e.toDF("vec_b", "label", "vb", "nb")
         a.join(b, Seq("label"))
           .filter(col("vec_a") < col("vec_b"))
-          .withColumn("cos_r", round(LlmOps.cosine(col("va"), col("vb")), 6))
+          .withColumn("cos_r",
+            round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
           .filter(col("cos_r") >= 0.3)
           .select(col("vec_a"), col("vec_b"), col("cos_r"))
           .orderBy("vec_a", "vec_b")
@@ -165,14 +164,15 @@ object QueriesExt {
   // ---- §2.11 similarity search ----------------------------------------
   private def topkDf(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
     val e = emb(s, d)
-    val q = e.filter(col("vec_id") % 50 === 0).toDF("qid", "qlabel", "qv")
+    val q = e.filter(col("vec_id") % 50 === 0).toDF("qid", "qlabel", "qv", "qn")
     val joined =
       if (sameCellOnly)
         q.join(e, col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       else q.join(e, col("vec_id") =!= col("qid"))
     import org.apache.spark.sql.expressions.Window
     joined
-      .withColumn("cos_r", round(LlmOps.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_r",
+        round(LlmOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)))
       .filter(col("rn") <= 5)

@@ -51,6 +51,26 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     descriptors.filter(!col(keyCol).isin(done.toSeq: _*))
   }
 
+  /** Bucketed materialization (SURVEY.md §4 physical notes): extracts are
+    * |zones|-keyed frames that get fold-joined on `asdf_id` at merge time;
+    * persisting them bucketed by the merge key makes every downstream merge
+    * join shuffle-free — the decisive layout at 100 TB, where the extract
+    * cache is consulted by every request. Requires a session catalog
+    * (embedded metastore locally; any HMS-compatible catalog on a cluster).
+    */
+  def getOrComputeBucketed(key: String, buckets: Int = 32,
+      bucketCol: String = "asdf_id")(compute: => DataFrame): DataFrame = {
+    val table = s"graft_cache_${version}_$key"
+    if (!spark.catalog.tableExists(table)) {
+      compute.write
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+        .option("path", dir(s"bucketed_$key"))
+        .saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
   def invalidate(key: String): Unit = {
     val d = Paths.get(dir(key))
     if (Files.exists(d)) {

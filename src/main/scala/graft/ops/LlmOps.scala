@@ -38,27 +38,62 @@ object LlmOps {
     expr(s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
              i -> concat(split($textCol, ' ')[i], ' ', split($textCol, ' ')[i+1]))""")
 
-  /** One MinHash signature: min over shingles of a salted md5. Using the md5
-    * hex string itself as the hash value keeps the signature portable across
-    * engines (string min is total-ordered everywhere). */
+  /** Per-permutation shingle hash: 4 permutations share one md5 call via
+    * non-overlapping 8-hex-char windows (md5 mixes uniformly, so disjoint
+    * windows act as independent hash functions); every 4th permutation adds
+    * a salt prefix for a fresh digest. 8-hex strings min-compare portably in
+    * any engine. */
+  def permHash(x: Column, perm: Int): Column = {
+    val salt = "|" * (perm / 4)
+    val digest = if (salt.isEmpty) md5(x) else md5(concat(lit(salt), x))
+    substring(digest, 1 + 8 * (perm % 4), 8)
+  }
+
+  /** One MinHash signature over a shingle array column. */
   def minhashSig(shingles: Column, perm: Int): Column =
-    array_min(transform(shingles, x => md5(concat(lit(s"$perm|"), x))))
+    array_min(transform(shingles, x => permHash(x, perm)))
+
+  /** Full MinHash signature table `(id, s0..s{perms-1})`. Shingles are
+    * exploded so the md5 + min run through codegen'd hash aggregation
+    * (higher-order array lambdas are interpreted in Spark — evaluating
+    * [[minhashSig]] per permutation costs ~perms× the codegen path at
+    * scale), and each md5 digest feeds 4 permutations. Single shuffle. */
+  def minhashSignatures(docs: DataFrame, id: String, textCol: String,
+      perms: Int = 8): DataFrame = {
+    // documents often arrive as few fat partitions (one parquet row group);
+    // the explode multiplies rows ~50x, so spread BEFORE the hash work —
+    // a cheap shuffle of raw docs buys full-core parallelism downstream
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val shingleRows = spread
+      .withColumn("__norm", normText(col(textCol)))
+      .select(col(id), explode(bigramShingles("__norm")).as("__x"))
+    val aggs = (0 until perms).map(k => min(permHash(col("__x"), k)).as(s"s$k"))
+    shingleRows.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH band key over a contiguous signature slice. */
   def bandKey(sigs: Seq[Column]): Column = md5(concat(sigs: _*))
 
-  /** Cosine similarity between two `array<double>` columns — sequential
-    * fold, so the float association order is deterministic. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Dot product of two `array<double>` columns — sequential fold, so the
+    * float association order is deterministic. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm — precompute this once per vector before any pairwise
+    * stage: array lambdas are interpreted, and recomputing both norms per
+    * candidate pair triples the dominant cost of brute-force search. */
+  def norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Cosine similarity between two `array<double>` columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** 16-bit SimHash of the word multiset of `textCol`: per bit j, sum +1/-1
     * over tokens by bit j of md5(token); sign → bit (X-family near-dup). */
   def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(id),
+    // same partition-spread rationale as [[minhashSignatures]]: the
+    // token × bit explode is ~1000x row amplification
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val tokens = spread.select(col(id),
       explode(split(normText(col(textCol)), " ")).as("w"))
     val bits = tokens
       .withColumn("j", explode(sequence(lit(0), lit(15))))

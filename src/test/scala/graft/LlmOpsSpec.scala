@@ -46,6 +46,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(0).getString(0) != rows(0).getString(1)) // perms differ
   }
 
+  test("minhashSignatures (codegen path) equals per-column minhashSig") {
+    val docs = Seq((1L, "spark query engine fast"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val fast = LlmOps.minhashSignatures(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val slow = {
+      val n = docs.withColumn("norm", LlmOps.normText($"text"))
+        .withColumn("sh", LlmOps.bigramShingles("norm"))
+      n.select($"doc_id" +: (0 until 4).map(k =>
+        LlmOps.minhashSig($"sh", k).as(s"s$k")): _*)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    }
+    assert(fast == slow)
+  }
+
   test("simhash16: identical docs share hash; hash is within 16 bits") {
     val docs = Seq((1L, "spark query engine"), (2L, "spark query engine"),
       (3L, "totally different words here")).toDF("doc_id", "text")

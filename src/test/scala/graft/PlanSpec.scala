@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Tables
+
+/** Physical-plan regression tests — the 100 TB posture (SURVEY.md §4):
+  * dimension joins must broadcast, predicates and projections must reach the
+  * parquet scan, aggregations must partial-aggregate map-side. A correctness
+  * pass with a bad plan is a failure at scale, so the plan shape is pinned
+  * here alongside the value tests.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("pixels zone join broadcasts the dimension side (no fact shuffle)") {
+    val p = plan("extract_sum")
+    assert(p.contains("BroadcastHashJoin"), "supplier must broadcast")
+    assert(!p.contains("SortMergeJoin"), "fact table must not shuffle for the zone join")
+  }
+
+  test("extract aggregations are map-side partial (single logical shuffle)") {
+    val p = plan("extract_sum")
+    assert(p.contains("partial_sum"), "partial aggregation must run before the exchange")
+  }
+
+  test("IN-list filters push down to the parquet scan") {
+    val p = plan("filter_in")
+    assert(p.contains("PushedFilters: [In(o_orderpriority") ||
+      p.contains("PushedFilters: [In(o_orderstatus"), s"no pushed filters in:\n$p")
+  }
+
+  test("column pruning: extract_sum reads only join key + value from lineitem") {
+    val p = plan("extract_sum")
+    val read = "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double>"
+    assert(p.contains(read), s"lineitem scan not pruned to 2 columns:\n$p")
+  }
+
+  test("range filter pushes down as gt/lt bounds") {
+    val p = plan("filter_range")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice") &&
+      p.contains("LessThanOrEqual(o_totalprice"))
+  }
+
+  test("AQE is active on every query plan") {
+    assert(plan("merge_wide").contains("AdaptiveSparkPlan"))
+  }
+
+  test("msr surface: window then single hash aggregate, no extra exchanges") {
+    val p = plan("msr_surface")
+    // one exchange for the window partition, one for the cell aggregation,
+    // one for the final deterministic sort — nothing else
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$p")
+  }
+
+  test("wide merge joins aggregated frames without shuffling the base") {
+    val df = SparkEntry.queries("merge_wide")(spark, d)
+    df.count() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("AQEShuffleRead"),
+      s"merge should broadcast small aggregated frames:\n$p")
+  }
+}

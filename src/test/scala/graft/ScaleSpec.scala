@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Cache, Extracts, Skew}
+
+/** Scale-path operators: salted aggregation for hot zones and bucketed
+  * cache layout for shuffle-free merges. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def px = {
+    // zone 1 is "hot": 1000 pixels; zone 2 has 3
+    val hot = (1 to 1000).map(i => (1, i.toDouble, 1.0))
+    val cold = Seq((2, 5.0, 2.0), (2, 7.0, 1.0), (2, 9.0, 1.0))
+    (hot ++ cold).toDF("asdf_id", "value", "weight")
+  }
+
+  test("salted aggregation matches unsalted for every algebraic method") {
+    for (m <- Seq("sum", "count", "min", "max", "mean",
+        "weighted_mean", "weighted_sum", "weighted_count")) {
+      val plain = Extracts.extract(px, m).orderBy("asdf_id")
+        .collect().map(r => (r.getInt(0), r.get(1)))
+      val salted = Skew.extractSalted(px, m).orderBy("asdf_id")
+        .collect().map(r => (r.getInt(0), r.get(1)))
+      (plain zip salted).foreach { case ((z1, a), (z2, b)) =>
+        assert(z1 == z2, m)
+        (a, b) match {
+          case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-9, m)
+          case _ => assert(a == b, m)
+        }
+      }
+    }
+  }
+
+  test("salting actually spreads a hot zone over multiple partials") {
+    val salted = px.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(16)))
+      .groupBy($"asdf_id", $"__salt").count()
+      .filter($"asdf_id" === 1)
+    assert(salted.count() > 1, "hot zone must split across salts")
+  }
+
+  test("holistic methods refuse to salt") {
+    intercept[IllegalArgumentException] { Skew.extractSalted(px, "median") }
+  }
+
+  test("bucketed cache: joining two cached extracts needs no shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      val c = new Cache(spark, Files.createTempDirectory("graft_bcache").toString)
+      val e1 = c.getOrComputeBucketed("k1", buckets = 4)(
+        Extracts.extract(px, "sum"))
+      val e2 = c.getOrComputeBucketed("k2", buckets = 4)(
+        Extracts.extract(px, "mean"))
+      val joined = e1.join(e2, "asdf_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 2)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
