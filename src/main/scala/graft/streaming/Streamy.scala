@@ -37,6 +37,43 @@ object Streamy {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("session_window.start").as("sstart"), col("user_id"), col("n"), col("total"))
 
+  /** Per-user running aggregate carried across micro-batches. */
+  case class UserState(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via `mapGroupsWithState` (the Structured-Streaming
+    * analog of the reference's long-lived per-request state rows, SURVEY.md
+    * §2.8): a per-user running (count, sum) that survives across
+    * micro-batches, with a processing-time timeout evicting idle users —
+    * the pattern a real training-data pipeline uses for per-source quotas
+    * or rate accounting. Works identically on batch `Dataset`s (single
+    * "batch" of state). */
+  def runningUserTotals(events: DataFrame,
+      timeout: String = "1 hour"): org.apache.spark.sql.Dataset[UserState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
+      col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s
+          } else {
+            val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            rows.foreach { case (_, v) => n += 1; total += v }
+            val next = UserState(uid, n, total)
+            state.update(next)
+            if (state.getOption.isDefined) state.setTimeoutDuration(timeout)
+            next
+          }
+      }
+  }
+
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,
     * then stops, exactly like one cron tick. */

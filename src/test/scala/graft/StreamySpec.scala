@@ -46,6 +46,13 @@ class StreamySpec extends AnyFunSuite {
       ("2024-01-01 03:00:00", 8L, 1L, 8.0)))
   }
 
+  test("runningUserTotals: custom keyed state via mapGroupsWithState") {
+    val out = Streamy.runningUserTotals(events)
+      .collect().map(s => s.user_id -> (s.n, s.total)).toMap
+    assert(out(7L) == (3L, 7.0))
+    assert(out(8L) == (1L, 8.0))
+  }
+
   test("queueDrain runs the same transform as a real AvailableNow stream (T1)") {
     val dir = Files.createTempDirectory("graft_queue").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
