@@ -1,0 +1,101 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Cross-query subplan memoization as a Catalyst optimizer rule — the
+  * optimizer-level form of the reference's content-addressed cache
+  * (SURVEY.md §4 "optional later: a Rule[LogicalPlan] that rewrites subtrees
+  * matching cached keys").
+  *
+  * [[PlanCache.materialize]] persists a computation to Parquet and registers
+  * its analyzed logical plan. The injected rule then walks every subsequent
+  * query plan bottom-up; any subtree that [[LogicalPlan.sameResult]]-matches
+  * a registered computation is replaced by a scan of the materialized
+  * Parquet (with an aliasing Project so downstream attribute references keep
+  * their expression ids). The effect: a query that *recomputes* a cached
+  * extract silently becomes a query that *reads* it — pushdown-able,
+  * pruneable, and at 100 TB the difference between a full fact-table pass
+  * and a |zones|-row scan.
+  *
+  * Attach per-session via [[PlanCache.enable]] (uses
+  * `spark.experimental.extraOptimizations`) or cluster-wide via
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+final class PlanCache(spark: SparkSession, root: String) {
+
+  private val entries = mutable.ArrayBuffer.empty[(LogicalPlan, String)]
+
+  private def dir(key: String) = s"$root/$key"
+
+  /** Persist `df` under `key` and register its plan for rewriting. The
+    * OPTIMIZED plan is registered: user-provided rules run after the main
+    * optimizer batches, so incoming subtrees arrive in optimized form and
+    * must be matched shape-for-shape (sameResult handles expr-id renaming,
+    * not pushdown differences). */
+  def materialize(key: String, df: DataFrame): Unit = {
+    df.write.mode("overwrite").parquet(dir(key))
+    entries += ((df.queryExecution.optimizedPlan, dir(key)))
+  }
+
+  def registered: Int = entries.size
+
+  /** The rewrite rule. `transformUp` so the largest cached subtree wins
+    * after its children have been considered. */
+  object RewriteRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (entries.isEmpty) return plan
+      plan.transformUp {
+        case sub =>
+          entries.find(_._1.sameResult(sub)) match {
+            case Some((registered, path)) if !isCacheScan(sub, path) =>
+              val scan = spark.read.parquet(path).queryExecution.analyzed
+              // remap the scan's fresh attributes onto the subtree's
+              // expression ids so parent operators resolve unchanged;
+              // sameResult guarantees positional output compatibility
+              val aliases = sub.output.zip(scan.output).map { case (o, n) =>
+                Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+              }
+              Project(aliases, scan)
+            case _ => sub
+          }
+      }
+    }
+    private def isCacheScan(plan: LogicalPlan, path: String): Boolean =
+      plan.collectLeaves().exists(_.toString.contains(path))
+  }
+
+  /** Attach to the live session. Idempotent. */
+  def enable(): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRule
+
+  def disable(): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteRule)
+}
+
+object PlanCache {
+  /** Session-global registry used by the [[GraftExtensions]] injection path. */
+  @volatile private[plans] var shared: Option[PlanCache] = None
+  def install(spark: SparkSession, root: String): PlanCache = {
+    val pc = new PlanCache(spark, root)
+    shared = Some(pc)
+    pc
+  }
+}
+
+/** `spark.sql.extensions`-compatible injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule { session =>
+      new Rule[LogicalPlan] {
+        override def apply(plan: LogicalPlan): LogicalPlan =
+          PlanCache.shared.map(_.RewriteRule(plan)).getOrElse(plan)
+      }
+    }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Extracts, Tables}
+import graft.plans.PlanCache
+
+class PlanCacheSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = "/root/testdata/sf0.001"
+
+  def freshCache() = new PlanCache(spark,
+    Files.createTempDirectory("graft_plancache").toString)
+
+  test("re-planned query scans the materialized cache instead of recomputing") {
+    val pc = freshCache()
+    try {
+      val extract = Extracts.extract(Tables.pixels(spark, d), "sum")
+      pc.materialize("extract_sum", extract)
+      pc.enable()
+      // the SAME computation, built independently from scratch
+      val again = Extracts.extract(Tables.pixels(spark, d), "sum")
+      val plan = again.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("join"),
+        s"zone join should be gone after rewrite:\n$plan")
+      assert(!plan.contains("Aggregate"), s"aggregate should be gone:\n$plan")
+      // physical plan scans the materialized cache path, no aggregation left
+      val phys = again.queryExecution.executedPlan.toString
+      assert(phys.contains("graft_plancache"), s"expected cache scan:\n$phys")
+      assert(!phys.contains("HashAggregate"), s"no aggregation expected:\n$phys")
+    } finally pc.disable()
+  }
+
+  test("rewrite preserves results and composes under downstream operators") {
+    val pc = freshCache()
+    try {
+      val plain = Extracts.extract(Tables.pixels(spark, d), "mean")
+        .orderBy("asdf_id").collect().toSeq
+      pc.materialize("extract_mean", Extracts.extract(Tables.pixels(spark, d), "mean"))
+      pc.enable()
+      val rewritten = Extracts.extract(Tables.pixels(spark, d), "mean")
+        .filter(col("asdf_id") >= 0).orderBy("asdf_id").collect().toSeq
+      assert(rewritten == plain)
+    } finally pc.disable()
+  }
+
+  test("non-matching plans are left alone") {
+    val pc = freshCache()
+    try {
+      pc.materialize("extract_sum", Extracts.extract(Tables.pixels(spark, d), "sum"))
+      pc.enable()
+      val other = Extracts.extract(Tables.pixels(spark, d), "max")
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_plancache"))
+    } finally pc.disable()
+  }
+
+  test("disable detaches the rule") {
+    val pc = freshCache()
+    pc.materialize("extract_sum", Extracts.extract(Tables.pixels(spark, d), "sum"))
+    pc.enable()
+    pc.disable()
+    val again = Extracts.extract(Tables.pixels(spark, d), "sum")
+    assert(!again.queryExecution.optimizedPlan.toString.contains("graft_plancache"))
+  }
+}
