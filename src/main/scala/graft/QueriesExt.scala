@@ -198,7 +198,19 @@ object QueriesExt {
       Some(topkSql("c.vec_id != q.qid"))),
     "sim_topk_ivf" -> Q(
       (s, d) => topkDf(s, d, sameCellOnly = true),
-      Some(topkSql("c.label = q.qlabel AND c.vec_id != q.qid"))))
+      Some(topkSql("c.label = q.qlabel AND c.vec_id != q.qid"))),
+    "sim_topk_ivf_kmeans" -> Q(
+      (s, d) => {
+        // real IVF: KMeans coarse cells + 2-probe search (no SQL oracle —
+        // KMeans isn't DuckDB-expressible; driver records rows-only)
+        val e = emb(s, d)
+        val (assigned, centroids) = LlmOps.ivfAssign(e)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 2)
+          .orderBy("qid", "rn")
+      },
+      None))
 
   // ---- §2.11 text analysis --------------------------------------------
   private val textQueries: Seq[(String, Q)] = Seq(
