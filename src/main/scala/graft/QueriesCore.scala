@@ -233,7 +233,8 @@ object QueriesCore {
         .filter(col("start_year") <= 1997 && col("end_year") >= 1997)
         .orderBy("okey"),
       Some("""WITH spans AS (SELECT l_orderkey AS okey,
-          min(year(l_shipdate)) AS start_year, max(year(l_shipdate)) AS end_year
+          CAST(min(year(l_shipdate)) AS INT) AS start_year,
+          CAST(max(year(l_shipdate)) AS INT) AS end_year
         FROM lineitem GROUP BY 1)
         SELECT okey, start_year, end_year FROM spans
         WHERE start_year <= 1997 AND end_year >= 1997 ORDER BY okey""")),
@@ -308,7 +309,7 @@ object QueriesCore {
     "queue_rank" -> Q(
       (s, d) => Queue.rank(queueDf(s, d)).select(col("id"), col("rank")).orderBy("id"),
       Some(s"""WITH q AS ($queueSql)
-        SELECT id, row_number() OVER (ORDER BY priority DESC, submit_time ASC, id ASC) AS rank
+        SELECT id, CAST(row_number() OVER (ORDER BY priority DESC, submit_time ASC, id ASC) AS INT) AS rank
         FROM q ORDER BY id""")),
     "point_lookup" -> Q(
       (s, d) => Tables.orders(s, d).filter(col("o_orderkey") === 42).limit(1),
@@ -446,7 +447,7 @@ object QueriesCore {
         .select(col("dataset"), col("yr"),
           concat_ws(".", col("dataset"), col("yr"), lit("mean")).as("colname"))
         .orderBy("dataset", "yr"),
-      Some("""SELECT DISTINCT p_brand AS dataset, year(l_shipdate) AS yr,
+      Some("""SELECT DISTINCT p_brand AS dataset, CAST(year(l_shipdate) AS INT) AS yr,
           concat_ws('.', p_brand, CAST(year(l_shipdate) AS VARCHAR), 'mean') AS colname
         FROM lineitem JOIN part ON l_partkey = p_partkey
         ORDER BY dataset, yr""")),

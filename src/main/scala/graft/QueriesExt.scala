@@ -108,7 +108,7 @@ object QueriesExt {
         perbit AS (SELECT doc_id, j,
           CASE WHEN sum(contrib) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
         FROM bits GROUP BY doc_id, j)
-        SELECT doc_id, sum(bit << j) AS simhash
+        SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash
         FROM perbit GROUP BY doc_id ORDER BY doc_id""")),
     "dedup_ngram_jaccard" -> Q(
       (s, d) => {
@@ -187,7 +187,7 @@ object QueriesExt {
           (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
            sqrt(list_sum(list_transform(c.v, x -> x*x)))), 6) AS cos_r
         FROM q JOIN e c ON $joinCond)
-      SELECT qid, rn, cand, cos_r FROM (
+      SELECT qid, CAST(rn AS INT) AS rn, cand, cos_r FROM (
         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand ASC) AS rn
         FROM sims) t
       WHERE rn <= 5 ORDER BY qid, rn"""
@@ -259,10 +259,10 @@ object QueriesExt {
       Some(s"""WITH t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS tokens
         FROM documents),
         sc AS (SELECT doc_id, lang,
-          len(list_filter(tokens, x -> x IN ('der','die','und'))) AS sc_de,
-          len(list_filter(tokens, x -> x IN ('the','and','of'))) AS sc_en,
-          len(list_filter(tokens, x -> x IN ('el','los','y'))) AS sc_es,
-          len(list_filter(tokens, x -> x IN ('le','la','et'))) AS sc_fr
+          CAST(len(list_filter(tokens, x -> x IN ('der','die','und'))) AS INT) AS sc_de,
+          CAST(len(list_filter(tokens, x -> x IN ('the','and','of'))) AS INT) AS sc_en,
+          CAST(len(list_filter(tokens, x -> x IN ('el','los','y'))) AS INT) AS sc_es,
+          CAST(len(list_filter(tokens, x -> x IN ('le','la','et'))) AS INT) AS sc_fr
         FROM t)
         SELECT doc_id, lang, sc_de, sc_en, sc_es, sc_fr,
           CASE WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'

@@ -48,6 +48,9 @@ for name in sorted(oracle):
         fails.append((name, f"oracle sql error: {e}")); continue
     if list(got.columns) != list(want.columns):
         fails.append((name, f"columns differ: spark={list(got.columns)} duck={list(want.columns)}")); continue
+    for col in got.columns:  # surface dtype drift (int32 vs hugeint etc.)
+        if str(got[col].dtype) != str(want[col].dtype):
+            print(f"  [dtype] {name}.{col}: spark={got[col].dtype} duck={want[col].dtype}")
     if len(got) != len(want):
         fails.append((name, f"rowcount differ: spark={len(got)} duck={len(want)}")); continue
     bad = None
