@@ -134,17 +134,24 @@ final class Pipeline(
 
   /** One cron tick (§3.1): drain the queue head in priority order and
     * process each request end-to-end. `queue` is the request state table;
-    * only the (small) queue head is collected. */
+    * only the (small) queue head is collected. Returns (request id, final
+    * status, result): 1 complete, -2 error — the reference's error branch
+    * marks failed requests -2 rather than aborting the batch
+    * (`queue/processing.py:164-167,188-194`). */
   def tick(queue: Seq[Request], base: DataFrame, pixels: DataFrame,
-      locations: DataFrame): Seq[(String, DataFrame)] = {
+      locations: DataFrame): Seq[(String, Int, DataFrame)] = {
     val ordered = queue
       .filter(r => r.status == -1 || r.status == 0)
       .sortBy(r => (-r.priority, r.stage.find(_.name == "submit").map(_.time).getOrElse(0L)))
     ordered.map { req =>
       val valid = req.boundary != null && req.boundary.name.nonEmpty &&
         (req.release_data.nonEmpty || req.raster_data.nonEmpty)
-      if (!valid) req.id -> spark.emptyDataFrame
-      else req.id -> buildOutput(req, base, pixels, locations)._1
+      if (!valid) (req.id, -2, spark.emptyDataFrame)
+      else try {
+        (req.id, 1, buildOutput(req, base, pixels, locations)._1)
+      } catch {
+        case scala.util.control.NonFatal(_) => (req.id, -2, spark.emptyDataFrame)
+      }
     }
   }
 }

@@ -136,6 +136,26 @@ object QueriesCore {
         LEFT JOIN e2 ON n_nationkey = e2.asdf_id
         LEFT JOIN e3 ON n_nationkey = e3.asdf_id
         ORDER BY asdf_id""")),
+    "doc_overview" -> Q(
+      // the documentation "overview" derivation (S7 data part,
+      // `queue/documentation_tool.py:203-339`): per dataset, the desc-sorted
+      // temporal list rendered as a string (O4+F13), file count, and the
+      // newest column name via the grammar (F8)
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("dataset"), year(col("l_shipdate")).as("yr"))
+        .groupBy(col("dataset"))
+        .agg(
+          countDistinct(col("yr")).as("n_files"),
+          array_join(reverse(array_sort(collect_set(col("yr")))), ", ").as("temporal_list"),
+          concat_ws(".", col("dataset"), max(col("yr")), lit("mean")).as("newest_col"))
+        .orderBy("dataset"),
+      Some("""WITH y AS (SELECT DISTINCT p_brand AS dataset, year(l_shipdate) AS yr
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT dataset, count(*) AS n_files,
+          string_agg(CAST(yr AS VARCHAR), ', ' ORDER BY yr DESC) AS temporal_list,
+          concat_ws('.', dataset, CAST(max(yr) AS VARCHAR), 'mean') AS newest_col
+        FROM y GROUP BY dataset ORDER BY dataset""")),
     "doc_meta" -> Q(
       (s, d) => {
         val sel = Tables.lineitem(s, d).select(col("l_partkey").as("pk")).distinct()

@@ -90,14 +90,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.misses(p.checkRequest(req2)).isEmpty)
   }
 
-  test("tick: drains queue in priority order, skips invalid requests") {
+  test("tick: priority order; invalid and failing requests end at -2") {
     val p = pipeline()
     val invalid = request.copy(id = "bad", raster_data = Seq.empty,
       release_data = Seq.empty)
+    val broken = request.copy(id = "boom", raster_data = Seq(RasterSelection(
+      name = "x", extract_types = Seq("no_such_method"),
+      files = Seq(RasterFile("x_1998")))))
     val hi = request.copy(id = "hi", priority = 5)
-    val out = p.tick(Seq(request, invalid, hi), base, pixels, locations)
-    assert(out.map(_._1) == Seq("hi", request.id, "bad"))
-    assert(out.head._2.count() == 2)
-    assert(out.last._2.isEmpty)
+    val out = p.tick(Seq(request, invalid, hi, broken), base, pixels, locations)
+    assert(out.map(_._1) == Seq("hi", request.id, "bad", "boom"))
+    assert(out.map(_._2) == Seq(1, 1, -2, -2))
+    assert(out.head._3.count() == 2)
   }
 }
