@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<double>` columns, with
+  * whole-stage codegen (SURVEY.md §2.9 / builder guidance: a codegen'd
+  * `Expression` beats a UDF beats interpreted higher-order functions).
+  *
+  * Spark's `aggregate(zip_with(...))` formulation of a dot product runs on
+  * the interpreted expression path (higher-order functions don't codegen)
+  * AND allocates an intermediate array per row; this expression compiles to
+  * a tight primitive loop over the two `ArrayData`s — the inner loop of
+  * every similarity-search operator. Null elements are treated as 0
+  * (embedding fixtures are dense; a null VECTOR still yields null via the
+  * null-safe wrapper).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the native expressions. */
+object native {
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}

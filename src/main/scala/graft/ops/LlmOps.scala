@@ -74,9 +74,14 @@ object LlmOps {
   /** LSH band key over a contiguous signature slice. */
   def bandKey(sigs: Seq[Column]): Column = md5(concat(sigs: _*))
 
-  /** Dot product of two `array<double>` columns — sequential fold, so the
-    * float association order is deterministic. */
-  def dot(x: Column, y: Column): Column =
+  /** Dot product of two `array<double>` columns — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (sequential primitive loop:
+    * deterministic float association order, no intermediate array, stays
+    * inside whole-stage codegen). */
+  def dot(x: Column, y: Column): Column = graft.functions.native.dot_product(x, y)
+
+  /** Interpreted reference formulation (kept for differential testing). */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** Euclidean norm — precompute this once per vector before any pairwise

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. `ExpressionUtils` is `private[sql]` in
+  * Spark 4, so this one-file shim lives inside the `org.apache.spark.sql`
+  * namespace — the standard technique third-party expression libraries use
+  * to expose native Catalyst expressions through the public Column API.
+  * Nothing else in this repo lives outside the `graft` namespace. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -20,6 +20,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(cs(2) + 1.0) < 1e-12)
   }
 
+  test("native DotProduct equals the interpreted HOF formulation exactly") {
+    val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val both = e.select(
+      LlmOps.dot($"v", $"v").as("native"),
+      LlmOps.dotHof($"v", $"v").as("hof"))
+    // bit-identical: same sequential association order
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
+  test("native DotProduct participates in whole-stage codegen") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(LlmOps.dot($"a", $"b").as("d"))
+    assert(df.as[Double].collect().head == 11.0)
+    // a parquet-backed frame (literals constant-fold to LocalTableScan)
+    val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"embedding".cast("array<double>").as("v"))
+      .select(LlmOps.dot($"v", $"v").as("d"))
+    // "*(n)" prefixes mark whole-stage-codegen stages in the compact plan
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+  }
+
   test("dedupExact collapses case/whitespace variants, keeps smallest id") {
     val docs = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "  HELLO WORLD  "),
