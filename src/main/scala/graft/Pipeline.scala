@@ -24,7 +24,9 @@ final class Pipeline(
     spark: SparkSession,
     cache: Cache,
     msrVersion: String = "0.1",
-    msrResolution: Double = 0.05) {
+    msrResolution: Double = 0.05,
+    bucketed: Boolean = false,
+    buckets: Int = 32) {
 
   /** The msr descriptor the reference hashes
     * (`queue/request_tools.py:371-383`). */
@@ -85,7 +87,7 @@ final class Pipeline(
     * the in-engine replacement for the external worker fleets. */
   def compute(item: WorkItem, pixels: DataFrame, locations: DataFrame,
       dryRun: Boolean = false): DataFrame =
-    cache.getOrCompute(item.key, dryRun) {
+    materialize(item.key, dryRun) {
       item.kind match {
         case "release" =>
           // msr surface zonally extracted: per-zone sum/potential/reliability
@@ -99,6 +101,13 @@ final class Pipeline(
             classes = Seq("A", "N", "R"))
       }
     }
+
+  /** Cache materialization: `bucketed=true` persists every extract bucketed
+    * by `asdf_id` (the merge key) so the wide merge needs no exchange on the
+    * extract sides — the 100 TB layout (SURVEY.md §4 physical notes). */
+  private def materialize(key: String, dryRun: Boolean)(compute: => DataFrame): DataFrame =
+    if (bucketed && !dryRun) cache.getOrComputeBucketed(key, buckets)(compute)
+    else cache.getOrCompute(key, dryRun)(compute)
 
   /** build_output (`queue/request_tools.py:516-613`): compute/reuse every
     * extract, rename through the [[Naming]] grammar, wide-merge onto the

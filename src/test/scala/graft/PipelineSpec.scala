@@ -90,6 +90,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.misses(p.checkRequest(req2)).isEmpty)
   }
 
+  test("bucketed pipeline: same results, merge without extract-side shuffles") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val plain = pipeline().buildOutput(request, base, pixels, locations)._1
+      .orderBy("asdf_id").collect().toSeq
+    val bp = new Pipeline(spark, new Cache(spark, root), bucketed = true, buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (out, _) = bp.buildOutput(request, base, pixels, locations)
+      assert(out.orderBy("asdf_id").collect().toSeq == plain)
+      val merged = bp.buildOutput(request, base, pixels, locations)._1
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(merged.queryExecution.executedPlan.toString).length
+      // joining 4 extract frames: only the (non-bucketed) base may shuffle
+      assert(exchanges <= 1, s"expected bucketed merge, got $exchanges exchanges")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("tick: priority order; invalid and failing requests end at -2") {
     val p = pipeline()
     val invalid = request.copy(id = "bad", raster_data = Seq.empty,
