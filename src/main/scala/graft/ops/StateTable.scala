@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned Parquet state table — the offline stand-in for the reference's
+  * mutable Mongo collections (`asdf.det` / `asdf.extracts` / `asdf.msr`,
+  * SURVEY.md §1.1): reads always see one consistent committed version;
+  * writes produce a new immutable version directory and atomically swap a
+  * pointer file (write-temp + atomic move). Old versions are retained —
+  * cheap history/debugging, bounded by [[vacuum]].
+  *
+  * This is deliberately a miniature of the transactional-table pattern
+  * (Delta/Iceberg-style) built only on the filesystem primitives available
+  * offline; on a cluster the same layout works on any HDFS-compatible FS
+  * with atomic rename.
+  */
+final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
+  private val root = Paths.get(dir)
+  private val pointer = root.resolve("_CURRENT")
+  Files.createDirectories(root)
+
+  private def currentVersion: Option[Long] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
+
+  /** Current committed snapshot (None before the first commit). */
+  def read(): Option[DataFrame] =
+    currentVersion.map(v => spark.read.parquet(root.resolve(s"v$v").toString))
+
+  /** Commit a full new snapshot: write `v{N+1}/`, then atomically swap the
+    * pointer. Readers only ever follow the pointer, so a crashed writer
+    * leaves garbage data but never a torn table. */
+  def commit(df: DataFrame): Long = {
+    val next = currentVersion.getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(root.resolve(s"v$next").toString)
+    val tmp = root.resolve(s"_CURRENT.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** MERGE: existing rows win, new rows insert (Q2 semantics via
+    * [[Queue.upsert]]); first commit just inserts. */
+  def upsert(incoming: DataFrame): Long =
+    commit(read().map(Queue.upsert(_, incoming, keys)).getOrElse(incoming))
+
+  /** Apply a whole-table transformation transactionally (e.g. a Q1 status
+    * transition). No-op (and no new version) before the first commit. */
+  def update(f: DataFrame => DataFrame): Option[Long] = read().map(f).map(commit)
+
+  def versions: Seq[Long] =
+    if (!Files.exists(root)) Seq.empty
+    else root.toFile.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong).sorted
+
+  /** Drop all but the newest `keep` versions. */
+  def vacuum(keep: Int = 2): Unit = {
+    val cur = currentVersion.getOrElse(return)
+    versions.filter(_ <= cur).dropRight(keep).foreach { v =>
+      val p = root.resolve(s"v$v")
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.StateTable
+
+class StateTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def fresh() = new StateTable(spark,
+    Files.createTempDirectory("graft_state").toString, Seq("id"))
+
+  test("empty before first commit; snapshot after") {
+    val t = fresh()
+    assert(t.read().isEmpty)
+    t.commit(Seq((1L, 0)).toDF("id", "status"))
+    assert(t.read().get.count() == 1)
+  }
+
+  test("upsert merges with existing-wins semantics across versions") {
+    val t = fresh()
+    t.upsert(Seq((1L, 1), (2L, 2)).toDF("id", "status"))
+    t.upsert(Seq((2L, 0), (3L, 0)).toDF("id", "status"))
+    val out = t.read().get.as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 0)) // 2 kept its state
+    assert(t.versions == Seq(0L, 1L))
+  }
+
+  test("update applies a transactional transition (Q1)") {
+    val t = fresh()
+    t.commit(Seq((1L, 0), (2L, 0)).toDF("id", "status"))
+    t.update(df => df.withColumn("status",
+      when(col("id") === 2L, 2).otherwise(col("status"))))
+    val out = t.read().get.as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 2))
+  }
+
+  test("old versions remain readable until vacuum") {
+    val t = fresh()
+    (0 until 4).foreach(i => t.commit(Seq((i.toLong, i)).toDF("id", "status")))
+    assert(t.versions.size == 4)
+    t.vacuum(keep = 2)
+    assert(t.versions.size == 2)
+    assert(t.read().get.as[(Long, Int)].collect().head == ((3L, 3)))
+  }
+}
