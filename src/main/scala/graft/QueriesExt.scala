@@ -293,6 +293,23 @@ object QueriesExt {
         SELECT doc_id,
           list_min(list_transform(range(length(pre)-7), i -> md5(substring(pre, i+1, 8)))) AS fingerprint
         FROM t ORDER BY doc_id""")),
+    "text_fingerprint_rolling" -> Q(
+      // O(n) Rabin–Karp min-fingerprint via the native MinRollingHash
+      // expression; oracle recomputes every window O(n·k) — identical exact
+      // 64-bit integers (base 31, k=8, no modulus needed)
+      (s, d) => docs(s, d)
+        .withColumn("pre", expr(s"substring(${"regexp_replace(lower(trim(text)), '\\\\s+', ' ')"}, 1, 256)"))
+        .select(col("doc_id"),
+          graft.functions.native.min_rolling_hash(col("pre"), 8).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, substring($normSql, 1, 256) AS pre FROM documents)
+        SELECT doc_id,
+          CAST(list_min(list_transform(range(length(pre)-7), i ->
+            CAST(list_sum(list_transform(range(8), j ->
+              ascii(substring(pre, CAST(i+j+1 AS INT), 1)) *
+              ([27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1])[j+1])) AS BIGINT)
+          )) AS BIGINT) AS fp
+        FROM t ORDER BY doc_id""")),
     "multimodal_meta" -> Q(
       (s, d) => docs(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))

@@ -75,4 +75,8 @@ case class DotProduct(left: Expression, right: Expression)
 object native {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def min_rolling_hash(s: Column, window: Int): Column =
+    Bridge.column(MinRollingHash(Bridge.expression(s),
+      org.apache.spark.sql.catalyst.expressions.Literal(window)))
 }

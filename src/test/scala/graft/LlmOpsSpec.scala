@@ -43,6 +43,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
 
+  test("MinRollingHash: known value, null under window, codegen") {
+    import graft.functions.native.min_rolling_hash
+    val df = Seq("hello world rolling hash", "short").toDF("s")
+      .select(min_rolling_hash($"s", 8).as("fp"))
+    val out = df.as[Option[Long]].collect()
+    assert(out(0).contains(984859969061L)) // python-verified golden value
+    assert(out(1).isEmpty)                 // len < window -> null
+    val e = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(min_rolling_hash($"text", 8).as("fp"))
+    assert(e.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(e.filter($"fp".isNull).count() == 0)
+  }
+
   test("dedupExact collapses case/whitespace variants, keeps smallest id") {
     val docs = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "  HELLO WORLD  "),
