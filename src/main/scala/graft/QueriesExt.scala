@@ -24,6 +24,33 @@ object QueriesExt {
   private val normSql =
     """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
+  /** Shared oracle CTE chain: documents → bigram shingles → 8 MinHash
+    * signatures (4 per md5 digest via disjoint hex windows) → 2 LSH bands →
+    * distinct candidate pairs. Mirrors [[LlmOps.minhashPairs]]. */
+  private val minhashPairCtes: String =
+    s"""n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+        list_transform(range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2]) AS shingles
+      FROM n),
+      sig AS (SELECT doc_id,
+        list_min(list_transform(shingles, x -> substring(md5(x), 1, 8))) AS s0,
+        list_min(list_transform(shingles, x -> substring(md5(x), 9, 8))) AS s1,
+        list_min(list_transform(shingles, x -> substring(md5(x), 17, 8))) AS s2,
+        list_min(list_transform(shingles, x -> substring(md5(x), 25, 8))) AS s3,
+        list_min(list_transform(shingles, x -> substring(md5('|' || x), 1, 8))) AS s4,
+        list_min(list_transform(shingles, x -> substring(md5('|' || x), 9, 8))) AS s5,
+        list_min(list_transform(shingles, x -> substring(md5('|' || x), 17, 8))) AS s6,
+        list_min(list_transform(shingles, x -> substring(md5('|' || x), 25, 8))) AS s7
+      FROM sh),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(s4 || s5 || s6 || s7) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+          AND a.doc_id < b.doc_id)"""
+
   // ---- §2.10 streaming windows (batch-verifiable, same code path) ------
   private val streamQueries: Seq[(String, Q)] = Seq(
     "stream_tumbling" -> Q(
@@ -56,46 +83,29 @@ object QueriesExt {
           count(*) AS n_copies
         FROM documents GROUP BY h ORDER BY doc_id""")),
     "dedup_minhash" -> Q(
+      // MinHash over word-bigram shingles; 8 permutations, 2 bands × 4 —
+      // candidate pairs share a full 4-signature band.
+      (s, d) => LlmOps.minhashPairs(docs(s, d)).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $minhashPairCtes
+        SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
+    "dedup_clusters" -> Q(
+      // duplicate-cluster resolution: connected components over the LSH
+      // candidate pairs; every doc labelled with its cluster keeper (min id)
       (s, d) => {
-        // MinHash over word-bigram shingles; 8 permutations, 2 bands × 4 —
-        // candidate pairs share a full 4-signature band.
-        val sigs = LlmOps.minhashSignatures(docs(s, d), "doc_id", "text", 8)
-        val bands = sigs.select(col("doc_id"), explode(array(
-          struct(lit(0).as("band"),
-            LlmOps.bandKey(Seq(col("s0"), col("s1"), col("s2"), col("s3"))).as("bk")),
-          struct(lit(1).as("band"),
-            LlmOps.bandKey(Seq(col("s4"), col("s5"), col("s6"), col("s7"))).as("bk")))).as("b"))
-          .select(col("doc_id"), col("b.band"), col("b.bk"))
-          .cache() // tiny (2 rows/doc); avoids recomputing signatures on both join sides
-        val a = bands.toDF("doc_a", "band", "bk")
-        val b = bands.toDF("doc_b", "band", "bk")
-        a.join(b, Seq("band", "bk"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-          .orderBy("doc_a", "doc_b")
+        val nodes = docs(s, d).select(col("doc_id").as("node"))
+        LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
+          .select(col("node").as("doc_id"), col("rep"))
+          .orderBy("doc_id")
       },
-      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-        sh AS (SELECT doc_id,
-          list_transform(range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2]) AS shingles
-        FROM n),
-        sig AS (SELECT doc_id,
-          list_min(list_transform(shingles, x -> substring(md5(x), 1, 8))) AS s0,
-          list_min(list_transform(shingles, x -> substring(md5(x), 9, 8))) AS s1,
-          list_min(list_transform(shingles, x -> substring(md5(x), 17, 8))) AS s2,
-          list_min(list_transform(shingles, x -> substring(md5(x), 25, 8))) AS s3,
-          list_min(list_transform(shingles, x -> substring(md5('|' || x), 1, 8))) AS s4,
-          list_min(list_transform(shingles, x -> substring(md5('|' || x), 9, 8))) AS s5,
-          list_min(list_transform(shingles, x -> substring(md5('|' || x), 17, 8))) AS s6,
-          list_min(list_transform(shingles, x -> substring(md5('|' || x), 25, 8))) AS s7
-        FROM sh),
-        bands AS (
-          SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS bk FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band, md5(s4 || s5 || s6 || s7) AS bk FROM sig)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
-          AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b""")),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, rep) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, w.rep FROM edges e JOIN walk w ON e.dst = w.node)
+        SELECT node AS doc_id, min(rep) AS rep FROM walk
+        GROUP BY node ORDER BY doc_id""")),
     "dedup_simhash" -> Q(
       (s, d) => LlmOps.simhash16(docs(s, d), "doc_id", "text").orderBy("doc_id"),
       Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

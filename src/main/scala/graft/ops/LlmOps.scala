@@ -92,6 +92,53 @@ object LlmOps {
   /** Cosine similarity between two `array<double>` columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** LSH band key over a full signature table: candidate pairs are ids
+    * sharing any complete band. Returns distinct `(doc_a, doc_b)` with
+    * `doc_a < doc_b`. */
+  def minhashPairs(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = minhashSignatures(docs, id, textCol, 8)
+    val bands = sigs.select(col(id), explode(array(
+      struct(lit(0).as("band"), bandKey(Seq(col("s0"), col("s1"), col("s2"), col("s3"))).as("bk")),
+      struct(lit(1).as("band"), bandKey(Seq(col("s4"), col("s5"), col("s6"), col("s7"))).as("bk")))).as("b"))
+      .select(col(id), col("b.band"), col("b.bk"))
+      .cache() // tiny (2 rows/doc); avoids recomputing signatures on both join sides
+    val a = bands.toDF("doc_a", "band", "bk")
+    val b = bands.toDF("doc_b", "band", "bk")
+    a.join(b, Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation to fixpoint: every node ends labelled with the
+    * smallest id reachable from it — the canonical "keeper" of its
+    * duplicate cluster. Converges in O(component diameter) rounds (LSH
+    * clusters are near-cliques, so 2-3 in practice); lineage is truncated
+    * per round so plans stay flat at scale. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b"), col("doc_a")))
+    var labels = nodes.select(col("node"), col("node").as("rep")).localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
+      val next = labels.join(prop, labels("node") === prop("src"), "left")
+        .select(col("node"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("node"))
+        .filter(col("n.rep") =!= col("o.rep")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** IVF coarse quantization (X3 scale path): KMeans centroids as inverted-
     * file cells. Returns (assignments with a `cell` column, centroid table).
     * At scale the assignment is a one-pass map (broadcast centroids); search

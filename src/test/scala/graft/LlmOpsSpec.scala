@@ -97,6 +97,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
+  test("connectedComponents: chain propagates min label across hops") {
+    // 1-2, 2-3, 3-4 chain plus isolated 9: all of 1..4 -> rep 1
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = LlmOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("simhash16: identical docs share hash; hash is within 16 bits") {
     val docs = Seq((1L, "spark query engine"), (2L, "spark query engine"),
       (3L, "totally different words here")).toDF("doc_id", "text")
