@@ -303,6 +303,32 @@ object QueriesExt {
         SELECT doc_id,
           list_min(list_transform(range(length(pre)-7), i -> md5(substring(pre, i+1, 8)))) AS fingerprint
         FROM t ORDER BY doc_id""")),
+    "text_quality_lm" -> Q(
+      // quality scoring against a corpus language model: char-trigram
+      // counts over the whole corpus, per-doc mean log-probability
+      // (self-perplexity proxy — low scores = out-of-distribution docs)
+      (s, d) => {
+        val tri = docs(s, d)
+          .withColumn("norm", LlmOps.normText(col("text")))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))")).as("g"))
+        val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+        tri.join(broadcast(counts), Seq("g"))
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(log(col("cnt") / col("tot"))), 6).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),
+        tri AS (SELECT doc_id, g
+          FROM t, unnest(list_transform(range(length(norm)-2),
+            i -> substring(norm, CAST(i+1 AS INT), 3))) AS u(g)),
+        counts AS (SELECT g, count(*) AS cnt FROM tri GROUP BY g),
+        total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts)
+        SELECT doc_id, round(avg(ln(cnt / tot)), 6) AS lm_score
+        FROM tri JOIN counts USING (g) CROSS JOIN total
+        GROUP BY doc_id ORDER BY doc_id""")),
     "text_fingerprint_rolling" -> Q(
       // O(n) Rabin–Karp min-fingerprint via the native MinRollingHash
       // expression; oracle recomputes every window O(n·k) — identical exact
