@@ -309,6 +309,7 @@ object QueriesExt {
       // (self-perplexity proxy — low scores = out-of-distribution docs)
       (s, d) => {
         val tri = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism) // single-partition source, ~300x explode
           .withColumn("norm", LlmOps.normText(col("text")))
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))")).as("g"))

@@ -118,8 +118,11 @@ object LlmOps {
     * per round so plans stay flat at scale. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — the propagation loop joins it every
+    // round, and recomputing an LSH pair pipeline per round would dominate
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b"), col("doc_a")))
+      .localCheckpoint(true)
     var labels = nodes.select(col("node"), col("node").as("rep")).localCheckpoint(true)
     var i = 0
     var converged = false
@@ -149,7 +152,7 @@ object LlmOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = emb.withColumn("__feat", array_to_vector(col(vCol)))
-    val model = new KMeans().setK(k).setSeed(seed)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__feat").setPredictionCol("cell").fit(feat)
     val assigned = model.transform(feat).drop("__feat")
     val spark = emb.sparkSession
