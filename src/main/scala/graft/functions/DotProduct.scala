@@ -79,4 +79,13 @@ object native {
   def min_rolling_hash(s: Column, window: Int): Column =
     Bridge.column(MinRollingHash(Bridge.expression(s),
       org.apache.spark.sql.catalyst.expressions.Literal(window)))
+
+  /** Make the native expressions callable by name from `spark.sql` on a
+    * live session (cluster-wide: `--conf spark.sql.extensions=
+    * graft.plans.GraftExtensions`). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "graft_dot", args => DotProduct(args(0), args(1)))
+    Bridge.registerFunction(spark, "min_rolling_hash",
+      args => MinRollingHash(args(0), args(1)))
+  }
 }

@@ -89,13 +89,29 @@ object PlanCache {
   }
 }
 
-/** `spark.sql.extensions`-compatible injection point. */
+/** `spark.sql.extensions`-compatible injection point: the PlanCache rewrite
+  * rule plus SQL names for the engine's native expressions
+  * (`graft_dot`, `min_rolling_hash`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule { session =>
       new Rule[LogicalPlan] {
         override def apply(plan: LogicalPlan): LogicalPlan =
           PlanCache.shared.map(_.RewriteRule(plan)).getOrElse(plan)
       }
     }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("min_rolling_hash"),
+      new ExpressionInfo(classOf[graft.functions.MinRollingHash].getName, "min_rolling_hash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MinRollingHash(args(0), args(1))))
+  }
 }

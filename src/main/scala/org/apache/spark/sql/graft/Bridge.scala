@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression under a SQL name on a LIVE session
+    * (builder-time `withExtensions` can't reach an already-created session;
+    * `sessionState` is `private[sql]`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
