@@ -60,6 +60,59 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize — a real implementation decodes, resamples, re-encodes;
+    * the deterministic fake strides/pads the payload to exactly w*h bytes,
+    * preserving the contract (fixed output size, metadata updated). */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // ??? <- real image resample goes here
+    val out = new Array[Byte](w * h)
+    if (payload != null && payload.length > 0) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Resize a media frame: per-partition processing, payload replaced,
+    * typed metadata updated to the new dimensions. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select(col("media_id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = r.getStruct(2)
+          Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]]("payload"), w, h),
+            Row(if (meta == null) null else meta.getString(0), w, h))
+        }
+      }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame sampling — a real implementation seeks keyframes; the fake
+    * treats the payload as fixed-size frames and emits every `everyN`-th.
+    * One output row per sampled frame (video → frame table), the shape a
+    * training pipeline feeds to per-frame featurization. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Iterator.empty
+          else payload.grouped(frameBytes).zipWithIndex
+            .filter(_._2 % everyN == 0)
+            .map { case (frame, idx) => Row(r.getLong(0), idx, frame) }
+        }
+      }(enc)
+  }
+
   /** Build a media frame from the documents table (text bytes as a
     * stand-in payload — there is no binary fixture, TESTDATA.md). */
   def fromDocuments(docs: DataFrame): DataFrame =

@@ -26,6 +26,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0)._4.sum == 5.0 && rows(1)._4.sum == 7.0)
   }
 
+  test("resize: exact target size, metadata updated, deterministic") {
+    val r = Multimodal.resize(Multimodal.fromDocuments(docs), 4, 3)
+    val rows = r.orderBy("media_id").collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").length == 12))
+    assert(rows.forall(_.getStruct(2).getInt(1) == 4))
+    val again = Multimodal.resize(Multimodal.fromDocuments(docs), 4, 3)
+      .orderBy("media_id").collect()
+    assert(rows.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
+  }
+
+  test("frame sampling: every Nth fixed-size chunk, indexed") {
+    // payload "worlds!" = 7 bytes, frames of 2 -> idx 0..3, everyN=2 -> 0,2
+    val f = Multimodal.sampleFrames(Multimodal.fromDocuments(docs), 2, 2)
+    val byDoc = f.collect().groupBy(_.getLong(0))
+    assert(byDoc(2L).map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+    assert(new String(byDoc(2L).minBy(_.getInt(1)).getAs[Array[Byte]]("frame")) == "wo")
+  }
+
   test("decode stub is deterministic") {
     val b = "same bytes".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
