@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model._
+import graft.ops.{Artifacts, Cache, StateTable}
+import org.apache.spark.sql.functions._
+
+/** The engine facade — the reference's cron driver
+  * (`queue/processing.py:113-221`) as a library API. A user of the
+  * reference maps directly: submit a request document, tick the queue (one
+  * cron pass), fetch results/artifacts; every underlying capability
+  * (extract catalog, msr, merge grammar, memoized cache, state machine) is
+  * also available à la carte through the `ops` / `streaming` / `functions`
+  * packages.
+  *
+  * State: requests live in a versioned [[StateTable]] (the `asdf.det`
+  * stand-in); completed work lives in the content-addressed [[Cache]].
+  */
+final class Engine(
+    val spark: SparkSession,
+    workDir: String,
+    bucketed: Boolean = false) {
+
+  val cache = new Cache(spark, s"$workDir/cache")
+  val pipeline = new Pipeline(spark, cache, bucketed = bucketed)
+  private val requests = scala.collection.mutable.LinkedHashMap.empty[String, Request]
+  private val states = new StateTable(spark, s"$workDir/state", Seq("id"))
+  private val outDir = s"$workDir/out"
+
+  import spark.implicits._
+
+  private def now(): Long = System.currentTimeMillis() / 1000
+
+  /** Submit (status -1 "new", submit stage stamped —
+    * `queue/request_tools.py:153-161`). Idempotent on id. */
+  def submit(req: Request): String = {
+    val stamped = req.copy(status = -1,
+      stage = Seq(StageTime("submit", now())))
+    requests.getOrElseUpdate(req.id, stamped)
+    states.upsert(Seq((req.id, -1, now())).toDF("id", "status", "submit_time"))
+    req.id
+  }
+
+  def status(id: String): Option[Int] =
+    states.read().flatMap(df =>
+      df.filter(col("id") === id).select("status")
+        .collect().headOption.map(_.getInt(0)))
+
+  /** One cron pass: drain new/waiting requests in priority order, process
+    * each end-to-end, persist results + status transitions (1 complete /
+    * -2 error), write the CSV + JSON echo artifacts. */
+  def tick(base: DataFrame, pixels: DataFrame, locations: DataFrame): Map[String, Int] = {
+    val pending = requests.values.toSeq.filter(r => {
+      val st = status(r.id).getOrElse(r.status)
+      st == -1 || st == 0
+    })
+    val outcomes = pipeline.tick(pending, base, pixels, locations)
+    outcomes.foreach { case (id, st, result) =>
+      if (st == 1) {
+        result.write.mode("overwrite").parquet(s"$outDir/$id/results")
+        Artifacts.writeCsv(result, s"$outDir/$id/results_csv")
+        new java.io.File(s"$outDir/$id").mkdirs()
+        Artifacts.writeRequestJson(
+          Map("id" -> id, "complete_time" -> now()), s"$outDir/$id/request.json")
+      }
+      states.upsert(Seq((id, st, now())).toDF("id", "status", "submit_time"))
+      states.update(df => df.withColumn("status",
+        when(col("id") === id, st).otherwise(col("status"))))
+    }
+    outcomes.map(o => o._1 -> o._2).toMap
+  }
+
+  /** Completed merged result for a request, if any. */
+  def results(id: String): Option[DataFrame] = {
+    val p = s"$outDir/$id/results"
+    if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Bundle a completed request's artifacts (S9). */
+  def bundle(id: String, zipPath: String): Unit =
+    Artifacts.zipDir(s"$outDir/$id", zipPath)
+}

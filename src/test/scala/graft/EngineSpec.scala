@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def newEngine() = new Engine(spark, Files.createTempDirectory("graft_engine").toString)
+
+  val request = Request(
+    id = "req-1",
+    boundary = Boundary("nga_adm0_gadm28"),
+    release_data = Seq(ReleaseSelection(dataset = "nigeriaaims",
+      filters = Map("donors" -> Seq("AFDB")))),
+    raster_data = Seq(RasterSelection(name = "udel",
+      extract_types = Seq("mean"), files = Seq(RasterFile("udel_1998")))))
+
+  def base = Seq((1, "A"), (2, "B")).toDF("asdf_id", "name")
+  def pixels = Seq((1, 10.0, 1.0, "A", 1998), (2, 6.0, 2.0, "R", 1998))
+    .toDF("asdf_id", "value", "weight", "cls", "temporal")
+  def locations = Seq((1, 40.0, 100.0), (2, 60.0, 100.0))
+    .toDF("asdf_id", "alloc", "amount")
+
+  test("submit -> tick -> results lifecycle with status machine") {
+    val e = newEngine()
+    e.submit(request)
+    assert(e.status("req-1").contains(-1))
+    val outcomes = e.tick(base, pixels, locations)
+    assert(outcomes == Map("req-1" -> 1))
+    assert(e.status("req-1").contains(1))
+    val r = e.results("req-1").get
+    assert(r.count() == 2)
+    assert(r.columns.exists(_.startsWith("udel__1998__mean")))
+  }
+
+  test("completed requests are not reprocessed on the next tick") {
+    val e = newEngine()
+    e.submit(request)
+    e.tick(base, pixels, locations)
+    assert(e.tick(base, pixels, locations).isEmpty) // queue drained
+  }
+
+  test("failing request ends at -2 and yields no results") {
+    val e = newEngine()
+    val broken = request.copy(id = "req-x", release_data = Seq.empty,
+      raster_data = Seq(RasterSelection(name = "x",
+        extract_types = Seq("nope"), files = Seq(RasterFile("x_1998")))))
+    e.submit(broken)
+    assert(e.tick(base, pixels, locations) == Map("req-x" -> -2))
+    assert(e.status("req-x").contains(-2))
+    assert(e.results("req-x").isEmpty)
+  }
+
+  test("bundle zips the artifacts of a completed request") {
+    val e = newEngine()
+    e.submit(request)
+    e.tick(base, pixels, locations)
+    val zip = Files.createTempDirectory("graft_zip").resolve("r.zip")
+    e.bundle("req-1", zip.toString)
+    val zf = new java.util.zip.ZipFile(zip.toFile)
+    try {
+      val names = new Iterator[String] {
+        val en = zf.entries(); def hasNext = en.hasMoreElements
+        def next() = en.nextElement().getName
+      }.toSet
+      assert(names.exists(_.endsWith("request.json")))
+      assert(names.exists(_.contains("results_csv")))
+    } finally zf.close()
+  }
+}
