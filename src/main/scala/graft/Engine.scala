@@ -48,26 +48,39 @@ final class Engine(
 
   /** One cron pass: drain new/waiting requests in priority order, process
     * each end-to-end, persist results + status transitions (1 complete /
-    * -2 error), write the CSV + JSON echo artifacts. */
+    * -2 error), write the CSV + JSON echo artifacts. One state read up
+    * front and ONE committed state version per tick; artifact writes are
+    * per-request fault-contained (the result DataFrame is lazy — a runtime
+    * failure surfaces here, not in Pipeline.tick's plan-time catch, and
+    * must demote that request to -2 without aborting the batch). */
   def tick(base: DataFrame, pixels: DataFrame, locations: DataFrame): Map[String, Int] = {
-    val pending = requests.values.toSeq.filter(r => {
-      val st = status(r.id).getOrElse(r.status)
+    val stateNow: Map[String, Int] = states.read()
+      .map(_.select("id", "status").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap)
+      .getOrElse(Map.empty)
+    val pending = requests.values.toSeq.filter { r =>
+      val st = stateNow.getOrElse(r.id, r.status)
       st == -1 || st == 0
-    })
-    val outcomes = pipeline.tick(pending, base, pixels, locations)
-    outcomes.foreach { case (id, st, result) =>
-      if (st == 1) {
-        result.write.mode("overwrite").parquet(s"$outDir/$id/results")
-        Artifacts.writeCsv(result, s"$outDir/$id/results_csv")
-        new java.io.File(s"$outDir/$id").mkdirs()
-        Artifacts.writeRequestJson(
-          Map("id" -> id, "complete_time" -> now()), s"$outDir/$id/request.json")
-      }
-      states.upsert(Seq((id, st, now())).toDF("id", "status", "submit_time"))
-      states.update(df => df.withColumn("status",
-        when(col("id") === id, st).otherwise(col("status"))))
     }
-    outcomes.map(o => o._1 -> o._2).toMap
+    val outcomes = pipeline.tick(pending, base, pixels, locations).map {
+      case (id, 1, result) =>
+        try {
+          result.write.mode("overwrite").parquet(s"$outDir/$id/results")
+          Artifacts.writeCsv(result, s"$outDir/$id/results_csv")
+          new java.io.File(s"$outDir/$id").mkdirs()
+          Artifacts.writeRequestJson(
+            Map("id" -> id, "complete_time" -> now()), s"$outDir/$id/request.json")
+          id -> 1
+        } catch { case scala.util.control.NonFatal(_) => id -> -2 }
+      case (id, st, _) => id -> st
+    }
+    if (outcomes.nonEmpty) {
+      val oDF = outcomes.toDF("id", "new_status")
+      states.update(df => df.join(oDF, Seq("id"), "left")
+        .withColumn("status", coalesce(col("new_status"), col("status")))
+        .drop("new_status"))
+    }
+    outcomes.toMap
   }
 
   /** Completed merged result for a request, if any. */

@@ -58,7 +58,18 @@ final class Pipeline(
       val h = sel.hash.get
       val method =
         if (sel.dataset.startsWith("worldbank")) "sum" else "reliability"
-      WorkItem(req.id, sel.dataset, "release", Naming.hash7(h), method, h)
+      // the msr surface hash `h` identifies the boundary-FREE surface (and
+      // names the output columns via hash7); the cacheable zonal extract is
+      // additionally keyed by boundary, mirroring the reference's separate
+      // ExtractItem key (`queue/request_tools.py:436-441`) — without it, two
+      // boundaries sharing a selection would share one cached zonal result
+      val extractKey = keyOf(JObj(Seq(
+        "boundary" -> JStr(req.boundary.name),
+        "data" -> JStr(s"${sel.dataset}_$h"),
+        "extract_type" -> JStr(method),
+        "version" -> JStr(msrVersion))))
+      WorkItem(req.id, sel.dataset, "release", Naming.hash7(h), method,
+        extractKey, Msr.normalizeFilters(sel.filters))
     }
     val rasterItems = for {
       r <- req.raster_data
@@ -90,9 +101,12 @@ final class Pipeline(
     materialize(item.key, dryRun) {
       item.kind match {
         case "release" =>
-          // msr surface zonally extracted: per-zone sum/potential/reliability
-          Extracts.extract(locations, "reliability",
-            zone = "asdf_id", value = "alloc", weight = "amount")
+          // msr surface zonally extracted: apply the selection's normalized
+          // filter algebra (P1-P4) to the locations FIRST — the filters are
+          // part of the cache key and must shape the data — then aggregate
+          // per zone to the sum/potential/reliability triple
+          Extracts.extract(Msr.applyFilters(locations, item.filters),
+            "reliability", zone = "asdf_id", value = "alloc", weight = "amount")
         case _ =>
           val slice =
             if (item.temporal == "none") pixels

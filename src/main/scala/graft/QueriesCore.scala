@@ -359,9 +359,10 @@ object QueriesCore {
       Some(s"""WITH q AS ($queueSql),
         e AS (SELECT id, 1 AS status, submit_time FROM q WHERE id % 3 = 0),
         i AS (SELECT id, 0 AS status, CAST(1700000000 AS BIGINT) AS submit_time FROM q WHERE id % 2 = 0)
-        SELECT COALESCE(e.id, i.id) AS id, COALESCE(e.status, i.status) AS status,
-          COALESCE(e.submit_time, i.submit_time) AS submit_time
-        FROM e FULL OUTER JOIN i ON e.id = i.id ORDER BY id""")))
+        SELECT id, status, submit_time FROM e
+        UNION ALL
+        SELECT id, status, submit_time FROM i WHERE id NOT IN (SELECT id FROM e)
+        ORDER BY id""")))
 
   // ---- §2.6 sorts / dedup / union -------------------------------------
   private val sortQueries: Seq[(String, Q)] = Seq(

@@ -125,7 +125,9 @@ object QueriesExt {
         val withSh = docs(s, d)
           .withColumn("norm", LlmOps.normText(col("text")))
           .withColumn("sh", expr(
-            "array_distinct(transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3)))"))
+            """array_distinct(CASE WHEN length(norm) >= 3
+               THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
+               ELSE array() END)"""))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"))
         val a = withSh.toDF("doc_a", "lang", "na", "sha")
         val b = withSh.toDF("doc_b", "lang", "nb", "shb")
@@ -296,7 +298,9 @@ object QueriesExt {
         .withColumn("norm", LlmOps.normText(col("text")))
         .withColumn("pre", expr("substring(norm, 1, 256)"))
         .select(col("doc_id"),
-          expr("array_min(transform(sequence(1, length(pre)-7), i -> md5(substring(pre, i, 8))))")
+          expr("""CASE WHEN length(pre) >= 8
+                  THEN array_min(transform(sequence(1, length(pre)-7), i -> md5(substring(pre, i, 8))))
+                  ELSE NULL END""")
             .as("fingerprint"))
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, substring($normSql, 1, 256) AS pre FROM documents)
@@ -312,7 +316,9 @@ object QueriesExt {
           .repartition(s.sparkContext.defaultParallelism) // single-partition source, ~300x explode
           .withColumn("norm", LlmOps.normText(col("text")))
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))")).as("g"))
+            """CASE WHEN length(norm) >= 3
+               THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
+               ELSE array() END""")).as("g"))
         val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
         tri.join(broadcast(counts), Seq("g"))

@@ -51,11 +51,16 @@ final case class DatasetMeta(
     temporal_start: Option[Int] = None,
     temporal_end: Option[Int] = None)
 
-/** A unit of cacheable work derived from a request selection. */
+/** A unit of cacheable work derived from a request selection. The cache
+  * `key` is boundary-qualified (zonal output is per-boundary — the
+  * reference keys extracts by boundary name separately from the
+  * boundary-free msr surface hash, `queue/request_tools.py:436-441`);
+  * `filters` carry the normalized filter algebra to apply at compute time. */
 final case class WorkItem(
     requestId: String,
     dataset: String,
     kind: String,              // "release" (msr) | "raster"
     temporal: String,          // year, "none", or hash7 for msr
     method: String,            // extract method
-    key: String)               // canonical-JSON SHA-1 cache key
+    key: String,               // canonical-JSON SHA-1 cache key (incl. boundary)
+    filters: Map[String, Seq[String]] = Map.empty)

@@ -20,13 +20,22 @@ import org.apache.spark.sql.functions._
 final class Cache(spark: SparkSession, root: String, version: String = "v1") {
   private def dir(key: String) = s"$root/$version/$key"
 
-  /** Q3 completion probe: present and non-empty. */
+  /** Catalog table names must be scoped to THIS cache instance (root +
+    * version) — the session catalog is global, and an unscoped name would
+    * let one cache's bucketed tables satisfy another cache's probe. */
+  private val rootTag =
+    HashKey.sha1Hex(root).take(8)
+  private def bucketTable(key: String) = s"graft_cache_${rootTag}_${version}_$key"
+
+  /** Q3 completion probe: present and non-empty — either layout (plain
+    * key dir or bucketed catalog table). */
   def probe(key: String): Boolean = {
     val p = Paths.get(dir(key))
-    Files.exists(p.resolve("_SUCCESS")) && {
+    val plain = Files.exists(p.resolve("_SUCCESS")) && {
       val files = p.toFile.listFiles()
       files != null && files.exists(f => f.getName.endsWith(".parquet") && f.length > 0)
     }
+    plain || spark.catalog.tableExists(bucketTable(key))
   }
 
   /** Memoized compute: return the cached frame if the probe passes, else
@@ -60,7 +69,7 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     */
   def getOrComputeBucketed(key: String, buckets: Int = 32,
       bucketCol: String = "asdf_id")(compute: => DataFrame): DataFrame = {
-    val table = s"graft_cache_${version}_$key"
+    val table = bucketTable(key)
     if (!spark.catalog.tableExists(table)) {
       compute.write
         .bucketBy(buckets, bucketCol)
@@ -72,10 +81,13 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
   }
 
   def invalidate(key: String): Unit = {
-    val d = Paths.get(dir(key))
-    if (Files.exists(d)) {
-      d.toFile.listFiles().foreach(_.delete())
-      Files.delete(d)
+    Seq(Paths.get(dir(key)), Paths.get(dir(s"bucketed_$key"))).foreach { d =>
+      if (Files.exists(d)) {
+        d.toFile.listFiles().foreach(_.delete())
+        Files.delete(d)
+      }
     }
+    if (spark.catalog.tableExists(bucketTable(key)))
+      spark.sql(s"DROP TABLE `${bucketTable(key)}`")
   }
 }

@@ -44,14 +44,28 @@ object HashKey {
     sb.append('"').toString
   }
 
+  /** Shortest decimal string that round-trips to exactly `d`, in
+    * `%e`-style scientific form. `java.lang.Double.toString` is NOT
+    * shortest-round-trip before JDK 19 (e.g. it renders
+    * 4.568643288225989e16 with 17 digits where 16 suffice), so search the
+    * precision explicitly — this is what CPython's `repr` guarantees. */
+  private def shortestSci(d: Double): String = {
+    var p = 0
+    while (p < 17) {
+      val s = String.format("%." + p + "e", Double.box(d))
+      if (java.lang.Double.parseDouble(s) == d) return s
+      p += 1
+    }
+    String.format("%.17e", Double.box(d))
+  }
+
   /** Python `repr(float)` — shortest round-trip decimal, plain form for
     * 1e-4 <= |x| < 1e16, else `Ne±EE` scientific with >=2-digit exponent. */
   def pyFloatRepr(d: Double): String = {
     if (d.isNaN) return "NaN"
     if (d.isInfinity) return if (d > 0) "Infinity" else "-Infinity"
     if (d == 0.0) return if (1 / d < 0) "-0.0" else "0.0"
-    val shortest = java.lang.Double.toString(d) // shortest round-trip, maybe E-notation
-    val bd = new java.math.BigDecimal(shortest)
+    val bd = new java.math.BigDecimal(shortestSci(d))
     val a = math.abs(d)
     if (a >= 1e-4 && a < 1e16) {
       var plain = bd.toPlainString
@@ -86,9 +100,24 @@ object HashKey {
     case JStr(s)    => escape(s)
     case JArr(xs)   => xs.map(render).mkString("[", ", ", "]")
     case JObj(kvs)  =>
-      kvs.sortBy(_._1)
+      // python sort_keys compares by Unicode CODE POINT; Java String
+      // ordering compares UTF-16 code units, which disagrees beyond the BMP
+      // (surrogates sort below e.g. U+FF61) — compare code point arrays
+      kvs.sortWith((a, b) => codePointLt(a._1, b._1))
         .map { case (k, x) => s"${escape(k)}: ${render(x)}" }
         .mkString("{", ", ", "}")
+  }
+
+  private def codePointLt(a: String, b: String): Boolean = {
+    val xa = a.codePoints.toArray
+    val xb = b.codePoints.toArray
+    val n = math.min(xa.length, xb.length)
+    var i = 0
+    while (i < n) {
+      if (xa(i) != xb(i)) return xa(i) < xb(i)
+      i += 1
+    }
+    xa.length < xb.length
   }
 
   def sha1Hex(s: String): String =

@@ -33,10 +33,13 @@ object LlmOps {
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
   /** Word bigram shingles of a normalized text column (0-based Spark array
-    * indexing). */
+    * indexing). Guarded: Spark's `sequence(a, b)` counts DOWN when `b < a`,
+    * so a one-word text must yield an empty array, not garbage indices. */
   def bigramShingles(textCol: String): Column =
-    expr(s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
-             i -> concat(split($textCol, ' ')[i], ' ', split($textCol, ' ')[i+1]))""")
+    expr(s"""CASE WHEN size(split($textCol, ' ')) >= 2
+             THEN transform(sequence(0, size(split($textCol, ' ')) - 2),
+                  i -> concat(split($textCol, ' ')[i], ' ', split($textCol, ' ')[i+1]))
+             ELSE array() END""")
 
   /** Per-permutation shingle hash: 4 permutations share one md5 call via
     * non-overlapping 8-hex-char windows (md5 mixes uniformly, so disjoint

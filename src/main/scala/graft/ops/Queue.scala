@@ -64,18 +64,17 @@ object Queue {
   }
 
   /** Idempotent enqueue / MERGE (Q2, `queue/extract_check.py:146-184`,
-    * `queue/msr_check.py:96-133`): rows already present keep their state;
-    * new rows are inserted. Full-outer join on the natural key + coalesce
-    * with existing-wins — the offline stand-in for a Delta MERGE. */
+    * `queue/msr_check.py:96-133`): rows already present keep their ENTIRE
+    * state (a NULL field like an unset `complete_time` is state too — a
+    * per-column coalesce would let an incoming value overwrite it); new
+    * rows insert. Anti-join + union — the offline stand-in for a Delta
+    * MERGE WHEN NOT MATCHED THEN INSERT. */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
-    val e = existing.alias("e")
-    val i = incoming.alias("i")
-    val joined = e.join(i, keys, "full_outer")
-    val valueCols = existing.columns.filterNot(keys.contains).toSeq
-    val picked = valueCols.foldLeft(joined) { (df, c) =>
-      val iSide = if (incoming.columns.contains(c)) col(s"i.$c") else lit(null)
-      df.withColumn(s"__pick_$c", coalesce(col(s"e.$c"), iSide))
+    val newRows = incoming.join(existing, keys, "left_anti")
+    val aligned = existing.columns.toSeq.map { c =>
+      if (incoming.columns.contains(c)) col(c).cast(existing.schema(c).dataType).as(c)
+      else lit(null).cast(existing.schema(c).dataType).as(c)
     }
-    picked.select(keys.map(col) ++ valueCols.map(c => col(s"__pick_$c").as(c)): _*)
+    existing.unionByName(newRows.select(aligned: _*))
   }
 }

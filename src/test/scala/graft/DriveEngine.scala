@@ -20,6 +20,7 @@ object DriveEngine {
     val locs = Tables.locations(s, d)
       .withColumn("asdf_id", col("cell_id") % 25)
       .withColumn("alloc", col("amount") * lit(0.9))
+      .withColumn("donors", lit("AFDB"))
     println("OUTCOMES=" + e.tick(base, Tables.pixels(s, d), locs))
     println("STATUS=" + e.status("r-hi") + "," + e.status("r-lo"))
     println("COLS=" + e.results("r-hi").get.columns.mkString(","))

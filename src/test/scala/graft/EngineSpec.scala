@@ -21,8 +21,8 @@ class EngineSpec extends AnyFunSuite {
   def base = Seq((1, "A"), (2, "B")).toDF("asdf_id", "name")
   def pixels = Seq((1, 10.0, 1.0, "A", 1998), (2, 6.0, 2.0, "R", 1998))
     .toDF("asdf_id", "value", "weight", "cls", "temporal")
-  def locations = Seq((1, 40.0, 100.0), (2, 60.0, 100.0))
-    .toDF("asdf_id", "alloc", "amount")
+  def locations = Seq((1, 40.0, 100.0, "AFDB"), (2, 60.0, 100.0, "AFDB"))
+    .toDF("asdf_id", "alloc", "amount", "donors")
 
   test("submit -> tick -> results lifecycle with status machine") {
     val e = newEngine()

@@ -33,6 +33,21 @@ class HashKeySpec extends AnyFunSuite {
     assert(pyFloatRepr(1.5e-7) == "1.5e-07")
   }
 
+  test("adversarial float vectors match CPython (shortest-repr stress)") {
+    FloatReprVectors.cases.foreach { case (v, expectedJson, expectedSha) =>
+      assert(render(v) == expectedJson)
+      assert(keyOf(v) == expectedSha)
+    }
+  }
+
+  test("non-BMP object keys sort by code point like python sort_keys") {
+    // U+FF61 (one UTF-16 unit 0xFF61) sorts BEFORE U+1F600 by code point,
+    // though its UTF-16 unit is larger than the lead surrogate 0xD83D;
+    // ensure_ascii renders the pair as \ud83d\ude00 exactly like CPython
+    val o = JObj(Seq("\uff61" -> JInt(1), "\ud83d\ude00" -> JInt(2)))
+    assert(render(o) == "{\"\\uff61\": 1, \"\\ud83d\\ude00\": 2}")
+  }
+
   test("toJVal on maps sorts keys at render time") {
     val m = Map("b" -> 2, "a" -> 1)
     assert(render(toJVal(m)) == """{"a": 1, "b": 2}""")

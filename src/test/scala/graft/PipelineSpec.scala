@@ -32,17 +32,39 @@ class PipelineSpec extends AnyFunSuite {
     (2, 5.0, 2.0, "A", 1998), (2, 7.0, 1.0, "A", 1999)
   ).toDF("asdf_id", "value", "weight", "cls", "temporal")
   def locations = Seq(
-    (1, 40.0, 100.0), (2, 60.0, 100.0)
-  ).toDF("asdf_id", "alloc", "amount")
+    (1, 40.0, 100.0, "AFDB"), (2, 60.0, 100.0, "AFDB")
+  ).toDF("asdf_id", "alloc", "amount", "donors")
 
-  test("checkRequest derives msr + raster work items with golden hash") {
-    val items = pipeline().checkRequest(request)
+  test("checkRequest derives msr + raster work items; keys are boundary-qualified") {
+    val p = pipeline()
+    val items = p.checkRequest(request)
     assert(items.size == 2)
     val msr = items.find(_.kind == "release").get
-    assert(msr.key == "1e7b27768cb5caeb17d80b25dacd89bf84fc2f10")
+    // hash7 of the boundary-FREE msr surface hash names the columns...
     assert(msr.temporal == "1e7b277" && msr.method == "reliability")
+    assert(msr.filters == Map("donors" -> Seq("AFDB"))) // 'All' entry dropped
+    // ...but the zonal-extract cache key must be boundary-qualified: two
+    // boundaries sharing a selection may NOT share a cached zonal result
+    val otherBoundary = request.copy(boundary = Boundary("ken_adm0_gadm28"))
+    val msr2 = p.checkRequest(otherBoundary).find(_.kind == "release").get
+    assert(msr.key != msr2.key)
+    assert(msr2.temporal == "1e7b277") // same surface, same column names
     val raster = items.find(_.kind == "raster").get
     assert(raster.temporal == "1998" && raster.method == "mean")
+  }
+
+  test("different filters produce different keys AND different data") {
+    val p = pipeline()
+    val mixed = Seq(
+      (1, 40.0, 100.0, "AFDB"), (1, 25.0, 50.0, "WB")
+    ).toDF("asdf_id", "alloc", "amount", "donors")
+    val afdb = p.compute(
+      p.checkRequest(request).find(_.kind == "release").get, pixels, mixed)
+    assert(afdb.filter($"asdf_id" === 1).select("sum").as[Double].collect().head == 40.0)
+    val noFilter = p.compute(
+      p.checkRequest(request.copy(release_data = Seq(ReleaseSelection(
+        dataset = "nigeriaaims")))).find(_.kind == "release").get, pixels, mixed)
+    assert(noFilter.filter($"asdf_id" === 1).select("sum").as[Double].collect().head == 65.0)
   }
 
   test("worldbank selections pick sum (F12)") {
