@@ -83,10 +83,13 @@ final class Engine(
     outcomes.toMap
   }
 
-  /** Completed merged result for a request, if any. */
+  /** Completed merged result for a request, if any. Requires the write
+    * marker — a crashed artifact write leaves a directory but no _SUCCESS,
+    * and must not surface a torn result against a -2 status. */
   def results(id: String): Option[DataFrame] = {
     val p = s"$outDir/$id/results"
-    if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+    if (new java.io.File(s"$p/_SUCCESS").exists()) Some(spark.read.parquet(p))
+    else None
   }
 
   /** Bundle a completed request's artifacts (S9). */

@@ -27,23 +27,27 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     HashKey.sha1Hex(root).take(8)
   private def bucketTable(key: String) = s"graft_cache_${rootTag}_${version}_$key"
 
-  /** Q3 completion probe: present and non-empty — either layout (plain
-    * key dir or bucketed catalog table). */
-  def probe(key: String): Boolean = {
+  private def probePlain(key: String): Boolean = {
     val p = Paths.get(dir(key))
-    val plain = Files.exists(p.resolve("_SUCCESS")) && {
+    Files.exists(p.resolve("_SUCCESS")) && {
       val files = p.toFile.listFiles()
       files != null && files.exists(f => f.getName.endsWith(".parquet") && f.length > 0)
     }
-    plain || spark.catalog.tableExists(bucketTable(key))
   }
+
+  /** Q3 completion probe: present and non-empty — either layout (plain
+    * key dir or bucketed catalog table). */
+  def probe(key: String): Boolean =
+    probePlain(key) || spark.catalog.tableExists(bucketTable(key))
 
   /** Memoized compute: return the cached frame if the probe passes, else
     * compute, persist (bucket-friendly single write), and read back. Reading
     * back (rather than returning `compute` directly) means downstream plans
     * see a plain Parquet scan — prunable and reusable. */
   def getOrCompute(key: String, dryRun: Boolean = false)(compute: => DataFrame): DataFrame = {
-    if (probe(key)) spark.read.parquet(dir(key))
+    if (probePlain(key)) spark.read.parquet(dir(key))
+    else if (spark.catalog.tableExists(bucketTable(key)))
+      spark.table(bucketTable(key)) // entry materialized in the bucketed layout
     else if (dryRun) compute
     else {
       compute.write.mode("overwrite").parquet(dir(key))

@@ -50,13 +50,15 @@ object HashKey {
     * 4.568643288225989e16 with 17 digits where 16 suffice), so search the
     * precision explicitly — this is what CPython's `repr` guarantees. */
   private def shortestSci(d: Double): String = {
+    // Locale.ROOT: a decimal-comma default locale would render "5,0e-02"
+    // and blow up the parse-back check
     var p = 0
     while (p < 17) {
-      val s = String.format("%." + p + "e", Double.box(d))
+      val s = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(d))
       if (java.lang.Double.parseDouble(s) == d) return s
       p += 1
     }
-    String.format("%.17e", Double.box(d))
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))
   }
 
   /** Python `repr(float)` — shortest round-trip decimal, plain form for

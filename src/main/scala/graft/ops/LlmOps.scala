@@ -105,7 +105,11 @@ object LlmOps {
       struct(lit(0).as("band"), bandKey(Seq(col("s0"), col("s1"), col("s2"), col("s3"))).as("bk")),
       struct(lit(1).as("band"), bandKey(Seq(col("s4"), col("s5"), col("s6"), col("s7"))).as("bk")))).as("b"))
       .select(col(id), col("b.band"), col("b.bk"))
-      .cache() // tiny (2 rows/doc); avoids recomputing signatures on both join sides
+      // tiny (2 rows/doc); materialize once so the self-join doesn't run the
+      // signature pipeline twice. localCheckpoint (not cache): checkpointed
+      // storage is released by the ContextCleaner when unreachable, whereas
+      // CacheManager entries leak per invocation for the session lifetime
+      .localCheckpoint(true)
     val a = bands.toDF("doc_a", "band", "bk")
     val b = bands.toDF("doc_b", "band", "bk")
     a.join(b, Seq("band", "bk"))
@@ -120,7 +124,7 @@ object LlmOps {
     * clusters are near-cliques, so 2-3 in practice); lineage is truncated
     * per round so plans stay flat at scale. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // materialize the edge list once — the propagation loop joins it every
     // round, and recomputing an LSH pair pipeline per round would dominate
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -142,6 +146,10 @@ object LlmOps {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(component min-label distance exceeds the bound); raise maxIter")
     labels
   }
 
