@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Protocol (driver contract): per-query timings go out in
+  * one `{"metric":"total",...,"queries":{...}}` line, and the VERY LAST
+  * stdout line is a compact total-only JSON object so a tail-parse always
+  * succeeds regardless of how long the per-query map grows.
+  *
+  * Methodology: a full unmeasured warm-up pass over every query first —
+  * at bench scale per-query wall-clock is otherwise dominated by one-time
+  * JIT + whole-stage-codegen compilation, which made round-over-round
+  * numbers diverge ~2× on identical code.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,10 +23,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup so the first measured query doesn't absorb JVM
-    // startup: one small end-to-end pass through the heaviest code paths.
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm-up: run everything once, unmeasured (JIT, codegen cache, shuffle
+    // service, parquet footer cache all get primed); failures surface in
+    // the measured pass
+    queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be visible as -1, not masquerade as a fast pass
       val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -26,7 +42,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact total-only object LAST — the driver tail-parses this line
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 final class Engine(
     val spark: SparkSession,
     workDir: String,
-    bucketed: Boolean = false) {
+    bucketed: Boolean = true) {
 
   val cache = new Cache(spark, s"$workDir/cache")
   val pipeline = new Pipeline(spark, cache, bucketed = bucketed)
@@ -54,13 +54,17 @@ final class Engine(
     * failure surfaces here, not in Pipeline.tick's plan-time catch, and
     * must demote that request to -2 without aborting the batch). */
   def tick(base: DataFrame, pixels: DataFrame, locations: DataFrame): Map[String, Int] = {
-    val stateNow: Map[String, Int] = states.read()
-      .map(_.select("id", "status").collect()
-        .map(r => r.getString(0) -> r.getInt(1)).toMap)
-      .getOrElse(Map.empty)
+    // only pending rows reach the driver: the status predicate is pushed
+    // into the state scan, so the collect is bounded by the live queue
+    // depth, not the full (ever-growing) request history
+    val pendingIds: Set[String] = states.read()
+      .map(_.filter(col("status").isin(-1, 0))
+        .select("id").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val hasState = states.read().isDefined
     val pending = requests.values.toSeq.filter { r =>
-      val st = stateNow.getOrElse(r.id, r.status)
-      st == -1 || st == 0
+      if (hasState) pendingIds.contains(r.id)
+      else r.status == -1 || r.status == 0
     }
     val outcomes = pipeline.tick(pending, base, pixels, locations).map {
       case (id, 1, result) =>

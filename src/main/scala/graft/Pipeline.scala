@@ -25,7 +25,11 @@ final class Pipeline(
     cache: Cache,
     msrVersion: String = "0.1",
     msrResolution: Double = 0.05,
-    bucketed: Boolean = false,
+    // bucketed-by-default: every materialized extract is persisted bucketed
+    // by the merge key, so the wide merge is exchange-free on the extract
+    // side — the 100 TB layout (SURVEY.md §4); pass false for plain-Parquet
+    // cache dirs (no session catalog required)
+    bucketed: Boolean = true,
     buckets: Int = 32) {
 
   /** The msr descriptor the reference hashes

@@ -261,7 +261,9 @@ object QueriesCore {
     "filter_normalize" -> Q(
       (s, d) => {
         // P1 (`queue/request_tools.py:362-369`): entries whose value list
-        // contains 'All'/'None'/null are dropped. Nested-map op — non-SQL.
+        // contains 'All'/'None'/null are dropped. Same literal fixture on
+        // both sides; the DuckDB oracle runs the identical map algebra
+        // (map_keys/map_values parallel unnest + list_filter).
         import s.implicits._
         val reqs = Seq(
           (1L, Map("donors" -> Seq("AFDB", "World Bank"), "sectors" -> Seq("All"))),
@@ -275,7 +277,16 @@ object QueriesCore {
           .select(col("request_id"), col("field"), array_join(col("vals"), "|").as("vals"))
           .orderBy("request_id", "field")
       },
-      None),
+      Some("""WITH reqs(request_id, filters) AS (VALUES
+          (CAST(1 AS BIGINT), MAP(['donors','sectors'], [['AFDB','World Bank'],['All']])),
+          (CAST(2 AS BIGINT), MAP(['donors','years'], [['None'],['1998','1999']])),
+          (CAST(3 AS BIGINT), MAP(['status','donors'], [[NULL],['AFDB']]))),
+        kv AS (SELECT request_id, unnest(map_keys(filters)) AS field,
+                 unnest(map_values(filters)) AS vals FROM reqs)
+        SELECT request_id, field, array_to_string(vals, '|') AS vals
+        FROM kv
+        WHERE len(list_filter(vals, x -> x IS NULL OR x IN ('All','None'))) = 0
+        ORDER BY request_id, field""")),
     "validate_request" -> Q(
       (s, d) => {
         // P6 (`queue/processing.py:144-147`): reject requests with no
@@ -296,7 +307,14 @@ object QueriesCore {
           .select(col("o_orderkey"), col("boundary"), size(col("release_data")).as("n_selections"))
           .orderBy("o_orderkey")
       },
-      None))
+      // the validation predicate collapses relationally: boundary is null
+      // iff o_orderstatus = 'F'; release_data nonempty iff the order has
+      // lineitems (inner join); raster_data is always empty
+      Some("""WITH sel AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderkey, 'nga_adm0_gadm28' AS boundary, CAST(n AS INT) AS n_selections
+        FROM orders JOIN sel ON o_orderkey = l_orderkey
+        WHERE o_orderstatus != 'F'
+        ORDER BY o_orderkey""")))
 
   // ---- §2.1/§2.6/§2.8 queue + state -----------------------------------
   /** Orders-as-queue mapping (FIXTURES.md): numeric priority derived from
@@ -348,21 +366,74 @@ object QueriesCore {
           CASE WHEN id=42 THEN CAST(1700000000 AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS process_time
         FROM q ORDER BY id""")),
     "queue_upsert" -> Q(
+      // Q2 reference semantics (`queue/extract_check.py:170-176`,
+      // `queue/msr_check.py:117-123`): matched rows are $set the incoming
+      // details {classification, priority, update_time} while status and
+      // submit_time keep their existing state; unmatched incoming rows
+      // insert whole. The oracle below encodes the MongoDB update/insert
+      // branches directly (left-join coalesce = $set; anti-join = insert).
       (s, d) => {
         val q = queueDf(s, d)
         val existing = q.filter(col("id") % 3 === 0)
-          .select(col("id"), lit(1).as("status"), col("submit_time"))
+          .select(col("id"), lit(1).as("status"), col("submit_time"),
+            col("priority"), lit("old").as("classification"),
+            lit(100L).as("update_time"))
         val incoming = q.filter(col("id") % 2 === 0)
-          .select(col("id"), lit(0).as("status"), lit(1700000000L).as("submit_time"))
+          .select(col("id"), lit(0).as("status"),
+            lit(1700000000L).as("submit_time"),
+            (col("priority") + 1).as("priority"),
+            lit("det").as("classification"),
+            lit(1700000000L).as("update_time"))
         Queue.upsert(existing, incoming, Seq("id")).orderBy("id")
       },
       Some(s"""WITH q AS ($queueSql),
-        e AS (SELECT id, 1 AS status, submit_time FROM q WHERE id % 3 = 0),
-        i AS (SELECT id, 0 AS status, CAST(1700000000 AS BIGINT) AS submit_time FROM q WHERE id % 2 = 0)
-        SELECT id, status, submit_time FROM e
+        e AS (SELECT id, 1 AS status, submit_time, priority,
+                'old' AS classification, CAST(100 AS BIGINT) AS update_time
+              FROM q WHERE id % 3 = 0),
+        i AS (SELECT id, 0 AS status, CAST(1700000000 AS BIGINT) AS submit_time,
+                priority + 1 AS priority, 'det' AS classification,
+                CAST(1700000000 AS BIGINT) AS update_time
+              FROM q WHERE id % 2 = 0)
+        SELECT e.id, e.status, e.submit_time,
+          coalesce(i.priority, e.priority) AS priority,
+          coalesce(i.classification, e.classification) AS classification,
+          coalesce(i.update_time, e.update_time) AS update_time
+        FROM e LEFT JOIN i ON e.id = i.id
         UNION ALL
-        SELECT id, status, submit_time FROM i WHERE id NOT IN (SELECT id FROM e)
-        ORDER BY id""")))
+        SELECT id, status, submit_time, priority, classification, update_time
+        FROM i WHERE id NOT IN (SELECT id FROM e)
+        ORDER BY id""")),
+    "email_content" -> Q(
+      // S8 notification-content derivation (`queue/request_tools.py:254-272`):
+      // subject "AidData geo(query) - Request {rid[:7]}.. Received" plus the
+      // status / requests URLs. SMTP transport is out of scope (SURVEY §2.1);
+      // the derivable content is pure F2/F8 string work. Request id = hex
+      // digest of the canonical-JSON request descriptor (the reference's
+      // Mongo ObjectId stand-in); server host is a fixed config literal.
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .withColumn("rid",
+          sha2(canonicalJson(struct(col("o_orderkey").cast("string").as("id"))), 256))
+        .withColumn("mail_to",
+          concat(regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+            lit("@example.org")))
+        .select(col("o_orderkey"), col("mail_to"),
+          concat(lit("AidData geo(query) - Request "),
+            substring(col("rid"), 1, 7), lit(".. Received")).as("subject"),
+          concat(lit("http://download.example.org/query/#!/status/"),
+            col("rid")).as("status_url"),
+          concat(lit("http://download.example.org/query/#!/requests/"),
+            col("mail_to")).as("requests_url"))
+        .orderBy("o_orderkey"),
+      Some("""WITH j AS (SELECT o_orderkey,
+          regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g') || '@example.org' AS mail_to,
+          sha256('{"id": "' || o_orderkey || '"}') AS rid
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT o_orderkey, mail_to,
+          'AidData geo(query) - Request ' || substring(rid, 1, 7) || '.. Received' AS subject,
+          'http://download.example.org/query/#!/status/' || rid AS status_url,
+          'http://download.example.org/query/#!/requests/' || mail_to AS requests_url
+        FROM j ORDER BY o_orderkey""")))
 
   // ---- §2.6 sorts / dedup / union -------------------------------------
   private val sortQueries: Seq[(String, Q)] = Seq(

@@ -122,16 +122,30 @@ object QueriesExt {
         FROM perbit GROUP BY doc_id ORDER BY doc_id""")),
     "dedup_ngram_jaccard" -> Q(
       (s, d) => {
+        // Scale-safe EXACT blocking: the semantic length gate |na-nb| <= 3
+        // implies floor(na/4) and floor(nb/4) differ by at most 1, so the
+        // length band joins as an equi-key — (lang, band) buckets replace
+        // the old lang-only join (~4 distinct values → N²/4 candidate
+        // pairs). One side probes its band ±1; each qualifying pair meets
+        // in exactly one (probe band = build band) bucket, so no distinct
+        // is needed and the output is byte-identical to the unbanded join.
         val withSh = docs(s, d)
           .withColumn("norm", LlmOps.normText(col("text")))
           .withColumn("sh", expr(
             """array_distinct(CASE WHEN length(norm) >= 3
                THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
                ELSE array() END)"""))
-          .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"))
-        val a = withSh.toDF("doc_a", "lang", "na", "sha")
-        val b = withSh.toDF("doc_b", "lang", "nb", "shb")
-        a.join(b, Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"),
+            floor(col("n_chars") / 4).as("band"))
+          // shingle arrays are the expensive part — materialize once so the
+          // self-join's two sides don't re-run the transform pipeline
+          .localCheckpoint(true)
+        val a = withSh.select(col("doc_id").as("doc_a"), col("lang"),
+          col("n_chars").as("na"), col("sh").as("sha"),
+          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
+        val b = withSh.select(col("doc_id").as("doc_b"), col("lang"),
+          col("n_chars").as("nb"), col("sh").as("shb"), col("band").as("jband"))
+        a.join(b, Seq("lang", "jband"))
           .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 3)
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
           .select(col("doc_a"), col("doc_b"),
@@ -150,24 +164,64 @@ object QueriesExt {
           AND abs(a.n_chars - b.n_chars) <= 3
         ORDER BY doc_a, doc_b""")),
     "dedup_embed_cosine" -> Q(
+      // Embedding near-dup via random-hyperplane (sign) LSH banding — the
+      // scale-safe replacement for the old label-only self-join (10 distinct
+      // labels → N²/10 candidate pairs, a cartesian in disguise). Each vector
+      // gets 6 deterministic sign bits against Walsh/Hadamard hyperplanes
+      // (plane j flips sign with index bit j — mutually orthogonal, engine-
+      // portable integer construction), grouped into 3 bands × 2 bits.
+      // Candidates are pairs sharing (label, band, cell) — a bucketed
+      // equi-join whose bucket sizes bound the pair space — then the exact
+      // rounded cosine >= 0.3 gate. Standard LSH candidate generation:
+      // recall < 1 by design (same trade as MinHash banding, X2); the
+      // DuckDB oracle mirrors the identical construction.
       (s, d) => {
-        val e = emb(s, d)
-        val a = e.toDF("vec_a", "label", "va", "na")
-        val b = e.toDF("vec_b", "label", "vb", "nb")
-        a.join(b, Seq("label"))
+        def proj(p: Int) =
+          s"""aggregate(transform(sequence(0, size(v)-1),
+               i -> element_at(v, i+1) * CAST(1 - 2 * ((i div $p) % 2) AS DOUBLE)),
+               CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""
+        def bit(j: Int) = s"(CASE WHEN ${proj(1 << j)} >= 0 THEN 1 ELSE 0 END)"
+        val cells = emb(s, d)
+          .withColumn("bc", explode(array((0 until 3).map(k =>
+            struct(lit(k).as("band"),
+              expr(s"${bit(2 * k)} * 2 + ${bit(2 * k + 1)}").as("cell"))): _*)))
+          .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+            col("bc.band"), col("bc.cell"))
+          // the 6 interpreted projections are the expensive part; compute
+          // them once, not once per self-join side
+          .localCheckpoint(true)
+        val a = cells.toDF("vec_a", "label", "va", "na", "band", "cell")
+        val b = cells.toDF("vec_b", "label", "vb", "nb", "band", "cell")
+        a.join(b, Seq("label", "band", "cell"))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("cos_r",
             round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
           .filter(col("cos_r") >= 0.3)
-          .select(col("vec_a"), col("vec_b"), col("cos_r"))
+          // a pair sharing several bands surfaces once per band with an
+          // identical rounded cosine — distinct collapses them
+          .select(col("vec_a"), col("vec_b"), col("cos_r")).distinct()
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""WITH e AS ($embSql)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      Some(s"""WITH e AS ($embSql),
+        bits AS (SELECT vec_id, label, v,
+          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 1) % 2)))) >= 0 THEN 1 ELSE 0 END AS b0,
+          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 2) % 2)))) >= 0 THEN 1 ELSE 0 END AS b1,
+          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 4) % 2)))) >= 0 THEN 1 ELSE 0 END AS b2,
+          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 8) % 2)))) >= 0 THEN 1 ELSE 0 END AS b3,
+          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 16) % 2)))) >= 0 THEN 1 ELSE 0 END AS b4,
+          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 32) % 2)))) >= 0 THEN 1 ELSE 0 END AS b5
+        FROM e),
+        cells AS (SELECT vec_id, label, v,
+          unnest([0, 1, 2]) AS band,
+          unnest([b0*2+b1, b2*2+b3, b4*2+b5]) AS cell
+        FROM bits)
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
           round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
             (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
              sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_r
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM cells a JOIN cells b
+          ON a.label = b.label AND a.band = b.band AND a.cell = b.cell
+          AND a.vec_id < b.vec_id
         WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
             (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
              sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.3
@@ -312,16 +366,21 @@ object QueriesExt {
       // counts over the whole corpus, per-doc mean log-probability
       // (self-perplexity proxy — low scores = out-of-distribution docs)
       (s, d) => {
+        // one scan: the trigram explode is materialized once and feeds both
+        // the count build and the re-join. No broadcast hint on counts — the
+        // distinct-trigram vocabulary is unbounded at corpus scale, so the
+        // join strategy is AQE's call (it will still broadcast while small)
         val tri = docs(s, d)
-          .repartition(s.sparkContext.defaultParallelism) // single-partition source, ~300x explode
+          .repartition(LlmOps.spreadWidth(docs(s, d))) // single-partition source, ~300x explode
           .withColumn("norm", LlmOps.normText(col("text")))
           .select(col("doc_id"), explode(expr(
             """CASE WHEN length(norm) >= 3
                THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
                ELSE array() END""")).as("g"))
+          .localCheckpoint(true)
         val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
-        tri.join(broadcast(counts), Seq("g"))
+        tri.join(counts, Seq("g"))
           .crossJoin(broadcast(total))
           .groupBy(col("doc_id"))
           .agg(round(avg(log(col("cnt") / col("tot"))), 6).as("lm_score"))

@@ -56,12 +56,19 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
   }
 
   /** Anti-join miss detection over a descriptor frame carrying a `key`
-    * column: which work units are not yet materialized (J4 / A13). Driver
-    * collects only keys (small: one row per work unit, not per data row). */
+    * column: which work units are not yet materialized (J4 / A13). The
+    * driver collects only distinct keys (one row per work unit — the
+    * filesystem probe is inherently driver-side), and the done set flows
+    * back as a broadcast anti-join rather than one giant `isin` expression,
+    * which stops planning from degenerating at 10⁵ work items. */
   def misses(descriptors: DataFrame, keyCol: String = "key"): DataFrame = {
     val keys = descriptors.select(col(keyCol)).distinct().collect().map(_.getString(0))
-    val done = keys.filter(probe)
-    descriptors.filter(!col(keyCol).isin(done.toSeq: _*))
+    val done = keys.filter(probe).toSeq
+    if (done.isEmpty) descriptors
+    else {
+      import spark.implicits._
+      descriptors.join(broadcast(done.toDF(keyCol)), Seq(keyCol), "left_anti")
+    }
   }
 
   /** Bucketed materialization (SURVEY.md §4 physical notes): extracts are

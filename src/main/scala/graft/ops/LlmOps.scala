@@ -23,6 +23,16 @@ object LlmOps {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Repartition width for explode-heavy stages: spread a few fat source
+    * partitions across cores, but never wider than 8× the source partition
+    * count — at small inputs a full-`defaultParallelism` shuffle costs more
+    * in task overhead than the explode saves, and at cluster scale the
+    * source is already wide so the cap is a no-op. */
+  def spreadWidth(df: DataFrame): Int = {
+    val src = math.max(1, df.rdd.getNumPartitions)
+    math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism, src * 8))
+  }
+
   /** Content digest for exact dedup (X1). */
   def contentHash(c: Column): Column = sha2(normText(c), 256)
 
@@ -66,7 +76,7 @@ object LlmOps {
     // documents often arrive as few fat partitions (one parquet row group);
     // the explode multiplies rows ~50x, so spread BEFORE the hash work —
     // a cheap shuffle of raw docs buys full-core parallelism downstream
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = docs.repartition(spreadWidth(docs))
     val shingleRows = spread
       .withColumn("__norm", normText(col(textCol)))
       .select(col(id), explode(bigramShingles("__norm")).as("__x"))
@@ -126,24 +136,33 @@ object LlmOps {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     // materialize the edge list once — the propagation loop joins it every
-    // round, and recomputing an LSH pair pipeline per round would dominate
+    // round, and recomputing an LSH pair pipeline per round would dominate.
+    // Width is capped like [[spreadWidth]]: at small inputs a 32-way loop
+    // body is pure task overhead, at scale the input is already wide.
+    val w = spreadWidth(edges)
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b"), col("doc_a")))
+      .repartition(w)
       .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("rep")).localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("rep"))
+      .repartition(w).localCheckpoint(true)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // ONE Spark job per round: the new label and its changed-flag are
+      // computed in the same select (no second join against the old
+      // labels), the eager localCheckpoint is the round's only full
+      // computation, and the convergence probe below scans the
+      // checkpointed blocks — not the lineage
       val prop = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
       val next = labels.join(prop, labels("node") === prop("src"), "left")
         .select(col("node"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          (col("nrep").isNotNull && col("nrep") < col("rep")).as("changed"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("node"))
-        .filter(col("n.rep") =!= col("o.rep")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("node"), col("rep"))
       i += 1
     }
     if (!converged)
@@ -202,7 +221,7 @@ object LlmOps {
   def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame = {
     // same partition-spread rationale as [[minhashSignatures]]: the
     // token × bit explode is ~1000x row amplification
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = docs.repartition(spreadWidth(docs))
     val tokens = spread.select(col(id),
       explode(split(normText(col(textCol)), " ")).as("w"))
     val bits = tokens

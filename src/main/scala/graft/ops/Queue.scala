@@ -45,36 +45,64 @@ object Queue {
 
   /** Status transition (Q1, `queue/request_tools.py:150-190`): set the new
     * status on matching rows and stamp the stage timestamp column the
-    * reference maps that status to (2 → process_time, 1 → complete_time,
-    * "prep" handled by caller as prep_time). */
+    * reference maps that status to (`valid_stages`: 2 → stage.2.time here
+    * `process_time`, 1 → stage.3.time here `complete_time`). `isPrep`
+    * mirrors the reference's `is_prep` flag, which additionally stamps
+    * `stage.1.time` (`prep_time`) on the same update. */
   def transition(queue: DataFrame, id: Any, newStatus: Int, now: Long,
-                 keyCol: String = "id", statusCol: String = "status"): DataFrame = {
+                 keyCol: String = "id", statusCol: String = "status",
+                 isPrep: Boolean = false): DataFrame = {
     val hit = col(keyCol) === lit(id)
     val stamped = queue.withColumn(statusCol,
       when(hit, lit(newStatus)).otherwise(col(statusCol)))
-    val tsCol = newStatus match {
-      case 2 => Some("process_time")
-      case 1 => Some("complete_time")
-      case _ => None
-    }
-    tsCol.fold(stamped) { c =>
-      val base = if (stamped.columns.contains(c)) col(c) else lit(null).cast("long")
-      stamped.withColumn(c, when(hit, lit(now)).otherwise(base))
+    val tsCols = (newStatus match {
+      case 2 => Seq("process_time")
+      case 1 => Seq("complete_time")
+      case _ => Seq.empty
+    }) ++ (if (isPrep) Seq("prep_time") else Seq.empty)
+    tsCols.foldLeft(stamped) { (df, c) =>
+      val base = if (df.columns.contains(c)) col(c) else lit(null).cast("long")
+      df.withColumn(c, when(hit, lit(now)).otherwise(base))
     }
   }
 
   /** Idempotent enqueue / MERGE (Q2, `queue/extract_check.py:146-184`,
-    * `queue/msr_check.py:96-133`): rows already present keep their ENTIRE
-    * state (a NULL field like an unset `complete_time` is state too — a
-    * per-column coalesce would let an incoming value overwrite it); new
-    * rows insert. Anti-join + union — the offline stand-in for a Delta
-    * MERGE WHEN NOT MATCHED THEN INSERT. */
-  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    * `queue/msr_check.py:96-133`). Reference semantics: a matched row is
+    * `$set` the incoming `details` — `{classification, priority,
+    * update_time}` by default — while every other field (notably `status`
+    * and `submit_time`) keeps its existing state; unmatched incoming rows
+    * insert whole. A re-submit with a bumped priority therefore takes
+    * effect without re-entering the queue. Join + anti-join + union — the
+    * offline stand-in for a Delta MERGE WHEN MATCHED THEN UPDATE SET ...
+    * WHEN NOT MATCHED THEN INSERT. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             refreshCols: Seq[String] = Seq("classification", "priority", "update_time")): DataFrame = {
+    val refresh = refreshCols.filter(c =>
+      existing.columns.contains(c) && incoming.columns.contains(c))
+    val updated =
+      if (refresh.isEmpty) existing
+      else {
+        // matched rows take the incoming refresh values; the marker column
+        // distinguishes "no match" from "incoming value is NULL"
+        val probe = refresh.foldLeft(
+            incoming.select((keys ++ refresh).map(col): _*)
+              .withColumn("__hit", lit(1))) {
+          (df, c) => df.withColumnRenamed(c, s"__in_$c")
+        }
+        existing.join(probe, keys, "left")
+          .select(existing.columns.toSeq.map { c =>
+            if (refresh.contains(c))
+              when(col("__hit").isNotNull,
+                  col(s"__in_$c").cast(existing.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            else col(c)
+          }: _*)
+      }
     val newRows = incoming.join(existing, keys, "left_anti")
     val aligned = existing.columns.toSeq.map { c =>
       if (incoming.columns.contains(c)) col(c).cast(existing.schema(c).dataType).as(c)
       else lit(null).cast(existing.schema(c).dataType).as(c)
     }
-    existing.unionByName(newRows.select(aligned: _*))
+    updated.unionByName(newRows.select(aligned: _*))
   }
 }

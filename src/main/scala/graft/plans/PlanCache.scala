@@ -25,7 +25,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `spark.experimental.extraOptimizations`) or cluster-wide via
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
-final class PlanCache(spark: SparkSession, root: String) {
+final class PlanCache(spark: SparkSession, root: String,
+    maxEntries: Int = 64) {
 
   private val entries = mutable.ArrayBuffer.empty[(LogicalPlan, String)]
 
@@ -35,10 +36,19 @@ final class PlanCache(spark: SparkSession, root: String) {
     * OPTIMIZED plan is registered: user-provided rules run after the main
     * optimizer batches, so incoming subtrees arrive in optimized form and
     * must be matched shape-for-shape (sameResult handles expr-id renaming,
-    * not pushdown differences). */
+    * not pushdown differences).
+    *
+    * The registry is bounded: beyond `maxEntries` the OLDEST registration
+    * is evicted (FIFO — registrations are reusable artifacts, not hot
+    * cache lines, so recency tracking inside the rule would buy little and
+    * cost a write per optimizer invocation). Eviction only stops the rule
+    * from rewriting to that artifact; the Parquet itself stays on disk. */
   def materialize(key: String, df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(dir(key))
-    entries += ((df.queryExecution.optimizedPlan, dir(key)))
+    entries.synchronized {
+      entries += ((df.queryExecution.optimizedPlan, dir(key)))
+      if (entries.size > maxEntries) entries.remove(0, entries.size - maxEntries)
+    }
   }
 
   def registered: Int = entries.size

@@ -55,6 +55,25 @@ class PlanCacheSpec extends AnyFunSuite {
     } finally pc.disable()
   }
 
+  test("registry is bounded: oldest registration evicts beyond maxEntries") {
+    val pc = new PlanCache(spark,
+      Files.createTempDirectory("graft_plancache").toString, maxEntries = 2)
+    try {
+      pc.materialize("e_sum", Extracts.extract(Tables.pixels(spark, d), "sum"))
+      pc.materialize("e_mean", Extracts.extract(Tables.pixels(spark, d), "mean"))
+      pc.materialize("e_max", Extracts.extract(Tables.pixels(spark, d), "max"))
+      assert(pc.registered == 2)
+      pc.enable()
+      // evicted: the sum plan no longer rewrites (aggregate still present)...
+      val sum = Extracts.extract(Tables.pixels(spark, d), "sum")
+      assert(sum.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+      // ...while the newest registrations still rewrite to a plain scan
+      val max = Extracts.extract(Tables.pixels(spark, d), "max")
+      assert(!max.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+      assert(max.queryExecution.executedPlan.toString.contains("graft_plancache"))
+    } finally pc.disable()
+  }
+
   test("disable detaches the rule") {
     val pc = freshCache()
     pc.materialize("extract_sum", Extracts.extract(Tables.pixels(spark, d), "sum"))

@@ -55,6 +55,33 @@ class QueueSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("transition with isPrep stamps prep_time too (queue/request_tools.py:170-175)") {
+    val out = Queue.transition(q, 2L, 2, 777L, isPrep = true)
+      .select("id", "status", "process_time", "prep_time")
+      .as[(Long, Int, Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out(2L) == (2, Some(777L), Some(777L)))
+    assert(out(1L) == (0, None, None))
+  }
+
+  test("upsert refreshes priority/classification/update_time on match " +
+      "(queue/extract_check.py:170-176)") {
+    val existing = Seq((1L, 0, 100L, 0, "old", 10L), (2L, 1, 200L, 0, "old", 10L))
+      .toDF("id", "status", "submit_time", "priority", "classification", "update_time")
+    val incoming = Seq((2L, 0, 999L, 5, "det", 777L), (9L, 0, 900L, 0, "det", 777L))
+      .toDF("id", "status", "submit_time", "priority", "classification", "update_time")
+    val out = Queue.upsert(existing, incoming, Seq("id"))
+      .as[(Long, Int, Long, Int, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    // matched: status/submit_time preserved, details refreshed ($set)
+    assert(out(2L) == ((1, 200L, 5, "det", 777L)))
+    // untouched existing row keeps everything
+    assert(out(1L) == ((0, 100L, 0, "old", 10L)))
+    // new row inserts whole
+    assert(out(9L) == ((0, 900L, 0, "det", 777L)))
+    assert(out.size == 3)
+  }
+
   test("upsert is idempotent") {
     val existing = Seq((1L, 1, 100L)).toDF("id", "status", "submit_time")
     val once = Queue.upsert(existing, existing, Seq("id"))
