@@ -571,6 +571,32 @@ object QueriesCore {
         SELECT p_partkey, dsname,
           CASE WHEN starts_with(dsname, 'worldbank') THEN 'sum' ELSE 'reliability' END AS method
         FROM t ORDER BY p_partkey""")),
+    "doc_render" -> Q(
+      // F14 word-wrap + F17 html-ify. Test documents have no 80+-char words
+      // or newlines, so the wrap input is stressed deterministically: the
+      // first 120 chars with spaces collapsed form one long token that must
+      // chunk at 80, followed by a normal tail.
+      (s, d) => {
+        val raw = concat_ws(" ",
+          regexp_replace(expr("substring(text, 1, 120)"), " ", "_"),
+          expr("substring(text, 1, 40)"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), Render.wordWrap(raw).as("wrapped"),
+            Render.htmlify(Render.wordWrap(raw)).as("html"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          replace(substring(text, 1, 120), ' ', '_') || ' ' || substring(text, 1, 40) AS raw
+        FROM documents),
+        w AS (SELECT doc_id,
+          array_to_string(list_transform(string_split(raw, ' '), w ->
+            CASE WHEN length(w) > 80
+              THEN array_to_string(list_transform(range(CAST(floor((length(w)-1)/80) AS INT) + 1),
+                   i -> substring(w, CAST(i*80 + 1 AS INT), 80)), chr(10))
+              ELSE w END), ' ') AS wrapped
+        FROM t)
+        SELECT doc_id, wrapped, replace(wrapped, chr(10), '<br/>') AS html
+        FROM w ORDER BY doc_id""")),
     "fn_array" -> Q(
       (s, d) => Tables.customer(s, d)
         .groupBy(col("c_nationkey"))

@@ -182,7 +182,14 @@ object LlmOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = emb.withColumn("__feat", array_to_vector(col(vCol)))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+    // Coarse cells don't need a converged clustering — any reasonable
+    // partition of the space works (search quality is governed by nprobe).
+    // Random init + few iterations: k-means|| init alone costs ~2k
+    // distributed passes, and every extra iteration is an MLlib job; at
+    // corpus scale the standard move is fitting the quantizer cheaply
+    // (sampled/truncated) and assigning everything in one broadcast pass.
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("__feat").setPredictionCol("cell").fit(feat)
     val assigned = model.transform(feat).drop("__feat")
     val spark = emb.sparkSession
