@@ -57,6 +57,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$p")
   }
 
+  test("near-dup blocking joins carry the band in the equi-join key " +
+      "(never lang/label alone — a cartesian in disguise at scale)") {
+    val ngram = plan("dedup_ngram_jaccard")
+    val ngramJoin = ngram.split("\n").find(_.contains("HashJoin")).getOrElse("")
+    assert(ngramJoin.contains("lang") && ngramJoin.contains("jband"),
+      s"ngram join must key on (lang, length band):\n$ngramJoin")
+    val embed = plan("dedup_embed_cosine")
+    val embedJoin = embed.split("\n").find(_.contains("HashJoin")).getOrElse("")
+    assert(embedJoin.contains("label") && embedJoin.contains("band")
+      && embedJoin.contains("cell"),
+      s"embed join must key on (label, LSH band, cell):\n$embedJoin")
+  }
+
   test("wide merge joins aggregated frames without shuffling the base") {
     val df = SparkEntry.queries("merge_wide")(spark, d)
     df.count() // let AQE finalize
