@@ -176,19 +176,11 @@ object QueriesExt {
       // recall < 1 by design (same trade as MinHash banding, X2); the
       // DuckDB oracle mirrors the identical construction.
       (s, d) => {
-        def proj(p: Int) =
-          s"""aggregate(transform(sequence(0, size(v)-1),
-               i -> element_at(v, i+1) * CAST(1 - 2 * ((i div $p) % 2) AS DOUBLE)),
-               CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""
-        def bit(j: Int) = s"(CASE WHEN ${proj(1 << j)} >= 0 THEN 1 ELSE 0 END)"
         val cells = emb(s, d)
-          .withColumn("bc", explode(array((0 until 3).map(k =>
-            struct(lit(k).as("band"),
-              expr(s"${bit(2 * k)} * 2 + ${bit(2 * k + 1)}").as("cell"))): _*)))
+          .withColumn("bc", explode(LlmOps.signLshCells(col("v"))))
           .select(col("vec_id"), col("label"), col("v"), col("nrm"),
             col("bc.band"), col("bc.cell"))
-          // the 6 interpreted projections are the expensive part; compute
-          // them once, not once per self-join side
+          // compute the hash bits once, not once per self-join side
           .localCheckpoint(true)
         val a = cells.toDF("vec_a", "label", "va", "na", "band", "cell")
         val b = cells.toDF("vec_b", "label", "vb", "nb", "band", "cell")

@@ -80,6 +80,10 @@ object native {
     Bridge.column(MinRollingHash(Bridge.expression(s),
       org.apache.spark.sql.catalyst.expressions.Literal(window)))
 
+  def walsh_sign_bits(v: Column, nBits: Int): Column =
+    Bridge.column(WalshSignBits(Bridge.expression(v),
+      org.apache.spark.sql.catalyst.expressions.Literal(nBits)))
+
   /** Make the native expressions callable by name from `spark.sql` on a
     * live session (cluster-wide: `--conf spark.sql.extensions=
     * graft.plans.GraftExtensions`). */
@@ -87,5 +91,7 @@ object native {
     Bridge.registerFunction(spark, "graft_dot", args => DotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "min_rolling_hash",
       args => MinRollingHash(args(0), args(1)))
+    Bridge.registerFunction(spark, "walsh_sign_bits",
+      args => WalshSignBits(args(0), args(1)))
   }
 }

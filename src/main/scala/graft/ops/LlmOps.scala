@@ -223,6 +223,23 @@ object LlmOps {
       .select(col("qid"), col("rn"), col("vec_id").as("cand"), col("cos_r"))
   }
 
+  /** Sign-hyperplane LSH cells for embedding near-dup banding: `bands`
+    * bands of `bitsPerBand` Walsh sign bits each, as an array of
+    * `struct(band, cell)` ready to explode into blocking keys. The bit
+    * vector is ONE native codegen'd expression
+    * ([[graft.functions.WalshSignBits]]) — one primitive loop nest per
+    * vector instead of bands×bits interpreted HOF passes. */
+  def signLshCells(v: Column, bands: Int = 3, bitsPerBand: Int = 2): Column = {
+    val packed = graft.functions.native.walsh_sign_bits(v, bands * bitsPerBand)
+    def bit(j: Int): Column = shiftright(packed, j).bitwiseAND(lit(1))
+    array((0 until bands).map { k =>
+      val cell = (0 until bitsPerBand)
+        .map(b => bit(k * bitsPerBand + b) * lit(1 << (bitsPerBand - 1 - b)))
+        .reduce(_ + _)
+      struct(lit(k).as("band"), cell.as("cell"))
+    }: _*)
+  }
+
   /** 16-bit SimHash of the word multiset of `textCol`: per bit j, sum +1/-1
     * over tokens by bit j of md5(token); sign → bit (X-family near-dup). */
   def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame = {

@@ -123,5 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinRollingHash].getName, "min_rolling_hash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.MinRollingHash(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("walsh_sign_bits"),
+      new ExpressionInfo(classOf[graft.functions.WalshSignBits].getName, "walsh_sign_bits"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.WalshSignBits(args(0), args(1))))
   }
 }

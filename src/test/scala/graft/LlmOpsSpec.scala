@@ -43,6 +43,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
 
+  test("WalshSignBits: equals the interpreted formulation, codegen") {
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    def proj(p: Int) =
+      s"""aggregate(transform(sequence(0, size(v)-1),
+           i -> element_at(v, i+1) * CAST(1 - 2 * ((i div $p) % 2) AS DOUBLE)),
+           CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""
+    val interp = (0 until 6)
+      .map(j => expr(s"CASE WHEN ${proj(1 << j)} >= 0 THEN ${1 << j} ELSE 0 END"))
+      .reduce(_ + _)
+    val cmp = e.select($"vec_id",
+      graft.functions.native.walsh_sign_bits($"v", 6).as("nat"),
+      interp.as("ref"))
+    assert(cmp.filter($"nat" =!= $"ref").isEmpty, "native != interpreted bits")
+    val plan = e.select(graft.functions.native.walsh_sign_bits($"v", 6).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [walsh_sign_bits"), plan)
+  }
+
+  test("signLshCells: bands x cells cover the packed bits in order") {
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val out = e.select($"vec_id",
+        graft.functions.native.walsh_sign_bits($"v", 6).as("bits"),
+        graft.ops.LlmOps.signLshCells($"v").as("cells"))
+      .select($"vec_id", $"bits", explode($"cells").as("bc"))
+      .select($"vec_id", $"bits", $"bc.band", $"bc.cell")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bits = r.getInt(1); val band = r.getInt(2); val cell = r.getInt(3)
+      val expect = (((bits >> (2 * band)) & 1) << 1) | ((bits >> (2 * band + 1)) & 1)
+      assert(cell == expect, s"band $band of bits $bits: $cell != $expect")
+    }
+  }
+
   test("MinRollingHash: known value, null under window, codegen") {
     import graft.functions.native.min_rolling_hash
     val df = Seq("hello world rolling hash", "short").toDF("s")
