@@ -420,6 +420,125 @@ object QueriesExt {
           CAST(octet_length(encode(text)) % 48 + 16 AS BIGINT) AS height
         FROM documents ORDER BY doc_id""")))
 
+  // ---- §2.11 training-data pipeline composites -------------------------
+  private val pipelineQueries: Seq[(String, Q)] = Seq(
+    "dedup_purge" -> Q(
+      // End-to-end near-dup REMOVAL — the op a training pipeline actually
+      // runs: LSH candidates → connected components → keep only each
+      // cluster's keeper (min doc_id). Composes X2 + X2e; at scale the
+      // final step is one semi-join of the corpus against the keeper set.
+      (s, d) => {
+        val nodes = docs(s, d).select(col("doc_id").as("node"))
+        val keepers = LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
+          .filter(col("node") === col("rep"))
+          .select(col("node").as("doc_id"))
+        docs(s, d).join(keepers, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, rep) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, w.rep FROM edges e JOIN walk w ON e.dst = w.node),
+        reps AS (SELECT node, min(rep) AS rep FROM walk GROUP BY node)
+        SELECT doc_id, lang, n_chars FROM documents
+        JOIN reps ON doc_id = node
+        WHERE rep = node ORDER BY doc_id""")),
+    "decontaminate" -> Q(
+      // Benchmark decontamination: flag corpus docs sharing any shingle
+      // with a held-out eval set (stand-in: every 100th doc). Scale shape:
+      // the eval shingle set is small and broadcasts; the corpus side is
+      // one explode + semi-join — never an all-pairs comparison. (Real
+      // systems use 8-13-token shingles; the 2-word shingle here reuses
+      // the X2 shingle machinery and keeps the oracle shared.)
+      (s, d) => {
+        def grams(df: DataFrame) = df
+          .withColumn("__norm", LlmOps.normText(col("text")))
+          .select(col("doc_id"), explode(LlmOps.bigramShingles("__norm")).as("g"))
+        val evalGrams = grams(docs(s, d).filter(col("doc_id") % 100 === 0))
+          .select(col("g")).distinct()
+        val contaminated = grams(docs(s, d))
+          .join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(1))
+        docs(s, d).join(contaminated, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("contaminated"), lit(0)).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, g
+          FROM n, unnest(list_transform(range(greatest(len(w)-1, 0)),
+            i -> w[i+1] || ' ' || w[i+2])) AS u(g)),
+        ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0),
+        hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (g))
+        SELECT d.doc_id,
+          CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+        FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+        ORDER BY d.doc_id""")),
+    "text_clean" -> Q(
+      // PII / boilerplate scrubbing — URL, email, and long digit runs
+      // replaced by typed placeholders (the standard pre-training scrub).
+      // Test documents are synthetic and clean, so the input is stressed
+      // with a deterministic dirty prefix; patterns are RE2-safe so both
+      // engines compile them identically.
+      (s, d) => {
+        val raw = concat(
+          lit("contact bob.smith+x@example.org via https://eval.example.org/run?id=9 ref 123456789 "),
+          expr("substring(text, 1, 60)"))
+        val cleaned =
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, "https?://\\S+", "<URL>"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>")
+        docs(s, d).select(col("doc_id"), cleaned.as("cleaned"))
+          .withColumn("n_url", size(split(col("cleaned"), "<URL>", -1)) - 1)
+          .withColumn("n_email", size(split(col("cleaned"), "<EMAIL>", -1)) - 1)
+          .withColumn("n_num", size(split(col("cleaned"), "<NUM>", -1)) - 1)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+          'contact bob.smith+x@example.org via https://eval.example.org/run?id=9 ref 123456789 '
+            || substring(text, 1, 60) AS raw FROM documents),
+        c AS (SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, 'https?://\\S+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{6,}', '<NUM>', 'g') AS cleaned
+        FROM t)
+        SELECT doc_id, cleaned,
+          CAST(len(string_split(cleaned, '<URL>')) - 1 AS INT) AS n_url,
+          CAST(len(string_split(cleaned, '<EMAIL>')) - 1 AS INT) AS n_email,
+          CAST(len(string_split(cleaned, '<NUM>')) - 1 AS INT) AS n_num
+        FROM c ORDER BY doc_id""")),
+    "pack_sequences" -> Q(
+      // Sequence packing for training: each doc's token stream chunked
+      // into fixed 32-token windows (doc-bounded — no cross-doc bleed),
+      // one row per chunk with its length and first token. Pure per-row
+      // explode: embarrassingly parallel, no shuffle until the output sort.
+      (s, d) => docs(s, d)
+        .withColumn("tokens", split(LlmOps.normText(col("text")), " "))
+        .withColumn("n_tok", size(col("tokens")))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(0, CAST((n_tok - 1) div 32 AS INT))")))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(32), col("n_tok") - col("chunk_idx") * 32).as("chunk_len"),
+          element_at(col("tokens"), col("chunk_idx") * 32 + 1).as("first_tok"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tokens FROM documents),
+        c AS (SELECT doc_id, tokens, len(tokens) AS n_tok,
+                unnest(range(CAST(floor((len(tokens) - 1) / 32) AS INT) + 1)) AS chunk_idx
+              FROM t)
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+          CAST(least(32, n_tok - chunk_idx * 32) AS INT) AS chunk_len,
+          tokens[CAST(chunk_idx * 32 + 1 AS INT)] AS first_tok
+        FROM c ORDER BY doc_id, chunk_idx""")))
+
   val all: Seq[(String, Q)] =
-    streamQueries ++ dedupQueries ++ simQueries ++ textQueries
+    streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++ pipelineQueries
 }
