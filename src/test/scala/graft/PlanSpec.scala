@@ -70,6 +70,12 @@ class PlanSpec extends AnyFunSuite {
       s"embed join must key on (label, LSH band, cell):\n$embedJoin")
   }
 
+  test("decontamination probes a broadcast eval-shingle set (semi-join, no corpus shuffle for the probe)") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval shingles must broadcast into a semi-join:\n$p")
+  }
+
   test("wide merge joins aggregated frames without shuffling the base") {
     val df = SparkEntry.queries("merge_wide")(spark, d)
     df.count() // let AQE finalize
