@@ -66,6 +66,16 @@ object QueriesCore {
           sum(value) AS potential,
           sum(value*(1-l_discount))/sum(value) AS reliability
         FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")),
+    "extract_count_salted" -> Q(
+      // A14/skew path: the salted two-phase aggregate must be value-
+      // identical to the plain single-shuffle extract (count is integer-
+      // exact, so the oracle is the same as extract_count's — the float
+      // methods are equivalence-tested in ScaleSpec instead, where the
+      // comparison can be tolerant of summation order)
+      (s, d) => Skew.extractSalted(Tables.pixels(s, d), "count").orderBy("asdf_id"),
+      Some(s"""WITH pixels AS ($pixelsSql)
+        SELECT asdf_id, CAST(count(value) AS BIGINT) AS "count"
+        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")),
     "extract_mode" -> Q(
       (s, d) => Extracts.extract(Tables.pixels(s, d), "mode").orderBy("asdf_id"),
       Some(s"""WITH pixels AS ($pixelsSql),

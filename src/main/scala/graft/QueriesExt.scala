@@ -73,7 +73,17 @@ object QueriesExt {
         sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
           ROWS UNBOUNDED PRECEDING) AS sid FROM o)
         SELECT min(ts) AS sstart, user_id, count(*) AS n, sum(value) AS total
-        FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart""")))
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart""")),
+    "state_totals" -> Q(
+      // custom keyed state (mapGroupsWithState) exercised through the same
+      // batch-verifiable path as the window operators; the running total is
+      // rounded post-aggregation so per-group iteration order can't leak
+      // into the hash compare
+      (s, d) => Streamy.runningUserTotals(Tables.events(s, d)).toDF()
+        .select(col("user_id"), col("n"), round(col("total"), 6).as("total_r"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n, round(sum(value), 6) AS total_r
+        FROM events GROUP BY user_id ORDER BY user_id""")))
 
   // ---- §2.11 dedup family ---------------------------------------------
   private val dedupQueries: Seq[(String, Q)] = Seq(
