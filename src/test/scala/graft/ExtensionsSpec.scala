@@ -28,6 +28,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(v == 984859969061L)
   }
 
+  test("walsh_sign_bits callable from SQL") {
+    // plane 0 flips odd indices: [1,0] -> +1 (bit0 set); plane 1 flips
+    // indices 2,3 (absent) -> +1 (bit1 set); packed = 3
+    val v = spark.sql(
+      "SELECT walsh_sign_bits(array(1.0d, 0.0d), 2) AS b")
+      .collect().head.getInt(0)
+    assert(v == 3)
+  }
+
   test("type errors surface as analysis errors, not runtime failures") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot(array('a'), array('b'))").collect()
