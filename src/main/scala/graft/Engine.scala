@@ -57,13 +57,13 @@ final class Engine(
     // only pending rows reach the driver: the status predicate is pushed
     // into the state scan, so the collect is bounded by the live queue
     // depth, not the full (ever-growing) request history
-    val pendingIds: Set[String] = states.read()
+    val snapshot = states.read()
+    val pendingIds: Set[String] = snapshot
       .map(_.filter(col("status").isin(-1, 0))
         .select("id").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
-    val hasState = states.read().isDefined
     val pending = requests.values.toSeq.filter { r =>
-      if (hasState) pendingIds.contains(r.id)
+      if (snapshot.isDefined) pendingIds.contains(r.id)
       else r.status == -1 || r.status == 0
     }
     val outcomes = pipeline.tick(pending, base, pixels, locations).map {

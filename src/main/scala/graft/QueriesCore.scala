@@ -420,8 +420,11 @@ object QueriesCore {
       // the derivable content is pure F2/F8 string work. Request id = hex
       // digest of the canonical-JSON request descriptor (the reference's
       // Mongo ObjectId stand-in); server host is a fixed config literal.
+      // no broadcast hint: customer is user-scale (grows with the tenant
+      // base, unlike the part/supplier dimensions) — the join key is an
+      // equi-key, so AQE broadcasts while small and shuffles at scale
       (s, d) => Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .withColumn("rid",
           sha2(canonicalJson(struct(col("o_orderkey").cast("string").as("id"))), 256))
         .withColumn("mail_to",

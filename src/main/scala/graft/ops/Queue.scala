@@ -74,7 +74,11 @@ object Queue {
     * insert whole. A re-submit with a bumped priority therefore takes
     * effect without re-entering the queue. Join + anti-join + union — the
     * offline stand-in for a Delta MERGE WHEN MATCHED THEN UPDATE SET ...
-    * WHEN NOT MATCHED THEN INSERT. */
+    * WHEN NOT MATCHED THEN INSERT.
+    *
+    * `incoming` is assumed key-unique (the reference enqueues one work
+    * document per call); callers batching multiple submissions dedupe on
+    * `keys` first, exactly as a MERGE source must be key-unique. */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              refreshCols: Seq[String] = Seq("classification", "priority", "update_time")): DataFrame = {
     val refresh = refreshCols.filter(c =>
