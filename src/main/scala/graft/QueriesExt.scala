@@ -549,6 +549,93 @@ object QueriesExt {
           tokens[CAST(chunk_idx * 32 + 1 AS INT)] AS first_tok
         FROM c ORDER BY doc_id, chunk_idx""")))
 
+  // ---- §2.11 curation signals & corpus shaping -------------------------
+  private val curationQueries: Seq[(String, Q)] = Seq(
+    "text_repetition" -> Q(
+      // Repetition signal (the Gopher/FineWeb-style duplicate-n-gram
+      // fraction): 1 − distinct/total character trigrams. Pure per-row
+      // array work — no shuffle before the verify sort.
+      (s, d) => docs(s, d)
+        .withColumn("norm", LlmOps.normText(col("text")))
+        .withColumn("tris", expr(
+          """CASE WHEN length(norm) >= 3
+             THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
+             ELSE array() END"""))
+        .select(col("doc_id"),
+          size(col("tris")).as("n_tri"),
+          when(size(col("tris")) > 0,
+            round(lit(1.0) -
+              size(array_distinct(col("tris"))).cast("double") / size(col("tris")), 6))
+            .as("dup_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+          list_transform(range(greatest(length($normSql) - 2, 0)),
+            i -> substring($normSql, CAST(i + 1 AS INT), 3)) AS tris
+        FROM documents)
+        SELECT doc_id, CAST(len(tris) AS INT) AS n_tri,
+          CASE WHEN len(tris) > 0
+            THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
+          END AS dup_frac
+        FROM t ORDER BY doc_id""")),
+    "sample_mix" -> Q(
+      // Deterministic mixture sampling — per-source keep rates applied via
+      // an md5 bucket (engine-portable, reproducible across runs and
+      // engines, no RNG state): source srcN keeps (N%4+1)/4 of its docs.
+      // The standard way a pipeline applies domain-mixing weights; scales
+      // as a stateless map, no shuffle.
+      (s, d) => {
+        val hexv = (c: org.apache.spark.sql.Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+        val bucket = hexv(substring(h, 1, 1)) * 16 + hexv(substring(h, 2, 1))
+        val rate = (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 64
+        docs(s, d)
+          .filter(bucket < rate)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, source,
+          (strpos('0123456789abcdef', substring(md5('mix:' || doc_id), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5('mix:' || doc_id), 2, 1)) - 1) AS bucket,
+          (CAST(substring(source, 4) AS INT) % 4 + 1) * 64 AS rate
+        FROM documents)
+        SELECT doc_id, source FROM b WHERE bucket < rate ORDER BY doc_id""")),
+    "quantize_embed" -> Q(
+      // Per-vector int8 min-max quantization (embedding storage shrink):
+      // q_i = floor((v_i - lo) * 255 / (hi - lo) + 0.5). floor(x + 0.5) is
+      // used instead of round() so both engines share one rounding rule.
+      // Emits scalar summary columns (bounds, first quantized values,
+      // checksum) — stateless map work.
+      (s, d) => {
+        val e = emb(s, d)
+        def q(i: Int) = expr(
+          s"""CAST(CASE WHEN hi > lo
+              THEN floor((element_at(v, $i) - lo) * 255.0 / (hi - lo) + 0.5)
+              ELSE 0 END AS INT)""").as(s"q${i - 1}")
+        e.withColumn("lo", array_min(col("v")))
+          .withColumn("hi", array_max(col("v")))
+          .select(col("vec_id"), round(col("lo"), 6).as("lo_r"),
+            round(col("hi"), 6).as("hi_r"), q(1), q(2), q(3), q(4),
+            expr("""CAST(aggregate(transform(v, x ->
+                CASE WHEN hi > lo
+                  THEN CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END),
+              CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)""").as("qsum"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS ($embSql),
+        b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e)
+        SELECT vec_id, round(lo, 6) AS lo_r, round(hi, 6) AS hi_r,
+          CAST(CASE WHEN hi > lo THEN floor((v[1] - lo) * 255.0 / (hi - lo) + 0.5) ELSE 0 END AS INT) AS q0,
+          CAST(CASE WHEN hi > lo THEN floor((v[2] - lo) * 255.0 / (hi - lo) + 0.5) ELSE 0 END AS INT) AS q1,
+          CAST(CASE WHEN hi > lo THEN floor((v[3] - lo) * 255.0 / (hi - lo) + 0.5) ELSE 0 END AS INT) AS q2,
+          CAST(CASE WHEN hi > lo THEN floor((v[4] - lo) * 255.0 / (hi - lo) + 0.5) ELSE 0 END AS INT) AS q3,
+          CAST(list_sum(list_transform(v, x ->
+            CASE WHEN hi > lo THEN CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS qsum
+        FROM b ORDER BY vec_id""")))
+
   val all: Seq[(String, Q)] =
-    streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++ pipelineQueries
+    streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++
+      pipelineQueries ++ curationQueries
 }
