@@ -150,13 +150,19 @@ object QueriesExt {
           // shingle arrays are the expensive part — materialize once so the
           // self-join's two sides don't re-run the transform pipeline
           .localCheckpoint(true)
+        // the ±1 probe side stays SLIM (no shingle array): the 3× band
+        // explode would otherwise shuffle every array three times; instead
+        // the build side carries its array once, and the probe side's array
+        // is attached to the surviving candidates by one id-keyed join
         val a = withSh.select(col("doc_id").as("doc_a"), col("lang"),
-          col("n_chars").as("na"), col("sh").as("sha"),
+          col("n_chars").as("na"),
           explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
         val b = withSh.select(col("doc_id").as("doc_b"), col("lang"),
           col("n_chars").as("nb"), col("sh").as("shb"), col("band").as("jband"))
+        val sha = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
         a.join(b, Seq("lang", "jband"))
           .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 3)
+          .join(sha, Seq("doc_a"))
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
           .select(col("doc_a"), col("doc_b"),
             round(col("inter").cast("double") /

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the §2.11 curation/packing operators over real test data
+  * (value-level properties the DuckDB oracle can't state directly). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val d = "/root/testdata/sf0.001"
+
+  def run(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("pack_sequences: chunks partition the token stream exactly") {
+    val chunks = run("pack_sequences")
+      .select($"doc_id", $"chunk_idx", $"chunk_len")
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    val nTokens = run("text_stats").select($"doc_id", $"n_tokens")
+      .as[(Long, Long)].collect().toMap
+    chunks.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // contiguous indices from 0; every chunk full except possibly the last
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      assert(sorted.init.forall(_._3 == 32) || sorted.size == 1)
+      assert(sorted.forall(r => r._3 >= 1 && r._3 <= 32))
+      assert(sorted.map(_._3.toLong).sum == nTokens(doc), s"doc $doc")
+    }
+  }
+
+  test("quantize_embed: quantized values bounded in [0, 255]") {
+    val out = run("quantize_embed")
+      .select($"q0", $"q1", $"q2", $"q3", $"qsum")
+      .as[(Int, Int, Int, Int, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, c, e, qsum) =>
+      Seq(a, b, c, e).foreach(q => assert(q >= 0 && q <= 255))
+      assert(qsum >= 0 && qsum <= 255L * 64)
+    }
+  }
+
+  test("sample_mix: deterministic subset with per-source rates") {
+    val once = run("sample_mix").as[(Long, String)].collect().toSeq
+    val again = run("sample_mix").as[(Long, String)].collect().toSeq
+    assert(once == again, "sampling must be reproducible")
+    val total = run("text_stats").count()
+    assert(once.nonEmpty && once.size < total)
+    // src3 keeps everything (rate (3%4+1)*64 = 256): no doc of src3 dropped
+    val src3All = graft.ops.Tables.documents(spark, d)
+      .filter($"source" === "src3").count()
+    assert(once.count(_._2 == "src3").toLong == src3All)
+  }
+
+  test("text_repetition: dup fraction is a ratio in [0, 1]") {
+    val out = run("text_repetition")
+      .select($"dup_frac").as[Option[Double]].collect()
+    assert(out.nonEmpty)
+    out.flatten.foreach(f => assert(f >= 0.0 && f <= 1.0))
+  }
+
+  test("text_clean: every injected PII token is scrubbed") {
+    val rows = run("text_clean")
+      .select($"cleaned", $"n_url", $"n_email", $"n_num")
+      .as[(String, Int, Int, Int)].collect()
+    rows.foreach { case (s, u, e, n) =>
+      assert(!s.contains("bob.smith") && !s.contains("https://"))
+      assert(u >= 1 && e >= 1 && n >= 1) // the dirty prefix always hits
+    }
+  }
+
+  test("dedup_purge: keepers are a subset containing every cluster minimum") {
+    val kept = run("dedup_purge").select($"doc_id").as[Long].collect().toSet
+    val clusters = run("dedup_clusters")
+      .as[(Long, Long)].collect()
+    val reps = clusters.map(_._2).toSet
+    assert(kept == reps, "purged corpus = exactly the cluster representatives")
+    clusters.foreach { case (doc, rep) => assert(rep <= doc) }
+  }
+}
