@@ -59,15 +59,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("near-dup blocking joins carry the band in the equi-join key " +
       "(never lang/label alone — a cartesian in disguise at scale)") {
-    val ngram = plan("dedup_ngram_jaccard")
-    val ngramJoin = ngram.split("\n").find(_.contains("HashJoin")).getOrElse("")
-    assert(ngramJoin.contains("lang") && ngramJoin.contains("jband"),
-      s"ngram join must key on (lang, length band):\n$ngramJoin")
-    val embed = plan("dedup_embed_cosine")
-    val embedJoin = embed.split("\n").find(_.contains("HashJoin")).getOrElse("")
-    assert(embedJoin.contains("label") && embedJoin.contains("band")
-      && embedJoin.contains("cell"),
-      s"embed join must key on (label, LSH band, cell):\n$embedJoin")
+    val ngramJoins = plan("dedup_ngram_jaccard").split("\n").filter(_.contains("HashJoin"))
+    assert(ngramJoins.exists(j => j.contains("lang") && j.contains("jband")),
+      s"ngram candidate join must key on (lang, length band):\n${ngramJoins.mkString("\n")}")
+    assert(!ngramJoins.exists(j => j.contains("lang") && !j.contains("jband")),
+      "no join may block on lang alone")
+    val embedJoins = plan("dedup_embed_cosine").split("\n").filter(_.contains("HashJoin"))
+    assert(embedJoins.exists(j =>
+      j.contains("label") && j.contains("band") && j.contains("cell")),
+      s"embed join must key on (label, LSH band, cell):\n${embedJoins.mkString("\n")}")
   }
 
   test("decontamination probes a broadcast eval-shingle set (semi-join, no corpus shuffle for the probe)") {
