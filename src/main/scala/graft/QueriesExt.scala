@@ -74,6 +74,19 @@ object QueriesExt {
           ROWS UNBOUNDED PRECEDING) AS sid FROM o)
         SELECT min(ts) AS sstart, user_id, count(*) AS n, sum(value) AS total
         FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart""")),
+    "stream_dedup" -> Q(
+      // ingest exact-dedup (at-least-once repair): the doubled input must
+      // collapse back to the original rows; the duplicate rows are
+      // identical, so the per-key pick is deterministic. The stream path
+      // (dropDuplicatesWithinWatermark, bounded state) is exercised with
+      // real duplicates in StreamySpec.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        Streamy.dedupeById(e.unionAll(e)).orderBy("event_id")
+      },
+      Some("""SELECT DISTINCT event_id, ts, event_type, value FROM events
+        ORDER BY event_id""")),
     "state_totals" -> Q(
       // custom keyed state (mapGroupsWithState) exercised through the same
       // batch-verifiable path as the window operators; the running total is

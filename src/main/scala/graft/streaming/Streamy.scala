@@ -74,6 +74,19 @@ object Streamy {
       }
   }
 
+  /** Ingest-side exact dedup on an id column: on a stream this is
+    * `dropDuplicatesWithinWatermark` — per-key state is EVICTED once the
+    * watermark passes the key's event time, so state is bounded by
+    * (watermark span × arrival rate), not stream length (the standard
+    * at-least-once → exactly-once ingest repair for a training-data feed);
+    * on a batch frame the same call site degrades to a plain
+    * `dropDuplicates` (full-input dedup, no watermark needed). */
+  def dedupeById(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,
     * then stops, exactly like one cron tick. */

@@ -53,6 +53,24 @@ class StreamySpec extends AnyFunSuite {
     assert(out(8L) == (1L, 8.0))
   }
 
+  test("dedupeById drops injected duplicates on a REAL stream with bounded state") {
+    val dir = Files.createTempDirectory("graft_dup").toString
+    val ckpt = Files.createTempDirectory("graft_dup_ckpt").toString
+    // write the events twice -> at-least-once delivery with duplicates
+    events.write.mode("overwrite").parquet(dir)
+    events.write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streamy.dedupeById(stream).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("deduped").outputMode("append").start()
+    q.awaitTermination(60000)
+    val out = spark.table("deduped")
+    assert(out.count() == events.count())
+    assert(out.select("event_id").distinct().count() == events.count())
+  }
+
   test("queueDrain runs the same transform as a real AvailableNow stream (T1)") {
     val dir = Files.createTempDirectory("graft_queue").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
