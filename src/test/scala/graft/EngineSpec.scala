@@ -54,6 +54,36 @@ class EngineSpec extends AnyFunSuite {
     assert(e.results("req-x").isEmpty)
   }
 
+  test("full lifecycle on real sf0.001 parquet with the bucketed-default cache") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.ops.Tables
+    val d = "/root/testdata/sf0.001"
+    val e = newEngine() // bucketed = true by default
+    e.submit(Request(id = "r-real", priority = 5, boundary = Boundary("nga"),
+      raster_data = Seq(RasterSelection("udel_precip_v401", Seq("mean", "sum"),
+        Seq(RasterFile("udel_precip_v401_1995")))),
+      release_data = Seq(ReleaseSelection("nigeriaaims",
+        filters = Map("donors" -> Seq("AFDB"))))))
+    val realBase = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("asdf_id"), col("n_name"))
+    val realLocs = Tables.locations(spark, d)
+      .withColumn("asdf_id", col("cell_id") % 25)
+      .withColumn("alloc", col("amount") * lit(0.9))
+      .withColumn("donors", lit("AFDB"))
+    val outcomes = e.tick(realBase, Tables.pixels(spark, d), realLocs)
+    assert(outcomes == Map("r-real" -> 1))
+    val r = e.results("r-real").get
+    assert(r.count() == 25) // one row per nation zone
+    assert(r.columns.exists(_.startsWith("udel_precip_v401__1995__mean")))
+    assert(r.columns.exists(_.endsWith("__reliability")))
+    // second tick: queue drained, extracts memoized — nothing recomputes
+    assert(e.tick(realBase, Tables.pixels(spark, d), realLocs).isEmpty)
+    assert(e.pipeline.misses(e.pipeline.checkRequest(
+      Request(id = "other", boundary = Boundary("nga"),
+        release_data = Seq(ReleaseSelection("nigeriaaims",
+          filters = Map("donors" -> Seq("AFDB"))))))).isEmpty)
+  }
+
   test("bundle zips the artifacts of a completed request") {
     val e = newEngine()
     e.submit(request)
