@@ -82,6 +82,17 @@ class QueueSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("upsert refreshes only the detail columns both frames carry") {
+    // incoming lacks classification/update_time: priority still refreshes,
+    // the absent details keep existing state (no null overwrite)
+    val existing = Seq((1L, 1, 100L, 0, "old")).toDF(
+      "id", "status", "submit_time", "priority", "classification")
+    val incoming = Seq((1L, 0, 999L, 7)).toDF("id", "status", "submit_time", "priority")
+    val out = Queue.upsert(existing, incoming, Seq("id"))
+      .as[(Long, Int, Long, Int, String)].collect().head
+    assert(out == ((1L, 1, 100L, 7, "old")))
+  }
+
   test("upsert is idempotent") {
     val existing = Seq((1L, 1, 100L)).toDF("id", "status", "submit_time")
     val once = Queue.upsert(existing, existing, Seq("id"))
