@@ -286,6 +286,70 @@ object QueriesExt {
     "sim_topk_ivf" -> Q(
       (s, d) => topkDf(s, d, sameCellOnly = true),
       Some(topkSql("c.label = q.qlabel AND c.vec_id != q.qid"))),
+    "sim_topk_ivf_walsh" -> Q(
+      // Full IVF mechanics with a DETERMINISTIC, SQL-expressible coarse
+      // quantizer: cells = 3 Walsh sign bits (8 cells), centroids = the
+      // per-cell mean vector, search ranks cells per query by (rounded)
+      // L2 centroid distance and probes the best 2 — i.e. exactly the
+      // ivfSearch shape whose KMeans sibling can't be oracled. Centroid
+      // build is dimension-exploded aggregation (one shuffle); the 8-row
+      // centroid table broadcasts.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val assigned = emb(s, d)
+          .withColumn("cell", graft.functions.native.walsh_sign_bits(col("v"), 3))
+          .localCheckpoint(true) // feeds centroid build, query side, probe join
+        val cent = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+          .select(col("cell"), expr("transform(sm, s -> s.m)").as("cvec"))
+        val q = assigned.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val probe = q.crossJoin(broadcast(cent))
+          .withColumn("d_r", round(expr(
+            """aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)),
+               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""), 6))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d_r").asc, col("cell").asc)))
+          .filter(col("crn") <= 2)
+          .select(col("qid"), col("qv"), col("qn"), col("cell"))
+        probe.join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos_r",
+            round(LlmOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn"), col("vec_id").as("cand"), col("cos_r"))
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH e AS ($embSql),
+        a AS (SELECT vec_id, v,
+            (CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 1) % 2)))) >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 2) % 2)))) >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 4) % 2)))) >= 0 THEN 4 ELSE 0 END) AS cell
+        FROM e),
+        dims AS (SELECT cell, i, avg(v[CAST(i + 1 AS INT)]) AS m
+          FROM a CROSS JOIN range(64) t(i) GROUP BY cell, i),
+        cent AS (SELECT cell, list(m ORDER BY i) AS cvec FROM dims GROUP BY cell),
+        qd AS (SELECT q.vec_id AS qid, q.v AS qv, c.cell,
+            round(list_sum(list_transform(range(len(q.v)),
+              i -> (q.v[i+1] - c.cvec[i+1]) * (q.v[i+1] - c.cvec[i+1]))), 6) AS d_r
+          FROM a q CROSS JOIN cent c WHERE q.vec_id % 50 = 0),
+        probe AS (SELECT qid, qv, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d_r ASC, cell ASC) AS crn
+          FROM qd) t WHERE crn <= 2),
+        sims AS (SELECT p.qid, c.vec_id AS cand,
+            round(list_sum(list_transform(range(len(p.qv)), i -> p.qv[i+1]*c.v[i+1])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x*x))) *
+               sqrt(list_sum(list_transform(c.v, x -> x*x)))), 6) AS cos_r
+          FROM probe p JOIN a c ON c.cell = p.cell AND c.vec_id != p.qid)
+        SELECT qid, CAST(rn AS INT) AS rn, cand, cos_r FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand ASC) AS rn
+          FROM sims) t
+        WHERE rn <= 5 ORDER BY qid, rn""")),
     "sim_topk_ivf_kmeans" -> Q(
       (s, d) => {
         // real IVF: KMeans coarse cells + 2-probe search (no SQL oracle —
