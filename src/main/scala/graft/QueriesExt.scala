@@ -205,22 +205,27 @@ object QueriesExt {
       // recall < 1 by design (same trade as MinHash banding, X2); the
       // DuckDB oracle mirrors the identical construction.
       (s, d) => {
+        // the checkpointed banding frame is SLIM — ids and cell keys only,
+        // never the vector payloads (materializing corpus-sized vectors is
+        // the 100 TB anti-pattern); candidate pairs are deduped across
+        // bands first, then the two vectors attach by id-keyed joins and
+        // the exact cosine runs once per unique pair
         val cells = emb(s, d)
           .withColumn("bc", explode(LlmOps.signLshCells(col("v"))))
-          .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-            col("bc.band"), col("bc.cell"))
-          // compute the hash bits once, not once per self-join side
+          .select(col("vec_id"), col("label"), col("bc.band"), col("bc.cell"))
           .localCheckpoint(true)
-        val a = cells.toDF("vec_a", "label", "va", "na", "band", "cell")
-        val b = cells.toDF("vec_b", "label", "vb", "nb", "band", "cell")
-        a.join(b, Seq("label", "band", "cell"))
+        val pairs = cells.toDF("vec_a", "label", "band", "cell")
+          .join(cells.toDF("vec_b", "label", "band", "cell"), Seq("label", "band", "cell"))
           .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct()
+        val vecs = emb(s, d).select(col("vec_id"), col("v"), col("nrm"))
+        pairs
+          .join(vecs.toDF("vec_a", "va", "na"), Seq("vec_a"))
+          .join(vecs.toDF("vec_b", "vb", "nb"), Seq("vec_b"))
           .withColumn("cos_r",
             round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
           .filter(col("cos_r") >= 0.3)
-          // a pair sharing several bands surfaces once per band with an
-          // identical rounded cosine — distinct collapses them
-          .select(col("vec_a"), col("vec_b"), col("cos_r")).distinct()
+          .select(col("vec_a"), col("vec_b"), col("cos_r"))
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""WITH e AS ($embSql),
@@ -296,9 +301,12 @@ object QueriesExt {
       // centroid table broadcasts.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // no checkpoint: the cell assignment is one native codegen'd pass
+        // over the scan, so the three consumers (centroid build, query
+        // side, probe join) re-derive it from pruned parquet scans —
+        // at corpus scale re-scanning beats materializing vector payloads
         val assigned = emb(s, d)
           .withColumn("cell", graft.functions.native.walsh_sign_bits(col("v"), 3))
-          .localCheckpoint(true) // feeds centroid build, query side, probe join
         val cent = assigned
           .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
           .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
