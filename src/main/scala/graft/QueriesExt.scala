@@ -160,13 +160,13 @@ object QueriesExt {
                ELSE array() END)"""))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"),
             floor(col("n_chars") / 4).as("band"))
-          // shingle arrays are the expensive part — materialize once so the
-          // self-join's two sides don't re-run the transform pipeline
-          .localCheckpoint(true)
-        // the ±1 probe side stays SLIM (no shingle array): the 3× band
-        // explode would otherwise shuffle every array three times; instead
-        // the build side carries its array once, and the probe side's array
-        // is attached to the surviving candidates by one id-keyed join
+        // No checkpoint: materializing shingle arrays is a ~3×-corpus-size
+        // spill at scale. The ±1 probe side stays SLIM (no shingle array —
+        // Catalyst prunes the shingle transform out of that branch
+        // entirely), the build side computes its arrays in one pass, and
+        // the probe side's array attaches to the surviving candidates by
+        // one id-keyed join (a second shingle pass over the corpus —
+        // recompute beats corpus-sized materialization).
         val a = withSh.select(col("doc_id").as("doc_a"), col("lang"),
           col("n_chars").as("na"),
           explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
