@@ -68,6 +68,10 @@ class PlanSpec extends AnyFunSuite {
     assert(embedJoins.exists(j =>
       j.contains("label") && j.contains("band") && j.contains("cell")),
       s"embed join must key on (label, LSH band, cell):\n${embedJoins.mkString("\n")}")
+    // the slim ±1 probe branch must carry NO shingle computation (Catalyst
+    // prunes the transform): exactly build side + candidate attach
+    val shingleCount = "array_distinct".r.findAllIn(plan("dedup_ngram_jaccard")).length
+    assert(shingleCount == 2, s"expected 2 shingle pipelines, got $shingleCount")
   }
 
   test("decontamination probes a broadcast eval-shingle set (semi-join, no corpus shuffle for the probe)") {
