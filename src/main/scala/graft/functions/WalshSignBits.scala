@@ -27,7 +27,16 @@ case class WalshSignBits(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // the literal is foldable, so its value is available at analysis time;
+      // nBits > 31 would silently wrap (1 << j is mod-32 in Java) and
+      // nBits <= 0 would silently return 0 — reject both here
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(
+          "walsh_sign_bits nBits literal must not be null")
+        case nb: Int if nb > 0 && nb <= 31 => TypeCheckResult.TypeCheckSuccess
+        case nb => TypeCheckResult.TypeCheckFailure(
+          s"walsh_sign_bits nBits must be in (0, 31], got $nb")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"walsh_sign_bits expects (array<double>, int literal), got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")

@@ -40,10 +40,14 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     next
   }
 
-  /** MERGE: existing rows win, new rows insert (Q2 semantics via
-    * [[Queue.upsert]]); first commit just inserts. */
-  def upsert(incoming: DataFrame): Long =
-    commit(read().map(Queue.upsert(_, incoming, keys)).getOrElse(incoming))
+  /** MERGE: existing rows win, new rows insert; first commit just inserts.
+    * `refreshCols` defaults EMPTY here — a generic state table keeps strict
+    * insert-only MERGE semantics regardless of its schema; callers wanting
+    * the queue's `$set {classification, priority, update_time}` refresh
+    * (Q2) opt in explicitly. */
+  def upsert(incoming: DataFrame, refreshCols: Seq[String] = Seq.empty): Long =
+    commit(read().map(Queue.upsert(_, incoming, keys, refreshCols))
+      .getOrElse(incoming))
 
   /** Apply a whole-table transformation transactionally (e.g. a Q1 status
     * transition). No-op (and no new version) before the first commit. */

@@ -51,16 +51,23 @@ final class PlanCache(spark: SparkSession, root: String,
     }
   }
 
-  def registered: Int = entries.size
+  def registered: Int = entries.synchronized(entries.size)
 
   /** The rewrite rule. `transformUp` so the largest cached subtree wins
-    * after its children have been considered. */
+    * after its children have been considered.
+    *
+    * The rule can run concurrently with [[materialize]] (it is installed
+    * session- or cluster-wide), so it never reads the live buffer: it takes
+    * one immutable snapshot under the same lock materialize writes under,
+    * and matches against that. A materialize racing a query optimization is
+    * then only ever invisible to that one optimization, never torn. */
   object RewriteRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      if (entries.isEmpty) return plan
+      val snap = entries.synchronized(entries.toList)
+      if (snap.isEmpty) return plan
       plan.transformUp {
         case sub =>
-          entries.find(_._1.sameResult(sub)) match {
+          snap.find(_._1.sameResult(sub)) match {
             case Some((registered, path)) if !isCacheScan(sub, path) =>
               val scan = spark.read.parquet(path).queryExecution.analyzed
               // remap the scan's fresh attributes onto the subtree's
