@@ -43,9 +43,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    // the compact total also lands in a known file so the result survives
+    // any stdout mangling by the launcher (sbt prefixes, trailing
+    // [success] lines) — a tail-parse of the file always succeeds
+    val out = new java.io.File("target/bench_total.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out)
+    try { w.println(fullLine); w.println(totalLine) } finally w.close()
+    println(fullLine)
     // compact total-only object LAST — the driver tail-parses this line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(totalLine)
     System.out.flush()
   }
 }

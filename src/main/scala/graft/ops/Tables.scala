@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   * so the pixel→zone map join is shuffle-free at any scale.
   */
 object Tables {
+  /** Memoized analyzed frames, keyed by (session, path). `spark.read.parquet`
+    * re-lists the directory and re-reads footers for schema inference on
+    * every call; a bench/engine run touches the same ~10 tables across ~80
+    * queries, so reusing the immutable logical plan removes that per-query
+    * constant. Keyed on the session instance so a fresh session (tests stop
+    * and recreate them) never sees a stale plan. */
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    frames.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      k => spark.read.parquet(k._2))
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
