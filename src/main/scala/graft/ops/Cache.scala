@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions._
 final class Cache(spark: SparkSession, root: String, version: String = "v1") {
   private def dir(key: String) = s"$root/$version/$key"
 
+  /** Done-set state table (`_done/` under the version root): the set of
+    * materialized keys, maintained at write/invalidate time so set-level
+    * miss detection is one distributed anti-join instead of a per-key
+    * filesystem probe loop — the reference's J4 likewise asks the *db*
+    * for listings and touches the FS only per item
+    * (`queue/extract_check.py:92-104`). */
+  private lazy val doneSet = new StateTable(spark, dir("_done"), Seq("key"))
+
+  /** Record keys as materialized (bulk; also callable by external writers
+    * that populate the artifact tree out-of-band). */
+  def markDone(keys: DataFrame): Unit = doneSet.upsert(keys.toDF("key"))
+
+  private def markDone(key: String): Unit = {
+    import spark.implicits._
+    markDone(Seq(key).toDF("key"))
+  }
+
+  /** Rebuild the done set from ONE listing of the artifact tree (seeds
+    * caches populated before the done set existed, or by writers that
+    * bypassed [[markDone]]). Cost: one directory listing plus a `_SUCCESS`
+    * check per *materialized* artifact — bounded by what exists, not by
+    * the descriptor stream. */
+  def reconcile(): Long = {
+    import spark.implicits._
+    val plain = Option(Paths.get(s"$root/$version").toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("bucketed_"))
+      .filter(probePlain).toSeq
+    val prefix = s"graft_cache_${rootTag}_${version}_"
+    val bucketed = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix)).map(_.drop(prefix.length)).toSeq
+    doneSet.commit((plain ++ bucketed).distinct.toDF("key"))
+  }
+
   /** Catalog table names must be scoped to THIS cache instance (root +
     * version) — the session catalog is global, and an unscoped name would
     * let one cache's bucketed tables satisfy another cache's probe. */
@@ -51,23 +86,28 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     else if (dryRun) compute
     else {
       compute.write.mode("overwrite").parquet(dir(key))
+      markDone(key)
       spark.read.parquet(dir(key))
     }
   }
 
   /** Anti-join miss detection over a descriptor frame carrying a `key`
-    * column: which work units are not yet materialized (J4 / A13). The
-    * driver collects only distinct keys (one row per work unit — the
-    * filesystem probe is inherently driver-side), and the done set flows
-    * back as a broadcast anti-join rather than one giant `isin` expression,
-    * which stops planning from degenerating at 10⁵ work items. */
+    * column: which work units are not yet materialized (J4 / A13).
+    *
+    * Fully distributed: the done set lives in a [[StateTable]] maintained
+    * at write time, so this is one `LEFT ANTI` join — no driver-side
+    * collect of descriptor keys and no per-key filesystem probe loop,
+    * which was a driver bottleneck at 10⁵+ work items. A cache populated
+    * before the done set existed is seeded lazily via one [[reconcile]]
+    * listing. AQE picks the join strategy (broadcast while the done set
+    * is small, shuffle once it is not). The per-key FS probe survives
+    * only on the single-item path ([[probe]]). */
   def misses(descriptors: DataFrame, keyCol: String = "key"): DataFrame = {
-    val keys = descriptors.select(col(keyCol)).distinct().collect().map(_.getString(0))
-    val done = keys.filter(probe).toSeq
-    if (done.isEmpty) descriptors
-    else {
-      import spark.implicits._
-      descriptors.join(broadcast(done.toDF(keyCol)), Seq(keyCol), "left_anti")
+    val done = doneSet.read().orElse { reconcile(); doneSet.read() }
+    done match {
+      case Some(d) =>
+        descriptors.join(d.withColumnRenamed("key", keyCol), Seq(keyCol), "left_anti")
+      case None => descriptors
     }
   }
 
@@ -87,6 +127,7 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
         .sortBy(bucketCol)
         .option("path", dir(s"bucketed_$key"))
         .saveAsTable(table)
+      markDone(key)
     }
     spark.table(table)
   }
@@ -100,5 +141,6 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     }
     if (spark.catalog.tableExists(bucketTable(key)))
       spark.sql(s"DROP TABLE `${bucketTable(key)}`")
+    doneSet.update(_.filter(col("key") =!= key))
   }
 }

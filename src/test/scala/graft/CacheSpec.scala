@@ -40,6 +40,39 @@ class CacheSpec extends AnyFunSuite {
     assert(missing == Set("todo1", "todo2"))
   }
 
+  test("misses scales: 10^4 descriptors, one anti-join, no probe loop") {
+    val c = newCache()
+    c.getOrCompute("done_a")(Seq((1, "a")).toDF("id", "v"))
+    // bulk-mark a large done set without touching the filesystem per key —
+    // this is the 10^5-work-items shape the probe loop used to choke on
+    c.markDone((0 until 5000).map(i => s"bulk_$i").toDF("key"))
+    val desc = ((0 until 5000).map(i => s"bulk_$i") ++
+      (0 until 5000).map(i => s"todo_$i") :+ "done_a").toDF("key")
+    val missing = c.misses(desc)
+    assert(missing.count() == 5000)
+    assert(missing.as[String].collect().forall(_.startsWith("todo_")))
+  }
+
+  test("misses reconciles a cache populated before the done set existed") {
+    val root = Files.createTempDirectory("graft_cache").toString
+    new Cache(spark, root).getOrCompute("k1")(Seq((1, "a")).toDF("id", "v"))
+    // wipe the done set to simulate a pre-done-set artifact tree
+    val done = java.nio.file.Paths.get(root, "v1", "_done")
+    Files.walk(done).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    val c2 = new Cache(spark, root)
+    val missing = c2.misses(Seq("k1", "k2").toDF("key")).as[String].collect().toSet
+    assert(missing == Set("k2"))
+  }
+
+  test("invalidate removes the key from the done set") {
+    val c = newCache()
+    c.getOrCompute("k")(Seq((1, "a")).toDF("id", "v"))
+    assert(c.misses(Seq("k").toDF("key")).count() == 0)
+    c.invalidate("k")
+    assert(c.misses(Seq("k").toDF("key")).count() == 1)
+  }
+
   test("version bump invalidates (version-based invalidation §4)") {
     val root = Files.createTempDirectory("graft_cache").toString
     val v1 = new Cache(spark, root, "v1")
