@@ -23,8 +23,15 @@ object Skew {
     val z = col(zone)
     val v = col(value)
     val w = col(weight)
+    // salt from stable row content, not monotonically_increasing_id():
+    // a re-executed stage (fetch failure, speculative retry) reassigns
+    // ids, so the same row could land in a different salt bucket across
+    // attempts. Harmless for algebraic combines, but content-derived
+    // salts make the phase-1 partials deterministic under retries for
+    // free. Collisions only narrow the spread (identical rows share a
+    // bucket), which hot zones with varied values don't hit.
     val salted = pixels.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(v, w), lit(salts)))
     def twoPhase(phase1: Seq[Column], combine: Seq[Column], finalize: Column): DataFrame =
       salted.groupBy(z, col("__salt")).agg(phase1.head, phase1.tail: _*)
         .groupBy(z).agg(combine.head, combine.tail: _*)
