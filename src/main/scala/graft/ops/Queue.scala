@@ -37,11 +37,35 @@ object Queue {
     if (limit > 0) tagged.limit(limit) else tagged
   }
 
-  /** Scheduling order as an explicit rank (SURVEY.md §2.5 W2). */
+  /** Scheduling order as an explicit rank (SURVEY.md §2.5 W2).
+    *
+    * Two-phase, partition-safe: a bare `row_number() OVER (ORDER BY …)`
+    * moves the whole queue to one task. Instead rows are banded by
+    * content — `(priority, floor(submit_time / bandSeconds))` — which is
+    * monotone in the global order, ranked *within* each band in parallel,
+    * and each band's cumulative offset (a frame with one row per band,
+    * metadata-scale by construction) is broadcast back. Rank values are
+    * identical to the global window's and deterministic under retries
+    * (bands derive from row content, not partition ids). */
   def rank(queue: DataFrame, priorityCol: String = "priority",
-           submitCol: String = "submit_time", keyCol: String = "id"): DataFrame =
-    queue.withColumn("rank",
-      row_number().over(Window.orderBy(col(priorityCol).desc, col(submitCol).asc, col(keyCol).asc)))
+           submitCol: String = "submit_time", keyCol: String = "id",
+           bandSeconds: Long = 86400L): DataFrame = {
+    val band = floor(col(submitCol) / bandSeconds)
+    val banded = queue.withColumn("__band", band)
+      .withColumn("__within", row_number().over(
+        Window.partitionBy(col(priorityCol), col("__band"))
+          .orderBy(col(submitCol).asc, col(keyCol).asc)))
+    val offsets = banded.groupBy(col(priorityCol), col("__band"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum("__cnt").over(Window
+          .orderBy(col(priorityCol).desc, col("__band").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(priorityCol), col("__band"), col("__off"))
+    banded.join(broadcast(offsets), Seq(priorityCol, "__band"))
+      .withColumn("rank", (col("__off") + col("__within")).cast("int"))
+      .select(queue.columns.map(col) :+ col("rank"): _*)
+  }
 
   /** Status transition (Q1, `queue/request_tools.py:150-190`): set the new
     * status on matching rows and stamp the stage timestamp column the
