@@ -446,7 +446,53 @@ object QueriesCore {
           'AidData geo(query) - Request ' || substring(rid, 1, 7) || '.. Received' AS subject,
           'http://download.example.org/query/#!/status/' || rid AS status_url,
           'http://download.example.org/query/#!/requests/' || mail_to AS requests_url
-        FROM j ORDER BY o_orderkey""")))
+        FROM j ORDER BY o_orderkey""")),
+    "doc_timeline" -> Q(
+      // S7 processing-timeline derivation (`queue/documentation_tool.py:
+      // 145-167`): per request, the ordered stage table [(name, rendered
+      // time)] — stages 0-2 render their stored stamp with the `time_str`
+      // zero/invalid → "---" rule (`documentation_tool.py:55-64`); stage 3
+      // ("complete") always renders the doc-build instant (`int(time.
+      // time())` in the reference; a fixed instant here for determinism).
+      // Stage stamps derive from the queue frame: prep exists once the
+      // request left status new ('O'), process once finished ('F'), else 0
+      // (unstamped). One explode per request — 4 rows each, no shuffle
+      // until the final presentation sort.
+      (s, d) => {
+        val now = 1700000000L
+        val q = queueDf(s, d)
+          .withColumn("prep_t", when(col("status") === "O", lit(0L))
+            .otherwise(col("submit_time") + 120))
+          .withColumn("process_t", when(col("status") === "F",
+            col("submit_time") + 240).otherwise(lit(0L)))
+        q.select(col("id"), posexplode(array(
+            struct(lit("submit").as("stage"), col("submit_time").as("t")),
+            struct(lit("prep").as("stage"), col("prep_t").as("t")),
+            struct(lit("process").as("stage"), col("process_t").as("t")),
+            struct(lit("complete").as("stage"), lit(now).as("t")))))
+          .select(col("id"), col("pos").cast("int").as("pos"),
+            col("col.stage").as("stage"),
+            when(col("col.t") === 0, lit("---"))
+              .otherwise(concat(
+                from_unixtime(col("col.t"), "yyyy-MM-dd HH:mm:ss"),
+                lit(" (UTC)"))).as("rendered"))
+          .orderBy("id", "pos")
+      },
+      Some(s"""WITH q AS ($queueSql),
+        s AS (SELECT id, submit_time,
+          CASE WHEN status='O' THEN 0 ELSE submit_time + 120 END AS prep_t,
+          CASE WHEN status='F' THEN submit_time + 240 ELSE 0 END AS process_t
+          FROM q),
+        tl AS (
+          SELECT id, 0 AS pos, 'submit' AS stage, submit_time AS t FROM s
+          UNION ALL SELECT id, 1, 'prep', prep_t FROM s
+          UNION ALL SELECT id, 2, 'process', process_t FROM s
+          UNION ALL SELECT id, 3, 'complete', 1700000000 FROM s)
+        SELECT id, CAST(pos AS INT) AS pos, stage,
+          CASE WHEN t=0 THEN '---'
+            ELSE strftime(make_timestamp(CAST(t AS BIGINT)*1000000),
+                   '%Y-%m-%d %H:%M:%S') || ' (UTC)' END AS rendered
+        FROM tl ORDER BY id, pos""")))
 
   // ---- §2.6 sorts / dedup / union -------------------------------------
   private val sortQueries: Seq[(String, Q)] = Seq(
