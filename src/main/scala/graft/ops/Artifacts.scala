@@ -31,6 +31,28 @@ object Artifacts {
   def writeRequestJson(requestLike: Any, path: String): Unit =
     Files.writeString(Paths.get(path), render(toJVal(requestLike)))
 
+  /** Per-selection raw-data copy (`queue/request_tools.py:580-604`): for
+    * each released (dataset, hash) selection, copy that msr output's
+    * `project_locations.csv` into the bundle's `raw_aid_data/` folder as
+    * `<dataset>_<hash>.csv`. A missing source is skipped silently — the
+    * reference wraps each copy in try/except-pass (a selection whose msr
+    * output was purged still ships the rest of the bundle). Returns the
+    * number of files actually copied. */
+  def copyRawData(dataRoot: String, bundleDir: String,
+      selections: Seq[(String, String)]): Int = {
+    val dst = Paths.get(bundleDir, "raw_aid_data")
+    Files.createDirectories(dst)
+    selections.count { case (dataset, hash) =>
+      val src = Paths.get(dataRoot, "msr", "done", dataset, hash,
+        "project_locations.csv")
+      Files.isRegularFile(src) && {
+        Files.copy(src, dst.resolve(s"${dataset}_$hash.csv"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        true
+      }
+    }
+  }
+
   /** S9: bundle a results directory into a zip
     * (`queue/request_tools.py:561-610`). */
   def zipDir(dir: String, zipPath: String): Unit = {

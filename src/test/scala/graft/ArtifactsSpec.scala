@@ -26,6 +26,20 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Files.readString(p) == """{"a": "x", "b": 1}""")
   }
 
+  test("raw-data copy: per-selection CSVs land in raw_aid_data, missing sources skipped") {
+    val dataRoot = Files.createTempDirectory("graft_dataroot")
+    val srcDir = dataRoot.resolve("msr/done/worldbank/abc1234")
+    Files.createDirectories(srcDir)
+    Files.writeString(srcDir.resolve("project_locations.csv"), "project_id,lat\n1,2.0")
+    val bundle = Files.createTempDirectory("graft_bundle")
+    val copied = Artifacts.copyRawData(dataRoot.toString, bundle.toString,
+      Seq("worldbank" -> "abc1234", "missing_ds" -> "deadbee"))
+    assert(copied == 1)
+    val out = bundle.resolve("raw_aid_data/worldbank_abc1234.csv")
+    assert(Files.readString(out) == "project_id,lat\n1,2.0")
+    assert(!Files.exists(bundle.resolve("raw_aid_data/missing_ds_deadbee.csv")))
+  }
+
   test("zip bundle contains every file with relative paths (S9)") {
     val dir = Files.createTempDirectory("graft_art")
     Files.writeString(dir.resolve("results.csv"), "a,b\n1,2")
