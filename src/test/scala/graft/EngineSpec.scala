@@ -100,4 +100,29 @@ class EngineSpec extends AnyFunSuite {
       assert(names.exists(_.contains("results_csv")))
     } finally zf.close()
   }
+
+  test("golden bundle: CSV bytes match the recorded artifact exactly") {
+    // locks the whole S5/S6/S9 edge in one assertion: merge column order,
+    // the dotted display-name grammar (incl. the canonical-JSON hash_key
+    // segment), '' nulls, and float rendering must all stay byte-stable
+    val e = newEngine()
+    e.submit(request)
+    e.tick(base, pixels, locations)
+    val zip = Files.createTempDirectory("graft_zip").resolve("r.zip")
+    e.bundle("req-1", zip.toString)
+    val zf = new java.util.zip.ZipFile(zip.toFile)
+    try {
+      val en = zf.entries()
+      var csv: Option[Array[Byte]] = None
+      while (en.hasMoreElements) {
+        val entry = en.nextElement()
+        if (entry.getName.contains("results_csv") && entry.getName.endsWith(".csv"))
+          csv = Some(zf.getInputStream(entry).readAllBytes())
+      }
+      val golden = getClass.getResourceAsStream("/golden/bundle_results.csv").readAllBytes()
+      assert(csv.isDefined, "bundle contains no results CSV")
+      assert(java.util.Arrays.equals(csv.get, golden),
+        s"bundle CSV drifted from golden:\n${new String(csv.get)}")
+    } finally zf.close()
+  }
 }
