@@ -178,19 +178,30 @@ object LlmOps {
     * probes `nprobe` cells instead of the full corpus — the standard ANN
     * recall/cost dial. */
   def ivfAssign(emb: DataFrame, vCol: String = "v", k: Int = 8,
-      seed: Long = 42): (DataFrame, DataFrame) = {
+      seed: Long = 42, fitFraction: Double = 0.1): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = emb.withColumn("__feat", array_to_vector(col(vCol)))
     // Coarse cells don't need a converged clustering — any reasonable
     // partition of the space works (search quality is governed by nprobe).
-    // Random init + few iterations: k-means|| init alone costs ~2k
-    // distributed passes, and every extra iteration is an MLlib job; at
-    // corpus scale the standard move is fitting the quantizer cheaply
-    // (sampled/truncated) and assigning everything in one broadcast pass.
+    // Random init + few iterations, and the fit sees only a `fitFraction`
+    // sample: k-means|| init alone costs ~2k distributed passes, and every
+    // extra iteration is an MLlib job over the full corpus; at corpus
+    // scale the standard move is fitting the quantizer on a sample and
+    // assigning everything in one broadcast pass. The sample is seeded
+    // (deterministic); below 16·k sampled points the centroids get thin
+    // enough to cost measurable recall (IvfSpec's recall gate), so a small
+    // corpus falls back to a full fit — sampling only pays off at the
+    // scale where it matters anyway.
+    val sampled = feat.sample(withReplacement = false, fitFraction, seed)
+    val fitOn = if (fitFraction >= 1.0) feat
+      else sampled.limit(8192).count() match {
+        case n if n >= k * 16 => sampled
+        case _ => feat // fixture-scale corpus: sample too thin, fit on all
+      }
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
-      .setFeaturesCol("__feat").setPredictionCol("cell").fit(feat)
+      .setFeaturesCol("__feat").setPredictionCol("cell").fit(fitOn)
     val assigned = model.transform(feat).drop("__feat")
     val spark = emb.sparkSession
     import spark.implicits._

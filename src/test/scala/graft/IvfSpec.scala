@@ -48,6 +48,43 @@ class IvfSpec extends AnyFunSuite {
     assert(ranks.forall(r => r == (1 to r.size)))
   }
 
+  test("recall@5 at nprobe=2 stays above the floor (quantizer quality gate)") {
+    // pins search quality, not just shape: a quantizer change that
+    // silently destroys recall (e.g. degenerate centroids) fails here
+    val e = embedded
+    val (assigned, centroids) = LlmOps.ivfAssign(e, k = 8)
+    val ivf = LlmOps.ivfSearch(assigned, centroids, queries(e), topK = 5, nprobe = 2)
+      .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = bruteForce(e)
+      .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    info(f"recall@5 nprobe=2/k=8: $recall%.3f")
+    assert(recall >= 0.6, f"recall@5 collapsed to $recall%.3f")
+  }
+
+  test("sign-LSH banding recall vs the exact cos>=0.3 join stays quantified") {
+    // dedup_embed_cosine is an LSH operator: banding has recall < 1 by
+    // design, and its oracle mirrors the same construction — so the
+    // harness can't see dropped pairs. This spec measures the trade
+    // against the exhaustive label-blocked join on the fixture so a
+    // banding change that craters recall fails loudly.
+    val e = embedded
+    val exact = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("vec_id").as("vec_b"), col("label"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_r", round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_r") >= 0.3)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_embed_cosine")(spark, d)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact join did not")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"sign-LSH banding recall on sf0.001: $recall%.3f (${lsh.size}/${exact.size} pairs)")
+    assert(recall >= 0.5, f"LSH banding recall collapsed to $recall%.3f")
+  }
+
   test("assignment is deterministic under the fixed seed") {
     val e = embedded
     val a1 = LlmOps.ivfAssign(e, k = 4)._1.select("vec_id", "cell")
