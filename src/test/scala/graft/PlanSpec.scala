@@ -80,6 +80,45 @@ class PlanSpec extends AnyFunSuite {
       s"eval shingles must broadcast into a semi-join:\n$p")
   }
 
+  /** Flatten a physical plan, descending into AQE wrappers (their inner
+    * plan is a field, not a child, so plain collect misses it). */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flatten(a.executedPlan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  test("queue rank: no unpartitioned window over the queue itself") {
+    // the within-band window must carry a partitionBy; the only global
+    // window allowed is the per-band offset accumulation, which sits over
+    // an Aggregate (|bands| rows, metadata-scale by construction)
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val nodes = flatten(SparkEntry.queries("queue_rank")(spark, d)
+      .queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "rank must use window functions")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(flatten(w).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"global window must only run over the band-count aggregate:\n$w")
+    }
+  }
+
+  test("cache miss detection is one anti-join (no driver-side key probing)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import spark.implicits._
+    val c = new graft.ops.Cache(spark, Files.createTempDirectory("graft_plan").toString)
+    c.getOrCompute("seed")(Seq((1, "a")).toDF("id", "v"))
+    val nodes = flatten(c.misses(Seq("seed", "todo").toDF("key"))
+      .queryExecution.executedPlan)
+    assert(nodes.exists {
+      case j: BaseJoinExec => j.joinType.toString == "LeftAnti"
+      case _ => false
+    }, "misses must plan as a LEFT ANTI join")
+  }
+
   test("wide merge joins aggregated frames without shuffling the base") {
     val df = SparkEntry.queries("merge_wide")(spark, d)
     df.count() // let AQE finalize
