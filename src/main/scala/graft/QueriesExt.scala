@@ -724,7 +724,107 @@ object QueriesExt {
           CAST(list_sum(list_transform(v, x ->
             CASE WHEN hi > lo THEN CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS BIGINT)
             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS qsum
-        FROM b ORDER BY vec_id""")))
+        FROM b ORDER BY vec_id""")),
+    "dedup_keep_best" -> Q(
+      // Quality-aware dedup retention: instead of X6's keep-min-id purge,
+      // keep each duplicate cluster's BEST document (longest text, ties to
+      // the smaller id) — the retention policy real pipelines prefer, since
+      // near-dup clusters usually contain one full document and several
+      // truncated copies. Scale shape: clusters from the one-job-per-round
+      // CC, then a per-cluster window (partitioned by rep — parallel) picks
+      // the keeper; `dups` carries the cluster size for downstream stats.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nodes = docs(s, d).select(col("doc_id").as("node"))
+        val clusters = LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
+        docs(s, d).join(clusters, col("doc_id") === col("node"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("rep"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("rep"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+          .withColumn("dups", count(lit(1)).over(Window.partitionBy(col("rep"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("dups"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, rep) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, w.rep FROM edges e JOIN walk w ON e.dst = w.node),
+        reps AS (SELECT node, min(rep) AS rep FROM walk GROUP BY node),
+        lab AS (SELECT doc_id, lang, n_chars, rep
+                FROM documents JOIN reps ON doc_id = node),
+        rk AS (SELECT doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id ASC) AS rn,
+          count(*) OVER (PARTITION BY rep) AS dups FROM lab)
+        SELECT doc_id, lang, n_chars, dups FROM rk WHERE rn = 1
+        ORDER BY doc_id""")),
+    "split_assign" -> Q(
+      // Deterministic stratified train/val/test assignment: an md5 bucket
+      // per doc (engine-portable, no RNG state) cut at 230/243 of 256 —
+      // ~90/5/5. Uniform hashing makes the proportions hold inside every
+      // stratum (language, source) without a per-stratum pass; rerunning
+      // the pipeline or re-sharding the corpus can never move a document
+      // across splits. Stateless map, no shuffle.
+      (s, d) => {
+        val hexv = (c: org.apache.spark.sql.Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+        val bucket = hexv(substring(h, 1, 1)) * 16 + hexv(substring(h, 2, 1))
+        docs(s, d).select(col("doc_id"), col("lang"),
+            when(bucket < 230, lit("train")).when(bucket < 243, lit("val"))
+              .otherwise(lit("test")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+          (strpos('0123456789abcdef', substring(md5('split:' || doc_id), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5('split:' || doc_id), 2, 1)) - 1) AS bucket
+        FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN bucket < 230 THEN 'train'
+               WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
+        FROM b ORDER BY doc_id""")),
+    "select_budget" -> Q(
+      // Token-budget selection: take documents in deterministic-random
+      // order (md5 key) until a global 50k-char budget is exhausted — how
+      // a pipeline cuts a corpus down to a target token count. The global
+      // running total is TWO-PHASE (same pattern as Queue.rank): documents
+      // band by their key's first hex digit (16 ordered bands, monotone in
+      // the selection order), the running sum within each band is a
+      // partitioned window, and per-band offsets (a 16-row aggregate)
+      // broadcast back — no single-task whole-corpus window.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hexv = (c: org.apache.spark.sql.Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val base = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(concat(lit("sel:"), col("doc_id").cast("string"))).as("hkey"))
+        val banded = base.withColumn("band", hexv(substring(col("hkey"), 1, 1)))
+          .withColumn("cum_in", sum(col("n_chars")).over(
+            Window.partitionBy(col("band"))
+              .orderBy(col("hkey").asc, col("doc_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val offsets = banded.groupBy(col("band"))
+          .agg(sum(col("n_chars")).as("btot"))
+          .withColumn("off", coalesce(
+            sum("btot").over(Window.orderBy(col("band").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("band"), col("off"))
+        banded.join(broadcast(offsets), Seq("band"))
+          .withColumn("cum", col("off") + col("cum_in"))
+          .filter(col("cum") <= 50000)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("cum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, lang, n_chars,
+          md5('sel:' || doc_id) AS hkey FROM documents),
+        c AS (SELECT doc_id, lang, n_chars,
+          CAST(sum(n_chars) OVER (ORDER BY hkey, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h)
+        SELECT doc_id, lang, n_chars, cum FROM c WHERE cum <= 50000
+        ORDER BY doc_id""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++
