@@ -29,8 +29,13 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
   private lazy val doneSet = new StateTable(spark, dir("_done"), Seq("key"))
 
   /** Record keys as materialized (bulk; also callable by external writers
-    * that populate the artifact tree out-of-band). */
-  def markDone(keys: DataFrame): Unit = doneSet.upsert(keys.toDF("key"))
+    * that populate the artifact tree out-of-band). Old done-set versions
+    * are vacuumed on every mark so a long-lived cache accumulating many
+    * materializations keeps O(1) snapshot dirs, not one per write. */
+  def markDone(keys: DataFrame): Unit = {
+    doneSet.upsert(keys.toDF("key"))
+    doneSet.vacuum(keep = 4)
+  }
 
   private def markDone(key: String): Unit = {
     import spark.implicits._
