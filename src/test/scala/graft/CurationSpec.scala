@@ -75,4 +75,50 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == reps, "purged corpus = exactly the cluster representatives")
     clusters.foreach { case (doc, rep) => assert(rep <= doc) }
   }
+
+  test("dedup_keep_best: one keeper per cluster, and it is the longest doc") {
+    val clusters = run("dedup_clusters")
+      .select($"doc_id", $"rep").as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2)
+    val lengths = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val kept = run("dedup_keep_best")
+      .select($"doc_id", $"dups").as[(Long, Long)].collect()
+    assert(kept.length == byCluster.size, "exactly one keeper per cluster")
+    val repOf = clusters.toMap
+    kept.foreach { case (keeper, dups) =>
+      val members = byCluster(repOf(keeper)).map(_._1)
+      assert(dups == members.length, s"cluster size wrong for keeper $keeper")
+      val best = members.maxBy(m => (lengths(m), -m))
+      assert(keeper == best, s"keeper $keeper is not the longest member")
+    }
+  }
+
+  test("split_assign: total partition of the corpus, ~90/5/5") {
+    val splits = run("split_assign").select($"doc_id", $"split")
+      .as[(Long, String)].collect()
+    assert(splits.length == run("text_stats").count())
+    val frac = splits.groupBy(_._2).view.mapValues(_.length.toDouble / splits.length)
+    assert(frac("train") > 0.82 && frac("train") < 0.95, s"train ${frac("train")}")
+    assert(frac("val") > 0.01 && frac("val") < 0.10)
+    assert(frac("test") > 0.01 && frac("test") < 0.10)
+  }
+
+  test("select_budget: selection is a prefix of the hash order within budget") {
+    val sel = run("select_budget")
+      .select($"doc_id", $"n_chars", $"cum").as[(Long, Long, Long)].collect()
+    assert(sel.nonEmpty)
+    assert(sel.forall(_._3 <= 50000), "every running total inside the budget")
+    // the two-phase cum must equal the sequential prefix sum in hash order
+    val haveSet = sel.map(_._1).toSet
+    val all = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    def hkey(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"sel:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = all.sortBy { case (id, _) => (hkey(id), id) }
+    var cum = 0L
+    val expected = ordered.takeWhile { case (_, n) => cum += n; cum <= 50000 }
+      .map(_._1).toSet
+    assert(haveSet == expected, "selection must be exactly the budget prefix")
+  }
 }
