@@ -23,20 +23,39 @@ final class Engine(
 
   val cache = new Cache(spark, s"$workDir/cache")
   val pipeline = new Pipeline(spark, cache, bucketed = bucketed)
-  private val requests = scala.collection.mutable.LinkedHashMap.empty[String, Request]
   private val states = new StateTable(spark, s"$workDir/state", Seq("id"))
+  /** Durable request documents (the `asdf.det` body store): full typed
+    * [[Request]] rows in a versioned state table, so a restarted engine
+    * still holds every submitted body — the reference's requests survive
+    * driver restarts in Mongo, and losing them here would strand pending
+    * queue rows with no body to process. */
+  private val requestStore = new StateTable(spark, s"$workDir/requests", Seq("id"))
   private val outDir = s"$workDir/out"
 
   import spark.implicits._
 
+  private val requests: scala.collection.mutable.LinkedHashMap[String, Request] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Request]
+    // reload in submit order (stage[0] stamp, then id) so a restarted
+    // engine drains its backlog in the same sequence the original would
+    requestStore.read().foreach {
+      _.as[Request].collect()
+        .sortBy(r => (r.stage.headOption.map(_.time).getOrElse(0L), r.id))
+        .foreach(r => m.update(r.id, r))
+    }
+    m
+  }
+
   private def now(): Long = System.currentTimeMillis() / 1000
 
   /** Submit (status -1 "new", submit stage stamped —
-    * `queue/request_tools.py:153-161`). Idempotent on id. */
+    * `queue/request_tools.py:153-161`). Idempotent on id — the request
+    * store's MERGE keeps the first body, like the queue row. */
   def submit(req: Request): String = {
     val stamped = req.copy(status = -1,
       stage = Seq(StageTime("submit", now())))
     requests.getOrElseUpdate(req.id, stamped)
+    requestStore.upsert(Seq(stamped).toDS().toDF())
     states.upsert(Seq((req.id, -1, now())).toDF("id", "status", "submit_time"))
     req.id
   }

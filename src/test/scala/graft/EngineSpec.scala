@@ -101,6 +101,15 @@ class EngineSpec extends AnyFunSuite {
     } finally zf.close()
   }
 
+  test("a restarted engine still holds submitted requests and can process them") {
+    val dir = Files.createTempDirectory("graft_engine").toString
+    new Engine(spark, dir).submit(request) // first engine dies after submit
+    val e2 = new Engine(spark, dir)
+    assert(e2.status("req-1").contains(-1))
+    assert(e2.tick(base, pixels, locations) == Map("req-1" -> 1))
+    assert(e2.results("req-1").get.count() == 2)
+  }
+
   test("golden bundle: CSV bytes match the recorded artifact exactly") {
     // locks the whole S5/S6/S9 edge in one assertion: merge column order,
     // the dotted display-name grammar (incl. the canonical-JSON hash_key
