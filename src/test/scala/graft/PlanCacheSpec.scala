@@ -74,6 +74,37 @@ class PlanCacheSpec extends AnyFunSuite {
     } finally pc.disable()
   }
 
+  test("concurrent materialize + optimization never tears the registry") {
+    // pins the snapshot-under-lock contract: optimizing queries while
+    // another thread materializes (including FIFO eviction shifting the
+    // buffer) must never throw or corrupt a rewrite
+    val pc = new PlanCache(spark,
+      Files.createTempDirectory("graft_plancache").toString, maxEntries = 4)
+    try {
+      pc.enable()
+      import spark.implicits._
+      val writer = new Thread(() => {
+        for (i <- 1 to 12)
+          pc.materialize(s"k$i", Seq((i, i * 2)).toDF("a", "b").groupBy($"a").count())
+      })
+      writer.start()
+      val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+      val readers = (1 to 4).map(t => new Thread(() => {
+        try {
+          for (j <- 1 to 25) {
+            // force a fresh analyze+optimize pass through the rule
+            Seq((t, j)).toDF("a", "b").groupBy($"a").count()
+              .queryExecution.optimizedPlan
+          }
+        } catch { case _: Throwable => errors.incrementAndGet() }
+      }))
+      readers.foreach(_.start())
+      writer.join(); readers.foreach(_.join())
+      assert(errors.get() == 0, "rule application raced the registry")
+      assert(pc.registered <= 4)
+    } finally pc.disable()
+  }
+
   test("disable detaches the rule") {
     val pc = freshCache()
     pc.materialize("extract_sum", Extracts.extract(Tables.pixels(spark, d), "sum"))
