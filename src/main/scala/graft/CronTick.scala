@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import graft.model.Request
+import graft.ops.Tables
+
+/** One cron pass as a runnable main — the operational analog of the
+  * reference's `queue/processing.py` (bootstrap → ingest submissions →
+  * drain the queue → write artifacts → exit for cron to re-invoke).
+  *
+  * Usage: `CronTick <workDir> <sfDir> [requests.jsonl]`
+  *
+  * `requests.jsonl` is an optional drop file of request documents (one
+  * JSON object per line, the [[Request]] shape) — the stand-in for the
+  * reference's web frontend inserting into Mongo; absent or empty means
+  * "just drain whatever is pending". The pass prints one JSON summary
+  * line (`{"ticked":N,"completed":N,"errors":N}`) and exits 0 even when
+  * individual requests fail — a failed request is demoted to status -2
+  * inside the tick (fault containment), not a crashed cron pass.
+  */
+object CronTick {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CronTick <workDir> <sfDir> [requests.jsonl]")
+    val Seq(workDir, sfDir) = args.take(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // only stop a session this pass created — embedded callers (tests,
+    // notebooks) keep theirs
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val engine = new Engine(spark, workDir)
+    args.lift(2).filter(p => new java.io.File(p).exists()).foreach { drop =>
+      spark.read.schema(Encoders.product[Request].schema).json(drop)
+        .as[Request].collect().foreach(engine.submit)
+    }
+
+    // the same relational mapping the engine's queries use: zones from the
+    // nation dimension, pixels/locations from the fact tables
+    val base = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("asdf_id"), $"n_name")
+    val locations = Tables.locations(spark, sfDir)
+      .withColumn("asdf_id", $"cell_id" % 25)
+      .withColumn("alloc", $"amount" * 0.9)
+      .withColumn("donors", org.apache.spark.sql.functions.lit("AFDB"))
+    val outcomes = engine.tick(base, Tables.pixels(spark, sfDir), locations)
+
+    val completed = outcomes.count(_._2 == 1)
+    val errors = outcomes.count(_._2 == -2)
+    println(s"""{"ticked":${outcomes.size},"completed":$completed,"errors":$errors}""")
+    if (!hadSession) spark.stop()
+  }
+}

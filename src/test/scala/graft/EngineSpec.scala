@@ -110,6 +110,24 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.results("req-1").get.count() == 2)
   }
 
+  test("CronTick pass: JSONL drop file -> submitted -> processed -> artifacts") {
+    // uses the existing session (CronTick's builder getOrCreate reuses it)
+    val work = Files.createTempDirectory("graft_cron").toString
+    val drop = Files.createTempDirectory("graft_drop").resolve("reqs.jsonl")
+    val req = Request(id = "cron-1", priority = 1,
+      boundary = Boundary("nga"),
+      raster_data = Seq(RasterSelection("udel_precip_v401", Seq("mean"),
+        Seq(RasterFile("udel_precip_v401_1995")))),
+      release_data = Seq(ReleaseSelection("nigeriaaims",
+        filters = Map("donors" -> Seq("AFDB")))))
+    Seq(req).toDS().toJSON.collect().foreach(l =>
+      Files.writeString(drop, l + "\n"))
+    CronTick.main(Array(work, "/root/testdata/sf0.001", drop.toString))
+    val e = new Engine(spark, work)
+    assert(e.status("cron-1").contains(1))
+    assert(e.results("cron-1").get.count() == 25)
+  }
+
   test("golden bundle: CSV bytes match the recorded artifact exactly") {
     // locks the whole S5/S6/S9 edge in one assertion: merge column order,
     // the dotted display-name grammar (incl. the canonical-JSON hash_key
