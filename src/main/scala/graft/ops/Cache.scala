@@ -25,21 +25,46 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     * miss detection is one distributed anti-join instead of a per-key
     * filesystem probe loop — the reference's J4 likewise asks the *db*
     * for listings and touches the FS only per item
-    * (`queue/extract_check.py:92-104`). */
+    * (`queue/extract_check.py:92-104`).
+    *
+    * Marks are BUFFERED and flushed in batches (on [[misses]], at 1024
+    * pending, or via [[flushDone]]): a snapshot rewrite per materialized
+    * key would make N fills O(N²) in done-set IO. Crash-safety comes from
+    * the artifact tree staying authoritative: an artifact whose mark died
+    * with the buffer is re-queued the next time [[getOrCompute]] probe-hits
+    * it, so the set self-heals instead of diverging. At true 10⁶+ work
+    * items the same layout maps onto a transactional table (Delta/Iceberg
+    * MERGE) — this is the offline stand-in. */
   private lazy val doneSet = new StateTable(spark, dir("_done"), Seq("key"))
+  private val pendingMarks = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val flushedMarks = scala.collection.mutable.HashSet.empty[String]
+
+  private def queueMark(key: String): Unit = pendingMarks.synchronized {
+    if (!flushedMarks.contains(key)) {
+      pendingMarks += key
+      if (pendingMarks.size >= 1024) flushLocked()
+    }
+  }
+
+  private def flushLocked(): Unit =
+    if (pendingMarks.nonEmpty) {
+      import spark.implicits._
+      doneSet.upsert(pendingMarks.toSeq.toDF("key"))
+      doneSet.vacuum(keep = 4)
+      flushedMarks ++= pendingMarks
+      pendingMarks.clear()
+    }
+
+  /** Flush buffered marks to the done-set table now. */
+  def flushDone(): Unit = pendingMarks.synchronized(flushLocked())
 
   /** Record keys as materialized (bulk; also callable by external writers
-    * that populate the artifact tree out-of-band). Old done-set versions
-    * are vacuumed on every mark so a long-lived cache accumulating many
-    * materializations keeps O(1) snapshot dirs, not one per write. */
+    * that populate the artifact tree out-of-band). One MERGE for the whole
+    * frame; old done-set versions vacuum so a long-lived cache keeps O(1)
+    * snapshot dirs. */
   def markDone(keys: DataFrame): Unit = {
     doneSet.upsert(keys.toDF("key"))
     doneSet.vacuum(keep = 4)
-  }
-
-  private def markDone(key: String): Unit = {
-    import spark.implicits._
-    markDone(Seq(key).toDF("key"))
   }
 
   /** Rebuild the done set from ONE listing of the artifact tree (seeds
@@ -85,13 +110,19 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     * back (rather than returning `compute` directly) means downstream plans
     * see a plain Parquet scan — prunable and reusable. */
   def getOrCompute(key: String, dryRun: Boolean = false)(compute: => DataFrame): DataFrame = {
-    if (probePlain(key)) spark.read.parquet(dir(key))
-    else if (spark.catalog.tableExists(bucketTable(key)))
+    if (probePlain(key)) {
+      // probe-hits re-queue the mark: an artifact whose original mark was
+      // lost (crash between write and flush) heals here instead of being
+      // recomputed forever
+      queueMark(key)
+      spark.read.parquet(dir(key))
+    } else if (spark.catalog.tableExists(bucketTable(key))) {
+      queueMark(key)
       spark.table(bucketTable(key)) // entry materialized in the bucketed layout
-    else if (dryRun) compute
+    } else if (dryRun) compute
     else {
       compute.write.mode("overwrite").parquet(dir(key))
-      markDone(key)
+      queueMark(key)
       spark.read.parquet(dir(key))
     }
   }
@@ -108,6 +139,7 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     * is small, shuffle once it is not). The per-key FS probe survives
     * only on the single-item path ([[probe]]). */
   def misses(descriptors: DataFrame, keyCol: String = "key"): DataFrame = {
+    flushDone()
     val done = doneSet.read().orElse { reconcile(); doneSet.read() }
     done match {
       case Some(d) =>
@@ -132,12 +164,17 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
         .sortBy(bucketCol)
         .option("path", dir(s"bucketed_$key"))
         .saveAsTable(table)
-      markDone(key)
+      queueMark(key)
     }
     spark.table(table)
   }
 
   def invalidate(key: String): Unit = {
+    // un-mark FIRST: a crash mid-invalidate must leave "not done + artifact
+    // still present" (recompute overwrites — safe), never "done + artifact
+    // gone" (missed forever, downstream reads fail)
+    pendingMarks.synchronized { pendingMarks -= key; flushedMarks -= key }
+    doneSet.update(_.filter(col("key") =!= key))
     Seq(Paths.get(dir(key)), Paths.get(dir(s"bucketed_$key"))).foreach { d =>
       if (Files.exists(d)) {
         d.toFile.listFiles().foreach(_.delete())
@@ -146,6 +183,5 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     }
     if (spark.catalog.tableExists(bucketTable(key)))
       spark.sql(s"DROP TABLE `${bucketTable(key)}`")
-    doneSet.update(_.filter(col("key") =!= key))
   }
 }

@@ -55,7 +55,9 @@ class CacheSpec extends AnyFunSuite {
 
   test("misses reconciles a cache populated before the done set existed") {
     val root = Files.createTempDirectory("graft_cache").toString
-    new Cache(spark, root).getOrCompute("k1")(Seq((1, "a")).toDF("id", "v"))
+    val c1 = new Cache(spark, root)
+    c1.getOrCompute("k1")(Seq((1, "a")).toDF("id", "v"))
+    c1.flushDone()
     // wipe the done set to simulate a pre-done-set artifact tree
     val done = java.nio.file.Paths.get(root, "v1", "_done")
     Files.walk(done).sorted(java.util.Comparator.reverseOrder())
@@ -63,6 +65,19 @@ class CacheSpec extends AnyFunSuite {
     val c2 = new Cache(spark, root)
     val missing = c2.misses(Seq("k1", "k2").toDF("key")).as[String].collect().toSet
     assert(missing == Set("k2"))
+  }
+
+  test("a mark lost before flush heals on the next probe-hit (crash recovery)") {
+    val root = Files.createTempDirectory("graft_cache").toString
+    val c1 = new Cache(spark, root)
+    c1.getOrCompute("k1")(Seq((1, "a")).toDF("id", "v"))
+    // crash before flush: artifact on disk, mark never reached the table.
+    // a FRESH instance (fresh buffers) must not report k1 missing forever:
+    val c2 = new Cache(spark, root)
+    c2.markDone(Seq("other").toDF("key")) // done set exists but lacks k1
+    assert(c2.misses(Seq("k1").toDF("key")).count() == 1, "k1 unmarked so far")
+    c2.getOrCompute("k1")(sys.error("must not recompute")) // probe-hit re-queues
+    assert(c2.misses(Seq("k1").toDF("key")).count() == 0, "probe-hit healed the mark")
   }
 
   test("invalidate removes the key from the done set") {
