@@ -50,21 +50,31 @@ object Queue {
   def rank(queue: DataFrame, priorityCol: String = "priority",
            submitCol: String = "submit_time", keyCol: String = "id",
            bandSeconds: Long = 86400L): DataFrame = {
+    // `rank` is replaced like the old withColumn("rank", ...) would; the
+    // internal working columns are namespaced so a caller's frame can
+    // never collide with them
+    val in = queue.drop("rank")
+    val bandC = "__graft_rank_band"; val withinC = "__graft_rank_within"
+    val offC = "__graft_rank_off"
     val band = floor(col(submitCol) / bandSeconds)
-    val banded = queue.withColumn("__band", band)
-      .withColumn("__within", row_number().over(
-        Window.partitionBy(col(priorityCol), col("__band"))
+    val banded = in.withColumn(bandC, band)
+      .withColumn(withinC, row_number().over(
+        Window.partitionBy(col(priorityCol), col(bandC))
           .orderBy(col(submitCol).asc, col(keyCol).asc)))
-    val offsets = banded.groupBy(col(priorityCol), col("__band"))
+    val offsets = banded.groupBy(col(priorityCol), col(bandC))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
+      .withColumn(offC, coalesce(
         sum("__cnt").over(Window
-          .orderBy(col(priorityCol).desc, col("__band").asc)
+          .orderBy(col(priorityCol).desc, col(bandC).asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(priorityCol), col("__band"), col("__off"))
-    banded.join(broadcast(offsets), Seq(priorityCol, "__band"))
-      .withColumn("rank", (col("__off") + col("__within")).cast("int"))
-      .select(queue.columns.map(col) :+ col("rank"): _*)
+      .select(col(priorityCol).as("__op"), col(bandC).as("__ob"), col(offC))
+    // null-safe join keys: a NULL priority or submit_time must still rank
+    // (the global window ranked them; a null-unsafe equi-join would
+    // silently drop the row). <=> keys still plan as a hash join.
+    banded.join(broadcast(offsets),
+        col(priorityCol) <=> col("__op") && col(bandC) <=> col("__ob"))
+      .withColumn("rank", (col(offC) + col(withinC)).cast("int"))
+      .select(in.columns.map(col) :+ col("rank"): _*)
   }
 
   /** Status transition (Q1, `queue/request_tools.py:150-190`): set the new

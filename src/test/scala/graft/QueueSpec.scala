@@ -33,6 +33,27 @@ class QueueSpec extends AnyFunSuite {
     assert(r(4L) == 1 && r(3L) == 2 && r(2L) == 3)
   }
 
+  test("rank keeps and orders NULL priority / submit rows like the global window") {
+    val withNulls = Seq(
+      (1L, Some(5), Some(100L)), (2L, None, Some(200L)),
+      (3L, Some(5), None), (4L, None, None)
+    ).toDF("id", "priority", "submit_time")
+    val r = Queue.rank(withNulls).select("id", "rank")
+      .as[(Long, Int)].collect().toMap
+    assert(r.size == 4, "no row may be dropped by the band join")
+    // global order: priority DESC (nulls last), submit ASC (nulls first):
+    // (5, null) < (5, 100) < (null, null) < (null, 200)
+    assert(r(3L) == 1 && r(1L) == 2 && r(4L) == 3 && r(2L) == 4)
+  }
+
+  test("re-ranking a frame that already has a rank column replaces it") {
+    val once = Queue.rank(q)
+    val twice = Queue.rank(once)
+    assert(twice.columns.count(_ == "rank") == 1)
+    assert(twice.select("id", "rank").as[(Long, Int)].collect().toMap ==
+      once.select("id", "rank").as[(Long, Int)].collect().toMap)
+  }
+
   test("transition sets status and stamps the mapped stage time (Q1)") {
     val out = Queue.transition(q, 2L, 2, 777L)
       .select("id", "status", "process_time").as[(Long, Int, Option[Long])]
