@@ -72,7 +72,8 @@ object QueriesCore {
       // exact, so the oracle is the same as extract_count's — the float
       // methods are equivalence-tested in ScaleSpec instead, where the
       // comparison can be tolerant of summation order)
-      (s, d) => Skew.extractSalted(Tables.pixels(s, d), "count").orderBy("asdf_id"),
+      (s, d) => Skew.extractSalted(Tables.pixels(s, d), "count",
+        saltCols = Seq("l_orderkey", "l_linenumber")).orderBy("asdf_id"),
       Some(s"""WITH pixels AS ($pixelsSql)
         SELECT asdf_id, CAST(count(value) AS BIGINT) AS "count"
         FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")),

@@ -16,22 +16,28 @@ object Skew {
 
   /** Salted equivalent of [[Extracts.extract]] for the algebraic methods.
     * Result is bit-identical grouping-wise to the unsalted version (double
-    * summation order may differ — same caveat as any distributed sum). */
+    * summation order may differ — same caveat as any distributed sum).
+    *
+    * `saltCols` picks the stable columns the salt hashes — NOT
+    * monotonically_increasing_id(), which a re-executed stage (fetch
+    * failure, speculative retry) reassigns, moving rows between salt
+    * buckets across attempts. Pass row-identity columns (record keys,
+    * cell ids) when you have them: hashing only (value, weight) collapses
+    * constant-valued rows — the nodata/zero-fill raster case — into ONE
+    * bucket, reinstating the very straggler the salt exists to break.
+    * The default falls back to (value, weight) for frames with no
+    * identity columns; callers with constant fills must supply ids. */
   def extractSalted(pixels: DataFrame, method: String, salts: Int = 16,
       zone: String = "asdf_id", value: String = "value",
-      weight: String = "weight"): DataFrame = {
+      weight: String = "weight",
+      saltCols: Seq[String] = Seq.empty): DataFrame = {
     val z = col(zone)
     val v = col(value)
     val w = col(weight)
-    // salt from stable row content, not monotonically_increasing_id():
-    // a re-executed stage (fetch failure, speculative retry) reassigns
-    // ids, so the same row could land in a different salt bucket across
-    // attempts. Harmless for algebraic combines, but content-derived
-    // salts make the phase-1 partials deterministic under retries for
-    // free. Collisions only narrow the spread (identical rows share a
-    // bucket), which hot zones with varied values don't hit.
+    val saltFrom =
+      if (saltCols.nonEmpty) saltCols.map(col) else Seq(v, w)
     val salted = pixels.withColumn("__salt",
-      pmod(hash(v, w), lit(salts)))
+      pmod(hash(saltFrom: _*), lit(salts)))
     def twoPhase(phase1: Seq[Column], combine: Seq[Column], finalize: Column): DataFrame =
       salted.groupBy(z, col("__salt")).agg(phase1.head, phase1.tail: _*)
         .groupBy(z).agg(combine.head, combine.tail: _*)

@@ -36,11 +36,28 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("salting actually spreads a hot zone over multiple partials") {
-    val salted = px.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(16)))
-      .groupBy($"asdf_id", $"__salt").count()
-      .filter($"asdf_id" === 1)
-    assert(salted.count() > 1, "hot zone must split across salts")
+    // default content salt: the hot zone's varied values spread
+    val spread = px.withColumn("__salt", pmod(hash($"value", $"weight"), lit(16)))
+      .groupBy($"asdf_id", $"__salt").count().filter($"asdf_id" === 1)
+    assert(spread.count() > 1, "hot zone must split across salts")
+  }
+
+  test("constant-fill hot zone: identity saltCols spread what content can't") {
+    // nodata/zero-fill case: every row identical — content salt collapses
+    // to ONE bucket, identity columns restore the spread, and the result
+    // stays exact
+    val const = (1 to 1000).map(i => (i.toLong, 1, 0.0, 1.0))
+      .toDF("rid", "asdf_id", "value", "weight")
+    val contentBuckets = const
+      .withColumn("__salt", pmod(hash($"value", $"weight"), lit(16)))
+      .select("__salt").distinct().count()
+    assert(contentBuckets == 1, "constant rows share a content bucket")
+    val idBuckets = const.withColumn("__salt", pmod(hash($"rid"), lit(16)))
+      .select("__salt").distinct().count()
+    assert(idBuckets > 8, "identity salt must spread the fill")
+    val out = Skew.extractSalted(const, "count", saltCols = Seq("rid"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1000L)
   }
 
   test("holistic methods refuse to salt") {
