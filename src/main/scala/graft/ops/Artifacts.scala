@@ -45,10 +45,17 @@ object Artifacts {
     selections.count { case (dataset, hash) =>
       val src = Paths.get(dataRoot, "msr", "done", dataset, hash,
         "project_locations.csv")
-      Files.isRegularFile(src) && {
-        Files.copy(src, dst.resolve(s"${dataset}_$hash.csv"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        true
+      try {
+        Files.isRegularFile(src) && {
+          Files.copy(src, dst.resolve(s"${dataset}_$hash.csv"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        }
+      } catch {
+        // per-file fault containment, like the reference's try/except-pass:
+        // a source vanishing mid-copy (concurrent purge) or an unreadable
+        // file skips that selection, never the rest of the bundle
+        case _: java.io.IOException => false
       }
     }
   }

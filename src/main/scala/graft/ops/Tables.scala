@@ -13,18 +13,36 @@ import org.apache.spark.sql.functions._
   * so the pixel→zone map join is shuffle-free at any scale.
   */
 object Tables {
-  /** Memoized analyzed frames, keyed by (session, path). `spark.read.parquet`
-    * re-lists the directory and re-reads footers for schema inference on
-    * every call; a bench/engine run touches the same ~10 tables across ~80
-    * queries, so reusing the immutable logical plan removes that per-query
-    * constant. Keyed on the session instance so a fresh session (tests stop
-    * and recreate them) never sees a stale plan. */
-  private val frames =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Memoized analyzed frames, keyed per session (weakly — a stopped,
+    * dereferenced session's entries are GC-eligible, not pinned forever)
+    * then by path. `spark.read.parquet` re-lists the directory and
+    * re-reads footers for schema inference on every call; a bench/engine
+    * run touches the same ~10 tables across ~80 queries, so reusing the
+    * immutable logical plan removes that per-query constant.
+    *
+    * The memo also pins the FILE LISTING taken at first read — correct
+    * for the immutable test-data dirs this loader serves; a caller that
+    * rewrites a table directory in place must [[invalidate]] first.
+    * Mutable state (queue, cache, request store) deliberately bypasses
+    * this loader. */
+  private val frames = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    frames.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      k => spark.read.parquet(k._2))
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = frames.synchronized {
+      var m = frames.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        frames.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
+  }
+
+  /** Drop every memoized frame (all sessions) — required before re-reading
+    * a table directory that was rewritten in place. */
+  def invalidate(): Unit = frames.synchronized(frames.clear())
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
