@@ -22,6 +22,24 @@ object CronTick {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CronTick <workDir> <sfDir> [requests.jsonl]")
     val Seq(workDir, sfDir) = args.take(2).toSeq
+
+    // single-flight guard: state-table commits are read-modify-write, so
+    // two passes sharing a workDir (a slow pass overlapping the next cron
+    // fire) would race version writes and lose transitions. An OS file
+    // lock is held for the whole pass; a second instance reports and
+    // exits 0 — standard cron overlap behavior, next fire picks it up.
+    new java.io.File(workDir).mkdirs()
+    val lockChannel = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(workDir, ".cron.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockChannel.tryLock()
+    if (lock == null) {
+      println("""{"ticked":0,"completed":0,"errors":0,"skipped":"pass already running"}""")
+      lockChannel.close()
+      return
+    }
+
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // only stop a session this pass created — embedded callers (tests,
     // notebooks) keep theirs
@@ -38,8 +56,9 @@ object CronTick {
 
     val engine = new Engine(spark, workDir)
     args.lift(2).filter(p => new java.io.File(p).exists()).foreach { drop =>
-      spark.read.schema(Encoders.product[Request].schema).json(drop)
-        .as[Request].collect().foreach(engine.submit)
+      engine.submitAll(spark.read
+        .schema(Encoders.product[Request].schema).json(drop)
+        .as[Request].collect().toSeq)
     }
 
     // the same relational mapping the engine's queries use: zones from the
@@ -56,5 +75,6 @@ object CronTick {
     val errors = outcomes.count(_._2 == -2)
     println(s"""{"ticked":${outcomes.size},"completed":$completed,"errors":$errors}""")
     if (!hadSession) spark.stop()
+    lock.release(); lockChannel.close()
   }
 }

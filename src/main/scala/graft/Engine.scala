@@ -51,13 +51,25 @@ final class Engine(
   /** Submit (status -1 "new", submit stage stamped —
     * `queue/request_tools.py:153-161`). Idempotent on id — the request
     * store's MERGE keeps the first body, like the queue row. */
-  def submit(req: Request): String = {
-    val stamped = req.copy(status = -1,
-      stage = Seq(StageTime("submit", now())))
-    requests.getOrElseUpdate(req.id, stamped)
-    requestStore.upsert(Seq(stamped).toDS().toDF())
-    states.upsert(Seq((req.id, -1, now())).toDF("id", "status", "submit_time"))
-    req.id
+  def submit(req: Request): String = { submitAll(Seq(req)); req.id }
+
+  /** Batch submit: ONE request-store MERGE and ONE queue-row MERGE for the
+    * whole batch (a JSONL drop file submits hundreds of documents — one
+    * snapshot rewrite per document would make ingest O(N²)). Both stores
+    * vacuum to a bounded version count on every commit. */
+  def submitAll(reqs: Seq[Request]): Seq[String] = {
+    if (reqs.isEmpty) return Seq.empty
+    val ts = now()
+    val stamped = reqs.map(r =>
+      r.copy(status = -1, stage = Seq(StageTime("submit", ts))))
+    stamped.foreach(r => requests.getOrElseUpdate(r.id, r))
+    // MERGE sources must be key-unique: keep the first body per id
+    val unique = stamped.groupBy(_.id).map(_._2.head).toSeq
+    requestStore.upsert(unique.toDS().toDF())
+    requestStore.vacuum(keep = 4)
+    states.upsert(unique.map(r => (r.id, -1, ts)).toDF("id", "status", "submit_time"))
+    states.vacuum(keep = 4)
+    reqs.map(_.id)
   }
 
   def status(id: String): Option[Int] =
