@@ -46,16 +46,21 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
-    // the compact total also lands in a known file so the result survives
-    // any stdout mangling by the launcher (sbt prefixes, trailing
-    // [success] lines) — a tail-parse of the file always succeeds
-    val out = new java.io.File("target/bench_total.json")
-    out.getParentFile.mkdirs()
-    val w = new java.io.PrintWriter(out)
-    try { w.println(fullLine); w.println(totalLine) } finally w.close()
     println(fullLine)
     // compact total-only object LAST — the driver tail-parses this line
     println(totalLine)
     System.out.flush()
+    // the compact total also lands in a known file so the result survives
+    // any stdout mangling by the launcher (sbt prefixes, trailing
+    // [success] lines). Written AFTER the protocol lines and best-effort:
+    // an unwritable cwd must never void a finished 30s measurement.
+    try {
+      val out = new java.io.File("target/bench_total.json")
+      out.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(out)
+      try { w.println(fullLine); w.println(totalLine) } finally w.close()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write bench_total.json: ${e.getMessage}")
+    }
   }
 }

@@ -24,6 +24,12 @@ object QueriesExt {
   private val normSql =
     """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
+  /** Value of one md5 hex digit (0-15) — the engine-portable bucket
+    * primitive shared by the deterministic sampling/split/budget ops
+    * (DuckDB mirror: `strpos('0123456789abcdef', c) - 1`). */
+  private def hexv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    instr(lit("0123456789abcdef"), c) - 1
+
   /** Shared oracle CTE chain: documents → bigram shingles → 8 MinHash
     * signatures (4 per md5 digest via disjoint hex windows) → 2 LSH bands →
     * distinct candidate pairs. Mirrors [[LlmOps.minhashPairs]]. */
@@ -675,8 +681,6 @@ object QueriesExt {
       // The standard way a pipeline applies domain-mixing weights; scales
       // as a stateless map, no shuffle.
       (s, d) => {
-        val hexv = (c: org.apache.spark.sql.Column) =>
-          instr(lit("0123456789abcdef"), c) - 1
         val h = md5(concat(lit("mix:"), col("doc_id").cast("string")))
         val bucket = hexv(substring(h, 1, 1)) * 16 + hexv(substring(h, 2, 1))
         val rate = (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 64
@@ -769,8 +773,6 @@ object QueriesExt {
       // the pipeline or re-sharding the corpus can never move a document
       // across splits. Stateless map, no shuffle.
       (s, d) => {
-        val hexv = (c: org.apache.spark.sql.Column) =>
-          instr(lit("0123456789abcdef"), c) - 1
         val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
         val bucket = hexv(substring(h, 1, 1)) * 16 + hexv(substring(h, 2, 1))
         docs(s, d).select(col("doc_id"), col("lang"),
@@ -797,8 +799,6 @@ object QueriesExt {
       // broadcast back — no single-task whole-corpus window.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val hexv = (c: org.apache.spark.sql.Column) =>
-          instr(lit("0123456789abcdef"), c) - 1
         val base = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
           md5(concat(lit("sel:"), col("doc_id").cast("string"))).as("hkey"))
         val banded = base.withColumn("band", hexv(substring(col("hkey"), 1, 1)))
