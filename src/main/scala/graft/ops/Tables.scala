@@ -13,36 +13,50 @@ import org.apache.spark.sql.functions._
   * so the pixel→zone map join is shuffle-free at any scale.
   */
 object Tables {
-  /** Memoized analyzed frames, keyed per session (weakly — a stopped,
-    * dereferenced session's entries are GC-eligible, not pinned forever)
-    * then by path. `spark.read.parquet` re-lists the directory and
-    * re-reads footers for schema inference on every call; a bench/engine
-    * run touches the same ~10 tables across ~80 queries, so reusing the
-    * immutable logical plan removes that per-query constant.
+  /** Memoized analyzed frames, keyed per session then by path.
+    * `spark.read.parquet` re-lists the directory and re-reads footers for
+    * schema inference on every call; a bench/engine run touches the same
+    * ~10 tables across ~80 queries, so reusing the immutable logical plan
+    * removes that per-query constant.
+    *
+    * Eviction needs BOTH reference strengths: a cached Dataset strongly
+    * reaches its SparkSession via queryExecution, so weak session keys
+    * alone never clear (the classic value→key WeakHashMap defeat). Frame
+    * values are therefore SOFT — cleared under memory pressure — and once
+    * a dead session's frames clear, nothing reaches the weak key and the
+    * whole per-session entry collects. A long-lived JVM creating and
+    * stopping many sessions degrades to recompute-on-miss instead of
+    * OOMing.
     *
     * The memo also pins the FILE LISTING taken at first read — correct
     * for the immutable test-data dirs this loader serves; a caller that
     * rewrites a table directory in place must [[invalidate]] first.
     * Mutable state (queue, cache, request store) deliberately bypasses
     * this loader. */
-  private val frames = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private val frames = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = frames.synchronized {
       var m = frames.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]()
         frames.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
+    val path = s"$dir/$name.parquet"
+    Option(perSession.get(path)).flatMap(r => Option(r.get)).getOrElse {
+      val df = spark.read.parquet(path)
+      perSession.put(path, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** Drop every memoized frame (all sessions) — required before re-reading
     * a table directory that was rewritten in place. */
-  def invalidate(): Unit = frames.synchronized(frames.clear())
+  def invalidate(): Unit = frames.clear()
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
