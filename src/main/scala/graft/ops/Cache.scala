@@ -50,7 +50,7 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     if (pendingMarks.nonEmpty) {
       import spark.implicits._
       doneSet.upsert(pendingMarks.toSeq.toDF("key"))
-      doneSet.vacuum(keep = 4)
+      doneSet.vacuum(keep = 16)
       flushedMarks ++= pendingMarks
       pendingMarks.clear()
     }
@@ -64,7 +64,7 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     * snapshot dirs. */
   def markDone(keys: DataFrame): Unit = {
     doneSet.upsert(keys.toDF("key"))
-    doneSet.vacuum(keep = 4)
+    doneSet.vacuum(keep = 16)
   }
 
   /** Rebuild the done set from ONE listing of the artifact tree (seeds
@@ -140,6 +140,10 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     * only on the single-item path ([[probe]]). */
   def misses(descriptors: DataFrame, keyCol: String = "key"): DataFrame = {
     flushDone()
+    // NOTE: the returned frame is lazy and reads the done-set version
+    // current NOW; execute it before many further cache mutations — each
+    // flush commits a new version and vacuums old ones (keep=16), so a
+    // frame held across 16+ later commits reads a deleted snapshot dir.
     val done = doneSet.read().orElse { reconcile(); doneSet.read() }
     done match {
       case Some(d) =>
@@ -164,8 +168,11 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
         .sortBy(bucketCol)
         .option("path", dir(s"bucketed_$key"))
         .saveAsTable(table)
-      queueMark(key)
     }
+    // hit AND fill paths both queue the mark — the self-heal contract
+    // (a mark lost before flush re-queues on next touch) must hold for
+    // the engine's default bucketed layout too, not just plain dirs
+    queueMark(key)
     spark.table(table)
   }
 
