@@ -85,6 +85,19 @@ final class Engine(
     * failure surfaces here, not in Pipeline.tick's plan-time catch, and
     * must demote that request to -2 without aborting the batch). */
   def tick(base: DataFrame, pixels: DataFrame, locations: DataFrame): Map[String, Int] = {
+    // heal submit-crash orphans first: a crash between the request-store
+    // commit and the queue-row commit leaves a durable body with no queue
+    // row — invisible to the pending filter forever. One queue-scale
+    // anti-join re-inserts the missing rows each tick.
+    states.read().foreach { st =>
+      requestStore.read().foreach { bodies =>
+        val orphans = bodies.select(col("id")).join(st.select(col("id")), Seq("id"), "left_anti")
+          .collect().map(_.getString(0))
+        if (orphans.nonEmpty)
+          states.upsert(orphans.toSeq.map(id => (id, -1, now()))
+            .toDF("id", "status", "submit_time"))
+      }
+    }
     // only pending rows reach the driver: the status predicate is pushed
     // into the state scan, so the collect is bounded by the live queue
     // depth, not the full (ever-growing) request history
@@ -115,6 +128,10 @@ final class Engine(
         .withColumn("status", coalesce(col("new_status"), col("status")))
         .drop("new_status"))
     }
+    // persist buffered done-set marks before the pass ends: a cron-driven
+    // engine exits after each tick, and marks held only in memory would be
+    // rediscovered one probe-hit at a time instead of surviving the exit
+    cache.flushDone()
     outcomes.toMap
   }
 
