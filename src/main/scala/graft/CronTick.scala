@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.model.Request
 import graft.ops.Tables
 
@@ -55,10 +56,32 @@ object CronTick {
     import spark.implicits._
 
     val engine = new Engine(spark, workDir)
-    args.lift(2).filter(p => new java.io.File(p).exists()).foreach { drop =>
-      engine.submitAll(spark.read
-        .schema(Encoders.product[Request].schema).json(drop)
-        .as[Request].collect().toSeq)
+    var skipped = 0L
+    args.lift(2).foreach { drop =>
+      // an explicitly-passed path that doesn't exist is an operator error,
+      // not "nothing to ingest" — silently draining zero documents while
+      // submissions pile up would look exactly like a healthy pass
+      require(new java.io.File(drop).exists(), s"drop file not found: $drop")
+      val schema = Encoders.product[Request].schema
+      val raw = spark.read.schema(schema).json(drop)
+      // tolerant decode: frontend documents legitimately omit fields that
+      // carry Scala defaults (status, priority, email, stage), and the
+      // encoder's non-nullable Int fields would otherwise throw on the
+      // whole batch. Only id + boundary.name are truly required; rows
+      // missing those (including unparseable lines, which read all-null)
+      // are counted and skipped — per-document fault containment.
+      def emptyLike(field: String) =
+        array().cast(schema(field).dataType)
+      val wellFormed = raw
+        .filter(col("id").isNotNull && col("boundary.name").isNotNull)
+        .na.fill(Map("status" -> -1, "priority" -> 0))
+        .withColumn("email", coalesce(col("email"), lit("")))
+        .withColumn("custom_name", coalesce(col("custom_name"), lit("")))
+        .withColumn("release_data", coalesce(col("release_data"), emptyLike("release_data")))
+        .withColumn("raster_data", coalesce(col("raster_data"), emptyLike("raster_data")))
+        .withColumn("stage", coalesce(col("stage"), emptyLike("stage")))
+      skipped = raw.count() - wellFormed.count()
+      engine.submitAll(wellFormed.as[Request].collect().toSeq)
     }
 
     // the same relational mapping the engine's queries use: zones from the
@@ -73,7 +96,7 @@ object CronTick {
 
     val completed = outcomes.count(_._2 == 1)
     val errors = outcomes.count(_._2 == -2)
-    println(s"""{"ticked":${outcomes.size},"completed":$completed,"errors":$errors}""")
+    println(s"""{"ticked":${outcomes.size},"completed":$completed,"errors":$errors,"skipped_malformed":$skipped}""")
     if (!hadSession) spark.stop()
     lock.release(); lockChannel.close()
   }

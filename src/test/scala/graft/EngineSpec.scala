@@ -120,12 +120,40 @@ class EngineSpec extends AnyFunSuite {
         Seq(RasterFile("udel_precip_v401_1995")))),
       release_data = Seq(ReleaseSelection("nigeriaaims",
         filters = Map("donors" -> Seq("AFDB")))))
-    Seq(req).toDS().toJSON.collect().foreach(l =>
-      Files.writeString(drop, l + "\n"))
+    // the drop file mixes a full document, a minimal frontend document
+    // relying on Scala-side defaults (no status/priority/email/stage),
+    // and one garbage line — only the garbage line may be skipped
+    val full = Seq(req).toDS().toJSON.collect().head
+    val minimal = """{"id":"cron-2","boundary":{"name":"nga"},""" +
+      """"raster_data":[{"name":"udel_precip_v401","extract_types":["mean"],""" +
+      """"files":[{"name":"udel_precip_v401_1995"}]}]}"""
+    Files.writeString(drop, s"$full\n$minimal\nnot json at all\n")
     CronTick.main(Array(work, "/root/testdata/sf0.001", drop.toString))
     val e = new Engine(spark, work)
     assert(e.status("cron-1").contains(1))
     assert(e.results("cron-1").get.count() == 25)
+    assert(e.status("cron-2").contains(1), "minimal document must process")
+  }
+
+  test("CronTick fails loudly on a mistyped drop-file path") {
+    val work = Files.createTempDirectory("graft_cron").toString
+    intercept[IllegalArgumentException] {
+      CronTick.main(Array(work, "/root/testdata/sf0.001", "/no/such/file.jsonl"))
+    }
+  }
+
+  test("tick heals a submit-crash orphan (body stored, queue row lost)") {
+    val dir = Files.createTempDirectory("graft_engine").toString
+    val e1 = new Engine(spark, dir)
+    e1.submit(request)
+    // simulate the crash window: body persisted, queue row gone — reset
+    // the states table to an unrelated committed snapshot
+    val states = new graft.ops.StateTable(spark, s"$dir/state", Seq("id"))
+    states.commit(Seq(("someone-else", 1, 0L)).toDF("id", "status", "submit_time"))
+    val e2 = new Engine(spark, dir)
+    assert(e2.status("req-1").isEmpty, "queue row really is gone")
+    assert(e2.tick(base, pixels, locations) == Map("req-1" -> 1),
+      "orphan reconcile must re-insert the queue row and process it")
   }
 
   test("golden bundle: CSV bytes match the recorded artifact exactly") {
