@@ -30,7 +30,13 @@ final class Pipeline(
     // side — the 100 TB layout (SURVEY.md §4); pass false for plain-Parquet
     // cache dirs (no session catalog required)
     bucketed: Boolean = true,
-    buckets: Int = 32) {
+    buckets: Int = 32,
+    // dataset-catalog stand-in: the reference reads each raster's class
+    // list from `asdf.data` metadata (`queue/extract_check.py:27-52`);
+    // offline it surfaces as config — a raster with a different class
+    // domain (land-cover codes, …) passes its own list, instead of the
+    // pivot silently zeroing every unlisted class
+    categoricalClasses: Seq[String] = Seq("A", "N", "R")) {
 
   /** The msr descriptor the reference hashes
     * (`queue/request_tools.py:371-383`). */
@@ -80,9 +86,15 @@ final class Pipeline(
       f <- r.files
       t <- r.extract_types
     } yield {
-      val temporal =
-        if (f.name.length > r.name.length) f.name.substring(r.name.length + 1)
-        else "none"
+      // reference shape: temporal = last underscore segment of the file
+      // name (`queue/documentation_tool.py:296,320`); only an all-digit
+      // segment is a usable year — anything else (version suffixes,
+      // underscore-free names, literal "none") means no temporal slice,
+      // rather than a NumberFormatException sinking the whole request
+      val temporal = f.name.split("_").last match {
+        case t if t.nonEmpty && t != f.name && t.forall(_.isDigit) => t
+        case _ => "none"
+      }
       val key = keyOf(JObj(Seq(
         "boundary" -> JStr(req.boundary.name),
         "data" -> JStr(f.name),
@@ -94,7 +106,10 @@ final class Pipeline(
   }
 
   /** Which items still need computing (probe-only when `dryRun` — the
-    * reference's shadow-execution mode, `queue/processing.py:85,213-215`). */
+    * reference's shadow-execution mode, `queue/processing.py:85,213-215`).
+    * Per-request item counts are bounded (selections × methods), so a
+    * per-item probe is fine HERE; set-scale miss detection over a
+    * descriptor stream belongs to [[Cache.misses]]' anti-join. */
   def misses(items: Seq[WorkItem]): Seq[WorkItem] =
     items.filterNot(i => cache.probe(i.key))
 
@@ -105,18 +120,34 @@ final class Pipeline(
     materialize(item.key, dryRun) {
       item.kind match {
         case "release" =>
-          // msr surface zonally extracted: apply the selection's normalized
-          // filter algebra (P1-P4) to the locations FIRST — the filters are
-          // part of the cache key and must shape the data — then aggregate
-          // per zone to the sum/potential/reliability triple
-          Extracts.extract(Msr.applyFilters(locations, item.filters),
-            "reliability", zone = "asdf_id", value = "alloc", weight = "amount")
+          // A12 order (`queue/request_tools.py:362-383`): the selection's
+          // normalized filter algebra (P1-P4) shapes the point set FIRST,
+          // and the even-split allocation derives AFTER filtering (W1:
+          // amount / surviving locations per project) — a filter that
+          // removes a project's locations re-concentrates its value on the
+          // survivors, exactly like the reference msr job. A pre-allocated
+          // frame (no project column) is trusted as-is.
+          val filtered = Msr.applyFilters(locations, item.filters)
+          val alloced =
+            if (filtered.columns.contains("project_id"))
+              filtered.withColumn("alloc", col("amount") /
+                count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("project_id"))))
+            else filtered
+          // method-aware (F12): worldbank selections materialize the
+          // sum-only artifact their cache key declares; everything else
+          // the sum/potential/reliability triple
+          if (item.method == "sum")
+            Extracts.extract(alloced, "sum", zone = "asdf_id", value = "alloc")
+          else
+            Extracts.extract(alloced, "reliability",
+              zone = "asdf_id", value = "alloc", weight = "amount")
         case _ =>
           val slice =
             if (item.temporal == "none") pixels
             else pixels.filter(col("temporal") === item.temporal.toInt)
           Extracts.extract(slice, item.method,
-            classes = Seq("A", "N", "R"))
+            classes = categoricalClasses)
       }
     }
 
@@ -151,7 +182,11 @@ final class Pipeline(
               col(item.method).as(Naming.col(item.dataset, item.temporal, item.method)))
       }
     }
-    val merged = Merge.wide(base, frames)
+    // P7 (`queue/request_tools.py:649-656`): strip any pre-existing
+    // exfield_* columns from the base frame before merging, so stale
+    // extract columns from a prior run can neither survive into the
+    // passthrough section nor collide with newly generated names
+    val merged = Merge.wide(Merge.dropExFields(base), frames)
     val echo = render(toJVal(Map(
       "id" -> req.id,
       "boundary" -> req.boundary.name,
@@ -164,7 +199,11 @@ final class Pipeline(
     * only the (small) queue head is collected. Returns (request id, final
     * status, result): 1 complete, -2 error — the reference's error branch
     * marks failed requests -2 rather than aborting the batch
-    * (`queue/processing.py:164-167,188-194`). */
+    * (`queue/processing.py:164-167,188-194`).
+    *
+    * Status 1 means PLANNING succeeded; the returned frame is lazy, so the
+    * caller must execute/persist it and demote to -2 on runtime failure —
+    * [[Engine.tick]]'s artifact write does exactly that. */
   def tick(queue: Seq[Request], base: DataFrame, pixels: DataFrame,
       locations: DataFrame): Seq[(String, Int, DataFrame)] = {
     val ordered = queue

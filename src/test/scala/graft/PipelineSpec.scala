@@ -142,4 +142,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_._2) == Seq(1, 1, -2, -2))
     assert(out.head._3.count() == 2)
   }
+
+  test("release filters reshape the allocation (A12: filter THEN allocate)") {
+    // project 7 has two locations, one of which the donor filter removes;
+    // the surviving location must carry the project's FULL amount
+    // (reference even-split over survivors), not half of it
+    val locs = Seq(
+      (7L, 1, 100.0, "AFDB"),  // survives
+      (7L, 2, 100.0, "OTHER"), // filtered out
+      (8L, 2, 50.0, "AFDB")
+    ).toDF("project_id", "asdf_id", "amount", "donors")
+    val p = pipeline()
+    val item = p.checkRequest(request.copy(raster_data = Seq.empty)).head
+    val sums = p.compute(item, pixels, locs)
+      .select($"asdf_id", $"sum").as[(Int, Double)].collect().toMap
+    assert(sums(1) == 100.0, "project 7's full amount lands on its survivor")
+    assert(sums(2) == 50.0)
+  }
+
+  test("raster temporal parse: non-numeric / underscore-free names mean no slice") {
+    val p = pipeline()
+    def temporalOf(file: String) = p.checkRequest(request.copy(
+      release_data = Seq.empty,
+      raster_data = Seq(RasterSelection(name = "ds", extract_types = Seq("mean"),
+        files = Seq(RasterFile(file)))))).head.temporal
+    assert(temporalOf("ds_1998") == "1998")
+    assert(temporalOf("ds_v2") == "none", "version suffix is not a year")
+    assert(temporalOf("dataset") == "none", "no underscore means no temporal")
+    assert(temporalOf("ds_none") == "none")
+    // and the no-slice item computes instead of throwing NumberFormatException
+    val item = p.checkRequest(request.copy(release_data = Seq.empty,
+      raster_data = Seq(RasterSelection(name = "ds", extract_types = Seq("mean"),
+        files = Seq(RasterFile("ds_v2")))))).head
+    assert(p.compute(item, pixels, locations).count() == 2)
+  }
 }
