@@ -68,7 +68,7 @@ object Streamy {
             rows.foreach { case (_, v) => n += 1; total += v }
             val next = UserState(uid, n, total)
             state.update(next)
-            if (state.getOption.isDefined) state.setTimeoutDuration(timeout)
+            state.setTimeoutDuration(timeout)
             next
           }
       }
@@ -89,11 +89,25 @@ object Streamy {
 
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,
-    * then stops, exactly like one cron tick. */
-  def queueDrain(spark: SparkSession, queueDir: String, checkpoint: String)(
+    * then stops, exactly like one cron tick.
+    *
+    * A cold queue (missing or still-empty directory — the first tick
+    * before any file lands) cannot have its schema inferred; pass
+    * `schema` explicitly to make that tick a zero-row no-op instead of an
+    * AnalysisException. With files present the schema is inferred as
+    * before. */
+  def queueDrain(spark: SparkSession, queueDir: String, checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType = null)(
       process: DataFrame => DataFrame): DataStreamWriter[Row] = {
-    val schema = spark.read.parquet(queueDir).schema
-    val stream = spark.readStream.schema(schema).parquet(queueDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(queueDir))
+    val sch = Option(schema).getOrElse {
+      val hasData = Option(new java.io.File(queueDir).listFiles())
+        .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+      require(hasData, s"queue dir $queueDir is empty/cold: pass an " +
+        "explicit schema to drain it as a no-op")
+      spark.read.parquet(queueDir).schema
+    }
+    val stream = spark.readStream.schema(sch).parquet(queueDir)
     process(stream).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)

@@ -84,4 +84,19 @@ class StreamySpec extends AnyFunSuite {
     val drained = spark.table("drained")
     assert(drained.count() == 3) // same 3 windows as the batch test
   }
+
+  test("cold queue drain: explicit schema makes the first empty tick a no-op") {
+    val dir = Files.createTempDirectory("graft_queue").resolve("not_yet").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val query = Streamy.queueDrain(spark, dir, ckpt, events.schema)(df =>
+      Streamy.tumbling(df)).format("memory").queryName("cold_drained")
+      .outputMode("complete").start()
+    query.awaitTermination(60000)
+    assert(spark.table("cold_drained").count() == 0)
+    // without a schema, a cold queue must fail loudly, not mysteriously
+    intercept[IllegalArgumentException] {
+      Streamy.queueDrain(spark,
+        Files.createTempDirectory("graft_queue2").toString, ckpt)(identity)
+    }
+  }
 }
