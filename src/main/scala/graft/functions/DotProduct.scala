@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * a tight primitive loop over the two `ArrayData`s — the inner loop of
   * every similarity-search operator. Null elements are treated as 0
   * (embedding fixtures are dense; a null VECTOR still yields null via the
-  * null-safe wrapper).
+  * null-safe wrapper). A RAGGED pair (different dimensionality) yields
+  * NULL — matching the `aggregate(zip_with(...))` reference formulation,
+  * where the padded nulls poison the sum; silently truncating to the
+  * shorter vector would report a plausible-looking partial similarity.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,18 +38,22 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,14 +62,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |      $acc += $x.getDouble($i) * $y.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -25,7 +25,18 @@ case class MinRollingHash(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == IntegerType &&
-        right.foldable) TypeCheckResult.TypeCheckSuccess
+        right.foldable)
+      // the literal is foldable, so validate its VALUE at analysis time —
+      // a bad window should be an AnalysisException at plan time, not an
+      // IllegalArgumentException from a task mid-job (and a null literal
+      // must not unbox to 0)
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(
+          "min_rolling_hash window literal must not be null")
+        case w: Int if w >= 1 && w <= 9 => TypeCheckResult.TypeCheckSuccess
+        case w => TypeCheckResult.TypeCheckFailure(
+          s"min_rolling_hash window must be in [1,9] for exact 64-bit math, got $w")
+      }
     else TypeCheckResult.TypeCheckFailure(
       "min_rolling_hash expects (string, literal int window)")
 

@@ -102,8 +102,14 @@ object LlmOps {
     * candidate pair triples the dominant cost of brute-force search. */
   def norm(x: Column): Column = sqrt(dot(x, x))
 
-  /** Cosine similarity between two `array<double>` columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity between two `array<double>` columns. A zero-norm
+    * vector scores 0 against everything: the raw division gives NaN, and
+    * Spark orders NaN ABOVE every real double, so one all-zero embedding
+    * would otherwise outrank every genuine match in a descending top-k. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** LSH band key over a full signature table: candidate pairs are ids
     * sharing any complete band. Returns distinct `(doc_a, doc_b)` with
@@ -194,8 +200,11 @@ object LlmOps {
     // corpus falls back to a full fit — sampling only pays off at the
     // scale where it matters anyway.
     val sampled = feat.sample(withReplacement = false, fitFraction, seed)
+    // the probe cap must exceed the threshold it feeds, or large k could
+    // never pass the gate and every fit would silently run on the corpus
+    val probeCap = math.max(8192, k * 16)
     val fitOn = if (fitFraction >= 1.0) feat
-      else sampled.limit(8192).count() match {
+      else sampled.limit(probeCap).count() match {
         case n if n >= k * 16 => sampled
         case _ => feat // fixture-scale corpus: sample too thin, fit on all
       }
@@ -227,7 +236,11 @@ object LlmOps {
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
     cdist.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_r", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      // zero-norm guard: NaN orders above every real double in Spark, so
+      // an all-zero vector would rank #1 for every query probing its cell
+      .withColumn("cos_r", round(
+        when(col("qn") * col("nrm") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)))
       .filter(col("rn") <= topK)

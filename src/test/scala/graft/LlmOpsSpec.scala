@@ -20,6 +20,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(cs(2) + 1.0) < 1e-12)
   }
 
+  test("cosine: zero-norm vector scores 0, never NaN (NaN outranks everything)") {
+    val df = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 0.0))
+    ).toDF("a", "b").select(LlmOps.cosine($"a", $"b").as("c"))
+    df.as[Double].collect().foreach(c => assert(c == 0.0))
+  }
+
+  test("native DotProduct: ragged pair yields NULL like the HOF formulation") {
+    val df = Seq((Seq(1.0), Seq(1.0, 5.0))).toDF("a", "b").select(
+      LlmOps.dot($"a", $"b").as("native"),
+      LlmOps.dotHof($"a", $"b").as("hof"))
+    val r = df.collect().head
+    assert(r.isNullAt(0), "native must not truncate to the shorter vector")
+    assert(r.isNullAt(1), "zip_with pads nulls that poison the sum")
+  }
+
+  test("min_rolling_hash: bad window literals fail at analysis time") {
+    val df = Seq("hello world").toDF("s")
+    Seq(0, 10, -1).foreach { w =>
+      val e = intercept[Exception] {
+        df.select(graft.functions.native.min_rolling_hash($"s", w)).collect()
+      }
+      assert(e.getMessage.contains("window"), s"w=$w: ${e.getMessage}")
+    }
+  }
+
   test("native DotProduct equals the interpreted HOF formulation exactly") {
     val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
