@@ -84,7 +84,12 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val meta = r.getStruct(2)
-          Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]]("payload"), w, h),
+          val payload = r.getAs[Array[Byte]]("payload")
+          // missing media stays missing: resizing null into a zero-filled
+          // w*h buffer would make absent data indistinguishable from a
+          // genuine black image downstream
+          val resized = if (payload == null) null else resizeStub(payload, w, h)
+          Row(r.getLong(0), resized,
             Row(if (meta == null) null else meta.getString(0), w, h))
         }
       }(enc)
@@ -100,14 +105,22 @@ object Multimodal {
     * One output row per sampled frame (video → frame table), the shape a
     * training pipeline feeds to per-frame featurization. */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    // validate on the driver — a bad argument should fail here, not as an
+    // opaque ArithmeticException inside a task
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val enc = RowEncoder.encoderFor(frameSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           if (payload == null) Iterator.empty
+          // fixed-size-frame contract: the trailing partial chunk is
+          // dropped, never emitted as a short "frame" a per-frame
+          // featurizer would mis-decode
           else payload.grouped(frameBytes).zipWithIndex
-            .filter(_._2 % everyN == 0)
+            .filter { case (frame, idx) =>
+              idx % everyN == 0 && frame.length == frameBytes }
             .map { case (frame, idx) => Row(r.getLong(0), idx, frame) }
         }
       }(enc)

@@ -45,6 +45,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(byDoc(2L).minBy(_.getInt(1)).getAs[Array[Byte]]("frame")) == "wo")
   }
 
+  test("frame sampling: trailing partial chunk is never emitted as a frame") {
+    // "worlds!" = 7 bytes, frames of 2, everyN=1: chunk idx 3 is 1 byte
+    // and must be dropped — every emitted frame is exactly frameBytes
+    val f = Multimodal.sampleFrames(Multimodal.fromDocuments(docs), 2, 1)
+    val frames = f.filter($"media_id" === 2L).collect()
+    assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 2))
+  }
+
+  test("frame sampling validates its arguments on the driver") {
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(Multimodal.fromDocuments(docs), 2, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(Multimodal.fromDocuments(docs), 0, 1)
+    }
+  }
+
+  test("resize preserves missing payloads instead of faking a black image") {
+    import org.apache.spark.sql.functions._
+    val withNull = Multimodal.fromDocuments(docs)
+      .withColumn("payload",
+        when($"media_id" === 1L, lit(null).cast("binary")).otherwise($"payload"))
+    val rows = Multimodal.resize(withNull, 4, 3).orderBy("media_id").collect()
+    assert(rows(0).isNullAt(1), "null payload must stay null")
+    assert(rows(1).getAs[Array[Byte]]("payload").length == 12)
+  }
+
   test("decode stub is deterministic") {
     val b = "same bytes".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
