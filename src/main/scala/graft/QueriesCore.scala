@@ -640,9 +640,12 @@ object QueriesCore {
         val raw = concat_ws(" ",
           regexp_replace(expr("substring(text, 1, 120)"), " ", "_"),
           expr("substring(text, 1, 40)"))
+        // wrap once, derive html from the wrapped column — the transform
+        // pipeline is interpreted (higher-order functions don't codegen),
+        // so evaluating it twice per row doubles the dominant cost
         Tables.documents(s, d)
-          .select(col("doc_id"), Render.wordWrap(raw).as("wrapped"),
-            Render.htmlify(Render.wordWrap(raw)).as("html"))
+          .select(col("doc_id"), Render.wordWrap(raw).as("wrapped"))
+          .withColumn("html", Render.htmlify(col("wrapped")))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id,
@@ -673,8 +676,11 @@ object QueriesCore {
         // Reference CSV semantics (S1, `queue/request_tools.py:645-646`):
         // quotechar `"`, only the empty string is null. Round-trip a
         // snapshot through CSV with those options and read it back.
-        val sf = d.replaceAll(".*/", "")
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_$sf"
+        // tmp dir keyed by (pid, full input path hash), not the basename:
+        // two drivers — or two datasets sharing a basename — must never
+        // overwrite each other's round-trip dir mid-read
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_" +
+          s"${ProcessHandle.current().pid()}_${HashKey.sha1Hex(d).take(8)}"
         val snap = Tables.lineitem(s, d).select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag")).as("flag"),
