@@ -62,4 +62,32 @@ class PropertySpec extends AnyFunSuite {
       HashKey.escape(s).forall(c => c >= ' ' && c <= '~')
     })
   }
+
+  test("two-phase rank equals the global window on random queues (incl. nulls)") {
+    // the banded implementation must be VALUE-identical to the naive
+    // row_number() OVER (ORDER BY priority DESC, submit ASC, id ASC) for
+    // any priority/submit distribution, null patterns included — fewer,
+    // larger random frames (Spark jobs are the cost, not the rows)
+    lazy val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 5000L)
+      pri <- Gen.option(Gen.chooseNum(0, 4))
+      sub <- Gen.option(Gen.chooseNum(0L, 400000L))
+    } yield (id, pri, sub)
+    val queueGen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, rowGen))
+    val p = Prop.forAll(queueGen) { rows =>
+      val q = rows.distinctBy(_._1).toDF("id", "priority", "submit_time")
+      val banded = graft.ops.Queue.rank(q).select($"id", $"rank")
+        .as[(Long, Int)].collect().toMap
+      val global = q.withColumn("rank", row_number().over(
+          Window.orderBy($"priority".desc, $"submit_time".asc, $"id".asc)))
+        .select($"id", $"rank").as[(Long, Int)].collect().toMap
+      banded == global
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(r.passed, r.status.toString)
+  }
 }
