@@ -28,7 +28,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
 final class PlanCache(spark: SparkSession, root: String,
     maxEntries: Int = 64) {
 
-  private val entries = mutable.ArrayBuffer.empty[(LogicalPlan, String)]
+  /** (registered plan, parquet path, analyzed scan-leaf of that path). The
+    * leaf is captured at registration so [[RewriteRule.isCacheScan]] can
+    * recognize "this subtree already reads the cache" structurally —
+    * relation toString contains only the format name, never the path, so a
+    * string match can not. */
+  private val entries =
+    mutable.ArrayBuffer.empty[(LogicalPlan, String, LogicalPlan)]
 
   private def dir(key: String) = s"$root/$key"
 
@@ -44,9 +50,19 @@ final class PlanCache(spark: SparkSession, root: String,
     * cost a write per optimizer invocation). Eviction only stops the rule
     * from rewriting to that artifact; the Parquet itself stays on disk. */
   def materialize(key: String, df: DataFrame): Unit = {
-    df.write.mode("overwrite").parquet(dir(key))
+    val path = dir(key)
+    // deregister the key's previous entry BEFORE writing: (a) a stale
+    // (oldPlan -> samePath) registration would silently serve the new
+    // key's data to queries matching the old computation; (b) with the
+    // rule enabled, the overwrite's own input plan could otherwise be
+    // rewritten to scan the very path mode("overwrite") is about to
+    // delete, destroying the artifact mid-write
+    entries.synchronized { entries.filterInPlace(_._2 != path) }
+    df.write.mode("overwrite").parquet(path)
+    val scanLeaf =
+      spark.read.parquet(path).queryExecution.analyzed.collectLeaves().head
     entries.synchronized {
-      entries += ((df.queryExecution.optimizedPlan, dir(key)))
+      entries += ((df.queryExecution.optimizedPlan, path, scanLeaf))
       if (entries.size > maxEntries) entries.remove(0, entries.size - maxEntries)
     }
   }
@@ -68,7 +84,7 @@ final class PlanCache(spark: SparkSession, root: String,
       plan.transformUp {
         case sub =>
           snap.find(_._1.sameResult(sub)) match {
-            case Some((registered, path)) if !isCacheScan(sub, path) =>
+            case Some((_, path, scanLeaf)) if !isCacheScan(sub, scanLeaf) =>
               val scan = spark.read.parquet(path).queryExecution.analyzed
               // remap the scan's fresh attributes onto the subtree's
               // expression ids so parent operators resolve unchanged;
@@ -81,8 +97,14 @@ final class PlanCache(spark: SparkSession, root: String,
           }
       }
     }
-    private def isCacheScan(plan: LogicalPlan, path: String): Boolean =
-      plan.collectLeaves().exists(_.toString.contains(path))
+    /** Structural "already reads this cache artifact" check: relation
+      * toString carries only the format name (verified against Spark
+      * 4.1.2), so the leaf is compared by sameResult against the scan
+      * leaf captured at registration — without this the fixed-point
+      * optimizer batch would re-wrap an already-rewritten subtree on
+      * every iteration. */
+    private def isCacheScan(plan: LogicalPlan, scanLeaf: LogicalPlan): Boolean =
+      plan.collectLeaves().exists(_.sameResult(scanLeaf))
   }
 
   /** Attach to the live session. Idempotent. */

@@ -74,6 +74,29 @@ class PlanCacheSpec extends AnyFunSuite {
     } finally pc.disable()
   }
 
+  test("re-materializing a key is safe with the rule live and drops the stale registration") {
+    val pc = freshCache()
+    try {
+      pc.enable()
+      pc.materialize("k", Extracts.extract(Tables.pixels(spark, d), "sum"))
+      // same computation again: without pre-write deregistration the
+      // write's own input would be rewritten to scan the very directory
+      // mode(overwrite) is deleting — destroying the artifact mid-write
+      pc.materialize("k", Extracts.extract(Tables.pixels(spark, d), "sum"))
+      assert(pc.registered == 1)
+      val again = Extracts.extract(Tables.pixels(spark, d), "sum")
+      assert(again.queryExecution.executedPlan.toString.contains("graft_plancache"))
+      assert(again.collect().nonEmpty, "artifact must survive the refresh")
+      // refresh the key with a DIFFERENT computation: a query matching the
+      // OLD plan must recompute, not silently read the new key's data
+      pc.materialize("k", Extracts.extract(Tables.pixels(spark, d), "mean"))
+      val stale = Extracts.extract(Tables.pixels(spark, d), "sum")
+        .queryExecution.optimizedPlan.toString
+      assert(stale.contains("Aggregate"),
+        s"old computation must not be rewritten to the refreshed artifact:\n$stale")
+    } finally pc.disable()
+  }
+
   test("concurrent materialize + optimization never tears the registry") {
     // pins the snapshot-under-lock contract: optimizing queries while
     // another thread materializes (including FIFO eviction shifting the
