@@ -89,14 +89,19 @@ final class Engine(
     // commit and the queue-row commit leaves a durable body with no queue
     // row — invisible to the pending filter forever. One queue-scale
     // anti-join re-inserts the missing rows each tick.
-    states.read().foreach { st =>
-      requestStore.read().foreach { bodies =>
+    (states.read(), requestStore.read()) match {
+      case (Some(st), Some(bodies)) =>
         val orphans = bodies.select(col("id")).join(st.select(col("id")), Seq("id"), "left_anti")
           .collect().map(_.getString(0))
         if (orphans.nonEmpty)
           states.upsert(orphans.toSeq.map(id => (id, -1, now()))
             .toDF("id", "status", "submit_time"))
-      }
+      case (None, Some(bodies)) =>
+        // bootstrap crash window: bodies committed, state table never
+        // created at all — seed it whole
+        states.commit(bodies.select(col("id")).collect().map(_.getString(0)).toSeq
+          .map(id => (id, -1, now())).toDF("id", "status", "submit_time"))
+      case _ => ()
     }
     // only pending rows reach the driver: the status predicate is pushed
     // into the state scan, so the collect is bounded by the live queue
@@ -119,14 +124,27 @@ final class Engine(
           Artifacts.writeRequestJson(
             Map("id" -> id, "complete_time" -> now()), s"$outDir/$id/request.json")
           id -> 1
-        } catch { case scala.util.control.NonFatal(_) => id -> -2 }
+        } catch { case scala.util.control.NonFatal(_) =>
+          // a failure AFTER the results-parquet commit (CSV/JSON write)
+          // must not leave a -2 request serving a complete-looking
+          // result: results() keys on _SUCCESS, so drop the marker
+          new java.io.File(s"$outDir/$id/results/_SUCCESS").delete()
+          id -> -2
+        }
       case (id, st, _) => id -> st
     }
     if (outcomes.nonEmpty) {
       val oDF = outcomes.toDF("id", "new_status")
+      // update commits a version when the table exists; the bootstrap
+      // branch above guarantees it does whenever anything was pending,
+      // so outcomes can never be silently dropped
       states.update(df => df.join(oDF, Seq("id"), "left")
         .withColumn("status", coalesce(col("new_status"), col("status")))
         .drop("new_status"))
+      // the drain path commits versions too — keep them bounded like the
+      // submit path does, or a submit-then-drain workload grows one full
+      // snapshot per tick forever
+      states.vacuum(keep = 4)
     }
     // persist buffered done-set marks before the pass ends: a cron-driven
     // engine exits after each tick, and marks held only in memory would be
