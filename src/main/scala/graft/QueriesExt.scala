@@ -345,8 +345,10 @@ object QueriesExt {
           + (CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 2) % 2)))) >= 0 THEN 2 ELSE 0 END)
           + (CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 4) % 2)))) >= 0 THEN 4 ELSE 0 END) AS cell
         FROM e),
-        dims AS (SELECT cell, i, avg(v[CAST(i + 1 AS INT)]) AS m
-          FROM a CROSS JOIN range(64) t(i) GROUP BY cell, i),
+        dims AS (SELECT cell, i, avg(val) AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS val
+                FROM a)
+          GROUP BY cell, i),
         cent AS (SELECT cell, list(m ORDER BY i) AS cvec FROM dims GROUP BY cell),
         qd AS (SELECT q.vec_id AS qid, q.v AS qv, c.cell,
             round(list_sum(list_transform(range(len(q.v)),
