@@ -30,6 +30,19 @@ object QueriesExt {
   private def hexv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     instr(lit("0123456789abcdef"), c) - 1
 
+  /** Duplicate-cluster labels `(node, rep)` for the corpus at `d`, memoized
+    * per session. Three independent operators (cluster listing, min-id
+    * purge, quality-aware retention) consume the same LSH + connected-
+    * components result; a real deployment materializes that intermediate
+    * once and every downstream op joins against it — [[Tables.memo]] is the
+    * in-session equivalent (the CC output is already checkpoint-backed, so
+    * reuse costs a block read, not a recompute). */
+  private def dupClusters(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"derived:dup_clusters:$d") {
+      val nodes = docs(s, d).select(col("doc_id").as("node"))
+      LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
+    }
+
   /** Shared oracle CTE chain: documents → bigram shingles → 8 MinHash
     * signatures (4 per md5 digest via disjoint hex windows) → 2 LSH bands →
     * distinct candidate pairs. Mirrors [[LlmOps.minhashPairs]]. */
@@ -120,12 +133,9 @@ object QueriesExt {
     "dedup_clusters" -> Q(
       // duplicate-cluster resolution: connected components over the LSH
       // candidate pairs; every doc labelled with its cluster keeper (min id)
-      (s, d) => {
-        val nodes = docs(s, d).select(col("doc_id").as("node"))
-        LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
-          .select(col("node").as("doc_id"), col("rep"))
-          .orderBy("doc_id")
-      },
+      (s, d) => dupClusters(s, d)
+        .select(col("node").as("doc_id"), col("rep"))
+        .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $minhashPairCtes,
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                   UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -537,8 +547,7 @@ object QueriesExt {
       // cluster's keeper (min doc_id). Composes X2 + X2e; at scale the
       // final step is one semi-join of the corpus against the keeper set.
       (s, d) => {
-        val nodes = docs(s, d).select(col("doc_id").as("node"))
-        val keepers = LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
+        val keepers = dupClusters(s, d)
           .filter(col("node") === col("rep"))
           .select(col("node").as("doc_id"))
         docs(s, d).join(keepers, Seq("doc_id"), "left_semi")
@@ -741,8 +750,7 @@ object QueriesExt {
       // the keeper; `dups` carries the cluster size for downstream stats.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val nodes = docs(s, d).select(col("doc_id").as("node"))
-        val clusters = LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
+        val clusters = dupClusters(s, d)
         docs(s, d).join(clusters, col("doc_id") === col("node"))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("rep"))
           .withColumn("rn", row_number().over(Window.partitionBy(col("rep"))

@@ -36,7 +36,14 @@ object Tables {
   private val frames = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Generic per-(session, key) frame memo with the eviction story above.
+    * Also the right home for expensive DERIVED frames that several queries
+    * share (e.g. the duplicate-cluster labels): a real deployment would
+    * materialize such an intermediate once — this memo is the in-session
+    * equivalent. `build` may run more than once under concurrent first
+    * callers (both results are equivalent; last write wins) and again after
+    * a soft-ref clear — it must be pure. */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = frames.synchronized {
       var m = frames.get(spark)
       if (m == null) {
@@ -46,13 +53,15 @@ object Tables {
       }
       m
     }
-    val path = s"$dir/$name.parquet"
-    Option(perSession.get(path)).flatMap(r => Option(r.get)).getOrElse {
-      val df = spark.read.parquet(path)
-      perSession.put(path, new java.lang.ref.SoftReference(df))
+    Option(perSession.get(key)).flatMap(r => Option(r.get)).getOrElse {
+      val df = build
+      perSession.put(key, new java.lang.ref.SoftReference(df))
       df
     }
   }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo(spark, s"$dir/$name.parquet")(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Drop every memoized frame (all sessions) — required before re-reading
     * a table directory that was rewritten in place. */
