@@ -115,7 +115,22 @@ object QueriesExt {
         .select(col("user_id"), col("n"), round(col("total"), 6).as("total_r"))
         .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 6) AS total_r
-        FROM events GROUP BY user_id ORDER BY user_id""")))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+    "stream_interval_join" -> Q(
+      // stream-stream interval join (same-user follow-on events within an
+      // hour), verified through the shared batch path; the streaming path
+      // (watermarked state, bounded by watermark + interval) runs in
+      // StreamySpec with real micro-batches
+      (s, d) => {
+        val e = Tables.events(s, d)
+        Streamy.intervalJoin(e, e).orderBy("src_id", "dst_id")
+      },
+      Some("""SELECT a.user_id, a.event_id AS src_id, b.event_id AS dst_id,
+          b.event_type AS dst_type,
+          epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b ON a.user_id = b.user_id
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        ORDER BY src_id, dst_id""")))
 
   // ---- §2.11 dedup family ---------------------------------------------
   private val dedupQueries: Seq[(String, Q)] = Seq(
@@ -267,7 +282,26 @@ object QueriesExt {
         WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
             (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
              sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.3
-        ORDER BY vec_a, vec_b""")))
+        ORDER BY vec_a, vec_b""")),
+    "dedup_lines" -> Q(
+      // X15 corpus-wide line-level exact dedup (the C4 rule): first
+      // occurrence in (doc, position) order keeps each 12-word line, all
+      // later occurrences — cross-doc or within-doc — are dropped; the
+      // surviving text is re-joined in document order. One shuffle on line
+      // content, one regroup on doc id ([[LlmOps.lineDedup]]).
+      (s, d) => LlmOps.lineDedup(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        l AS (SELECT doc_id, CAST(i AS INT) AS idx,
+            array_to_string(w[i*12+1 : i*12+12], ' ') AS line
+          FROM n, unnest(range(CAST(ceil(len(w)/12.0) AS INT))) AS u(i)),
+        k AS (SELECT doc_id, idx, line,
+            row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1 AS kept
+          FROM l)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY idx), '')
+            AS kept_text
+        FROM k GROUP BY doc_id ORDER BY doc_id""")))
 
   // ---- §2.11 similarity search ----------------------------------------
   private def topkDf(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
@@ -523,6 +557,75 @@ object QueriesExt {
               ([27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1])[j+1])) AS BIGINT)
           )) AS BIGINT) AS fp
         FROM t ORDER BY doc_id""")),
+    "vocab_top" -> Q(
+      // document-frequency vocabulary build (tokenizer prep): token →
+      // (docs containing it, total occurrences), top 50 by df. Scale
+      // shape: explode → (token, doc) pre-aggregate (map-side combinable,
+      // one shuffle) → token rollup (second shuffle, vocabulary-sized) →
+      // global top-k via TakeOrdered — never a full sort of the vocab.
+      (s, d) => {
+        val base = docs(s, d)
+        val tok = base.repartition(LlmOps.spreadWidth(base))
+          .select(col("doc_id"),
+            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        tok.groupBy(col("token"), col("doc_id"))
+          .agg(count(lit(1)).as("tfd"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("df"), sum(col("tfd")).as("tf"))
+          .orderBy(col("df").desc, col("tf").desc, col("token").asc)
+          .limit(50)
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        tok AS (SELECT doc_id, token FROM n, unnest(w) AS u(token)),
+        per AS (SELECT token, doc_id, count(*) AS tfd FROM tok GROUP BY 1, 2),
+        v AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                CAST(sum(tfd) AS BIGINT) AS tf FROM per GROUP BY token)
+        SELECT token, df, tf FROM v
+        ORDER BY df DESC, tf DESC, token ASC LIMIT 50""")),
+    "quality_gate" -> Q(
+      // C4-style rule-chain quality filter: word count, mean word length,
+      // stopword ratio, digit ratio → hard pass/fail gate. Stateless
+      // per-row map (ratios are exact integer arithmetic divided once, so
+      // both engines branch identically); thresholds chosen to split the
+      // synthetic corpus.
+      (s, d) => {
+        val gated = docs(s, d)
+          .withColumn("__norm", LlmOps.normText(col("text")))
+          .withColumn("__w", split(col("__norm"), " "))
+          .withColumn("wc", size(col("__w")).cast("long"))
+          .withColumn("mean_wlen",
+            (length(col("__norm")) - (col("wc") - 1)).cast("double") / col("wc"))
+          .withColumn("stop_ratio", expr(
+            "size(filter(__w, x -> x IN ('the','a','of','to','and','in','is','on')))")
+            .cast("double") / col("wc"))
+          .withColumn("digit_ratio",
+            (length(col("__norm")) - length(regexp_replace(col("__norm"), "[0-9]", "")))
+              .cast("double") / length(col("__norm")))
+        gated.select(col("doc_id"), col("wc"),
+            round(col("mean_wlen"), 6).as("mean_wlen_r"),
+            round(col("stop_ratio"), 6).as("stop_ratio_r"),
+            round(col("digit_ratio"), 6).as("digit_ratio_r"),
+            when(col("wc") >= 40 && col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0
+                && col("stop_ratio") >= 0.01 && col("digit_ratio") <= 0.2, 1)
+              .otherwise(0).as("pass"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $normSql AS norm,
+          string_split($normSql, ' ') AS w FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS wc,
+          CAST(length(norm) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wlen,
+          CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','on'))) AS DOUBLE)
+            / len(w) AS stop_ratio,
+          CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS DOUBLE)
+            / length(norm) AS digit_ratio
+        FROM t)
+        SELECT doc_id, wc, round(mean_wlen, 6) AS mean_wlen_r,
+          round(stop_ratio, 6) AS stop_ratio_r,
+          round(digit_ratio, 6) AS digit_ratio_r,
+          CASE WHEN wc >= 40 AND mean_wlen >= 3 AND mean_wlen <= 8
+            AND stop_ratio >= 0.01 AND digit_ratio <= 0.2 THEN 1 ELSE 0 END AS pass
+        FROM m ORDER BY doc_id""")),
     "multimodal_meta" -> Q(
       (s, d) => docs(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))

@@ -264,6 +264,43 @@ object LlmOps {
     }: _*)
   }
 
+  /** Corpus-wide line-level exact dedup (X15, the C4 rule "discard any
+    * line seen elsewhere in the corpus, keep the first occurrence"). The
+    * synthetic corpus has no newlines, so a "line" is a deterministic
+    * `wordsPerLine`-word chunk of the normalized text — the chunking is the
+    * stand-in; the dedup machinery is the real thing. Returns one row per
+    * doc: total/kept line counts plus the surviving text re-joined in
+    * original order.
+    *
+    * Scale shape: explode to lines (bounded ~len/wordsPerLine row
+    * amplification), ONE shuffle on the line content for the first-owner
+    * window (partitioned by line — parallel, never global), one regroup on
+    * the doc id. Nothing corpus-squared, no driver state. */
+  def lineDedup(docs: DataFrame, wordsPerLine: Int = 12, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = lit(wordsPerLine)
+    val lines = docs.repartition(spreadWidth(docs))
+      .withColumn("__w", split(normText(col(textCol)), " "))
+      .withColumn("__nl", ceil(size(col("__w")) / w.cast("double")).cast("int"))
+      .withColumn("idx", explode(expr(
+        "CASE WHEN __nl > 0 THEN sequence(0, __nl - 1) ELSE array() END")))
+      .withColumn("line", array_join(slice(col("__w"), col("idx") * w + 1, w), " "))
+      // first occurrence in (doc, position) order owns the line; every
+      // other occurrence corpus-wide (including a repeat INSIDE the same
+      // doc) is dropped — exactly the C4 rule
+      .withColumn("kept", row_number().over(
+        Window.partitionBy(col("line")).orderBy(col(id), col("idx"))) === 1)
+    lines.groupBy(col(id))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls `when` leaves on non-kept rows;
+        // array_sort on struct(idx, line) restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("idx"), col("line"))))),
+          x => x.getField("line")), " ").as("kept_text"))
+  }
+
   /** 16-bit SimHash of the word multiset of `textCol`: per bit j, sum +1/-1
     * over tokens by bit j of md5(token); sign → bit (X-family near-dup). */
   def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame = {

@@ -87,6 +87,31 @@ object Streamy {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
     else events.dropDuplicates(idCol)
 
+  /** Stream-stream event-time interval join [EXT]: attach to each event
+    * every later event by the SAME user within `(ts, ts + upper]` — the
+    * attribution/follow-on join a training-data ingest uses to stitch
+    * related records. On streams both sides carry a watermark and the
+    * time-range predicate bounds join state to (watermark + upper) per
+    * side — Spark evicts older rows, so state never grows with stream
+    * length; on batch frames the same call site is a plain range join
+    * (AQE picks the strategy). Self-join safe: column names are
+    * disambiguated before the join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, upper: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val l = wm(left).select(col("user_id"), col("event_id").as("src_id"),
+      col("ts").as("src_ts"))
+    val r = wm(right).select(col("user_id").as("__ruser"),
+      col("event_id").as("dst_id"), col("ts").as("dst_ts"),
+      col("event_type").as("dst_type"))
+    l.join(r, col("user_id") === col("__ruser") &&
+        col("dst_ts") > col("src_ts") &&
+        col("dst_ts") <= col("src_ts") + expr(s"INTERVAL $upper"))
+      .select(col("user_id"), col("src_id"), col("dst_id"), col("dst_type"),
+        (unix_micros(col("dst_ts")) - unix_micros(col("src_ts"))).as("gap_us"))
+  }
+
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,
     * then stops, exactly like one cron tick.

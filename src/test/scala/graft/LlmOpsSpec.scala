@@ -179,4 +179,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(1L) == out(2L))
     assert(out.values.forall(h => h >= 0 && h < 65536))
   }
+
+  test("lineDedup: C4 line rule — first corpus occurrence owns each line") {
+    // 4-word "lines"; lineA = "a b c d", lineB = "e f g h"
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),  // both lines first-seen -> kept
+      (2L, "a b c d e f g h"),  // exact dup of doc 1 -> everything drops
+      (3L, "x y z w a b c d"),  // own line kept, shared lineA drops
+      (4L, "p q r s p q r s"),  // within-doc repeat: second copy drops
+      (5L, "m n o")             // short doc: one partial line, kept
+    ).toDF("doc_id", "text")
+    val out = LlmOps.lineDedup(corpus, wordsPerLine = 4)
+      .select($"doc_id", $"n_lines", $"n_kept", $"kept_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f g h")))
+    assert(out(2L) == ((2L, 0L, "")))
+    assert(out(3L) == ((2L, 1L, "x y z w")))
+    assert(out(4L) == ((2L, 1L, "p q r s")))
+    assert(out(5L) == ((1L, 1L, "m n o")))
+  }
 }

@@ -99,4 +99,31 @@ class StreamySpec extends AnyFunSuite {
         Files.createTempDirectory("graft_queue2").toString, ckpt)(identity)
     }
   }
+
+  test("intervalJoin: REAL stream-stream join matches the batch range join") {
+    // batch truth: user 7 pairs 1→2 (50min) and 2→3 (15min); 1→3 is 65min
+    // (outside the hour); user 8 has a single event
+    val expected = Set(
+      (7L, 1L, 2L, "click", 3000000000L),
+      (7L, 2L, 3L, "view", 900000000L))
+    val batch = Streamy.intervalJoin(events, events)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(batch == expected)
+
+    val dir = Files.createTempDirectory("graft_ij").toString
+    val ckpt = Files.createTempDirectory("graft_ij_ckpt").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def stream = spark.readStream.schema(schema).parquet(dir)
+    // inner stream-stream join: matches emit as they arrive; the watermark +
+    // interval condition only bound the buffered state
+    val q = Streamy.intervalJoin(stream, stream).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ij").outputMode("append").start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ij")
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(streamed == expected)
+  }
 }
