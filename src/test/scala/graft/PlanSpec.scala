@@ -119,6 +119,36 @@ class PlanSpec extends AnyFunSuite {
     }, "misses must plan as a LEFT ANTI join")
   }
 
+  test("line dedup: first-owner window partitions by line content, never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = flatten(SparkEntry.queries("dedup_lines")(spark, d)
+      .queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "line ownership must use a window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "a global (unpartitioned) window over the exploded corpus is a " +
+        "single-task sort at scale")
+  }
+
+  test("vocab build: map-side partial aggregation and top-k without a full vocab sort") {
+    val p = plan("vocab_top")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"token rollup must partial-aggregate before the exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must plan as TakeOrdered, not a global Sort of the vocabulary:\n$p")
+  }
+
+  test("interval join keys on user_id (equi hash join, range as residual — never a cartesian)") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val nodes = flatten(SparkEntry.queries("stream_interval_join")(spark, d)
+      .queryExecution.executedPlan)
+    val joins = nodes.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, "interval join must plan as a join")
+    assert(joins.forall(_.leftKeys.nonEmpty),
+      s"the user_id equality must be the equi-key; a pure range condition " +
+        s"would plan as a nested-loop cartesian:\n${joins.mkString("\n")}")
+  }
+
   test("wide merge joins aggregated frames without shuffling the base") {
     val df = SparkEntry.queries("merge_wide")(spark, d)
     df.count() // let AQE finalize
