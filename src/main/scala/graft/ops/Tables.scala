@@ -64,8 +64,10 @@ object Tables {
     memo(spark, s"$dir/$name.parquet")(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Drop every memoized frame (all sessions) — required before re-reading
-    * a table directory that was rewritten in place. */
-  def invalidate(): Unit = frames.clear()
+    * a table directory that was rewritten in place. Takes the same lock as
+    * [[memo]]: WeakHashMap is not thread-safe, and an unsynchronized
+    * clear() racing a put() can corrupt the bucket chains. */
+  def invalidate(): Unit = frames.synchronized { frames.clear() }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
