@@ -130,7 +130,33 @@ object QueriesExt {
           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
         FROM events a JOIN events b ON a.user_id = b.user_id
           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-        ORDER BY src_id, dst_id""")))
+        ORDER BY src_id, dst_id""")),
+    "asof_join" -> Q(
+      // as-of join (X18): stamp every non-signup event with the user's most
+      // recent signup at or before it. Spark side is the one-shuffle union +
+      // running last-non-null window ([[AsOf.join]]); the oracle is DuckDB's
+      // NATIVE ASOF JOIN — a genuinely independent formulation, so the
+      // semantics (not just the construction) are what's pinned.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val snaps = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"),
+            col("value").as("snap_value"), col("event_id").as("snap_id"))
+        val lefts = e.filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        AsOf.join(lefts, snaps, "user_id", "ts", Seq("snap_value", "snap_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("snap_id"), col("snap_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, l.event_type,
+          s.snap_id, s.snap_value
+        FROM (SELECT event_id, user_id, ts, event_type FROM events
+              WHERE event_type <> 'signup') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS snap_value,
+              event_id AS snap_id FROM events WHERE event_type = 'signup') s
+          ON l.user_id = s.user_id AND l.ts >= s.ts
+        ORDER BY event_id""")))
 
   // ---- §2.11 dedup family ---------------------------------------------
   private val dedupQueries: Seq[(String, Q)] = Seq(
