@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * row (tag order), so an exactly-simultaneous snapshot attaches — the
   * standard `<=` as-of bound. The caller must ensure (key, ts) is unique
   * WITHIN the right side; duplicate right timestamps per key would make
-  * "latest" ambiguous. A NULL in a right value column is treated as absent
-  * (last-non-null looks past it) — the SQL-standard gaps-and-islands fill.
+  * "latest" ambiguous. The latest right row attaches AS A UNIT: its value
+  * columns travel together in one struct through the window, so a NULL
+  * value in that row stays NULL in the output (native ASOF semantics) —
+  * per-column independent fill would stitch together a row that never
+  * existed on the right side.
   */
 object AsOf {
 
@@ -37,19 +40,25 @@ object AsOf {
     require(valueCols.nonEmpty, "as-of join needs at least one value column")
     val clash = valueCols.filter(left.columns.contains)
     require(clash.isEmpty, s"right value columns collide with left: $clash")
+    val reserved = Seq("__tag", "__vals")
+    val taken = reserved.filter(r =>
+      left.columns.contains(r) || right.columns.contains(r))
+    require(taken.isEmpty, s"column names reserved by the as-of join: $taken")
     val payload = left.columns.filterNot(c => c == key || c == tsCol).toSeq
-    val lSide = left.select(Seq(col(key), col(tsCol)) ++ payload.map(col) ++
-      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-      lit(1).as("__tag"): _*)
+    val valsType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
+    val lSide = left.select(Seq(col(key), col(tsCol)) ++ payload.map(col) :+
+      lit(null).cast(valsType).as("__vals") :+ lit(1).as("__tag"): _*)
     val rSide = right.select(Seq(col(key), col(tsCol)) ++
-      payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      valueCols.map(col) :+ lit(0).as("__tag"): _*)
+      payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(valueCols.map(col): _*).as("__vals") :+ lit(0).as("__tag"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__tag") === 1).drop("__tag")
+    lSide.unionByName(rSide)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(Seq(col(key), col(tsCol)) ++ payload.map(col) ++
+        valueCols.map(c => col(s"__vals.$c").as(c)): _*)
   }
 }
