@@ -90,4 +90,45 @@ class PropertySpec extends AnyFunSuite {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
     assert(r.passed, r.status.toString)
   }
+
+  test("as-of join equals the per-row brute force on random frames (incl. NULL values)") {
+    // the one-shuffle window formulation must be ROW-identical to "for each
+    // left row, take the latest right row with the same key and ts <= left
+    // ts, nulls included" for any key/ts distribution
+    lazy val spark = TestSpark.spark
+    import spark.implicits._
+    val leftGen = for {
+      id <- Gen.chooseNum(0L, 10000L)
+      k <- Gen.chooseNum(0L, 5L)
+      ts <- Gen.chooseNum(0L, 100L)
+    } yield (id, k, ts)
+    val rightGen = for {
+      k <- Gen.chooseNum(0L, 5L)
+      ts <- Gen.chooseNum(0L, 100L)
+      v <- Gen.option(Gen.chooseNum(-100.0, 100.0))
+      sid <- Gen.chooseNum(0L, 10000L)
+    } yield (k, ts, v, sid)
+    val frameGen = for {
+      nl <- Gen.chooseNum(1, 40)
+      nr <- Gen.chooseNum(0, 40)
+      ls <- Gen.listOfN(nl, leftGen)
+      rs <- Gen.listOfN(nr, rightGen)
+    } yield (ls.distinctBy(_._1), rs.distinctBy(r => (r._1, r._2)))
+    val p = Prop.forAll(frameGen) { case (ls, rs) =>
+      val l = ls.toDF("event_id", "k", "ts")
+      val r = rs.toDF("k", "ts", "sv", "sid")
+      val got = graft.ops.AsOf.join(l, r, "k", "ts", Seq("sv", "sid"))
+        .select($"event_id", $"sv", $"sid")
+        .as[(Long, Option[Double], Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      val expect = ls.map { case (id, k, ts) =>
+        val best = rs.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption
+        id -> ((best.flatMap(_._3), best.map(_._4)))
+      }.toMap
+      got.size == ls.size && got == expect.map { case (k, (v, s)) => k -> ((v, s)) }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(r.passed, r.status.toString)
+  }
 }
