@@ -869,6 +869,31 @@ object QueriesExt {
             CASE WHEN hi > lo THEN CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS BIGINT)
             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS qsum
         FROM b ORDER BY vec_id""")),
+    "project_embed" -> Q(
+      // X19 random-projection dimensionality reduction: each embedding's
+      // float projections onto the first 4 Walsh/Hadamard hyperplanes
+      // (plane j flips sign with index bit j — the same deterministic,
+      // mutually-orthogonal construction WalshSignBits quantizes to signs;
+      // here the raw projection VALUES are the reduced features). Stateless
+      // per-row map; both engines sum left-to-right so the rounded doubles
+      // match exactly.
+      (s, d) => {
+        def proj(j: Int) = {
+          val pow = 1 << j
+          round(expr(s"""aggregate(transform(sequence(0, size(v)-1),
+              i -> element_at(v, i+1) * (1 - 2 * ((i div $pow) % 2))),
+            cast(0.0 as double), (a, x) -> a + x)"""), 6).as(s"p$j")
+        }
+        emb(s, d).select(col("vec_id"), proj(0), proj(1), proj(2), proj(3))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS ($embSql)
+        SELECT vec_id,
+          round(list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 1) % 2)))), 6) AS p0,
+          round(list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 2) % 2)))), 6) AS p1,
+          round(list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 4) % 2)))), 6) AS p2,
+          round(list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 8) % 2)))), 6) AS p3
+        FROM e ORDER BY vec_id""")),
     "dedup_keep_best" -> Q(
       // Quality-aware dedup retention: instead of X6's keep-min-id purge,
       // keep each duplicate cluster's BEST document (longest text, ties to
