@@ -988,9 +988,183 @@ object QueriesExt {
           CAST(sum(n_chars) OVER (ORDER BY hkey, doc_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h)
         SELECT doc_id, lang, n_chars, cum FROM c WHERE cum <= 50000
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+    "group_sample" -> Q(
+      // Exact-N stratified sample (X25): within each (lang, source) stratum
+      // keep the 5 docs with the smallest salted-md5 rank — deterministic,
+      // engine-portable (same md5 string ordering both sides), and exact
+      // per-stratum counts (unlike the rate-based sample_mix). The rk <= 5
+      // filter lets the optimizer insert WindowGroupLimit, so each task
+      // keeps a 5-row heap per stratum instead of sorting whole strata —
+      // the shape that survives billion-row strata.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(md5(concat(lit("smp:"), col("doc_id").cast("string"))), col("doc_id"))
+        docs(s, d).select(col("doc_id"), col("lang"), col("source"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy("lang", "source", "rk")
+      },
+      Some("""SELECT doc_id, lang, source, rk FROM (
+          SELECT doc_id, lang, source,
+            CAST(row_number() OVER (PARTITION BY lang, source
+              ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY lang, source, rk""")))
+
+  // ---- §2.11 batch event analytics + retrieval index build (X20-X24) ---
+  private val analyticsQueries: Seq[(String, Q)] = Seq(
+    "funnel_stages" -> Q(
+      // Ordered funnel (X20): earliest view → first click after it → first
+      // purchase after that, per user, plus the deepest stage reached.
+      // Every step shares the user_id partitioning (see Analytics.funnel's
+      // scale note); the oracle re-derives the chain with sequential CTEs.
+      (s, d) => Analytics.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("stage"))
+        .orderBy("user_id"),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT s1.user_id, t1, t2, t3,
+          CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+                 + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s2.user_id = s3.user_id
+        ORDER BY s1.user_id""")),
+    "retention_cohorts" -> Q(
+      // Weekly cohort retention (X21): distinct active users per
+      // (first-seen day, whole weeks since). Integer day arithmetic only —
+      // both engines floor datediff/7 on identical ints.
+      (s, d) => Analytics.retention(Tables.events(s, d))
+        .orderBy("cohort_day", "week_off"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        SELECT cohort_day,
+          CAST(floor(date_diff('day', cohort_day, day) / 7) AS BIGINT) AS week_off,
+          count(DISTINCT e.user_id) AS users
+        FROM e JOIN c ON e.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY cohort_day, week_off""")),
+    "tfidf_top" -> Q(
+      // TF-IDF top terms (X22): per-document top-3 tokens by
+      // tf · ln(N/df). The score is rounded to 6 decimals BEFORE ranking so
+      // both engines make identical ordering decisions (the file-header
+      // float-parity rule); ties break on token. Scale shape: two
+      // token-keyed aggregates + one token equi-join (vocabulary-sized
+      // build side, AQE decides broadcast), then a per-doc rank window the
+      // optimizer caps with WindowGroupLimit — no vocab-wide sort, no
+      // driver-side N (the corpus count rides in as a broadcast 1-row
+      // cross join).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
+        val tok = base.repartition(LlmOps.spreadWidth(base))
+          .select(col("doc_id"),
+            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val nDocs = base.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_r").desc, col("token").asc)
+        tf.join(dfq, Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score_r",
+            round(col("tf") * log(col("n_docs") / col("df")), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("score_r"), col("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          tok AS (SELECT doc_id, token FROM n, unnest(w) AS u(token)),
+          tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2),
+          dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          sc AS (SELECT doc_id, tf.token AS token, tf, df,
+              round(tf * ln(n_docs / df), 6) AS score_r
+            FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN nd),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_r DESC, token ASC) AS BIGINT) AS rk FROM sc)
+        SELECT doc_id, token, tf, df, score_r, rk FROM rk
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+    "text_entropy" -> Q(
+      // Token-entropy quality signal (X23): unigram Shannon entropy via the
+      // summation-stable rearrangement H = ln(n) − Σ c·ln(c) / n, plus
+      // type-token ratio. Σ c·ln(c) sums ≤ |vocab per doc| terms, so
+      // partial-agg order noise is ~1e-13 — far under the 6-decimal round.
+      // Two map-side-combinable aggregates, no window, no join.
+      (s, d) => {
+        val base = docs(s, d)
+        val tok = base.repartition(LlmOps.spreadWidth(base))
+          .select(col("doc_id"),
+            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_unique"),
+            sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+          .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+            round(log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"), 6)
+              .as("entropy_r"),
+            round(col("n_unique").cast("double") / col("n_tokens"), 6).as("ttr_r"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          tok AS (SELECT doc_id, token FROM n, unnest(w) AS u(token)),
+          tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_unique,
+              sum(c * ln(c)) AS s FROM tf GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_unique,
+          round(ln(n_tokens) - s / n_tokens, 6) AS entropy_r,
+          round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS ttr_r
+        FROM a ORDER BY doc_id""")),
+    "index_postings" -> Q(
+      // Inverted-index build (X24): token → document frequency + the first
+      // 8 doc ids, for the 100 highest-df tokens. The posting list is
+      // BOUNDED before collection: a per-token rank window (optimizer caps
+      // it with WindowGroupLimit, so no full per-token sort) keeps 8 rows
+      // per token, and only those are collect_list'd — the payload per
+      // token is O(8) regardless of corpus size. df and postings share the
+      // token partitioning; the top-100 is TakeOrdered, not a global sort.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
+        val tok = base.repartition(LlmOps.spreadWidth(base))
+          .select(col("doc_id"),
+            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        val perDoc = tok.select(col("token"), col("doc_id")).distinct()
+        val dfq = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+        val heads = perDoc
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+          .groupBy(col("token"))
+          .agg(array_join(
+            transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+            ",").as("postings"))
+        dfq.join(heads, Seq("token"))
+          .orderBy(col("df").desc, col("token").asc)
+          .limit(100)
+          .select(col("token"), col("df"), col("postings"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          tok AS (SELECT doc_id, token FROM n, unnest(w) AS u(token)),
+          per AS (SELECT DISTINCT token, doc_id FROM tok),
+          v AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+              array_to_string(list_transform(list_slice(list_sort(list(doc_id)), 1, 8),
+                x -> CAST(x AS VARCHAR)), ',') AS postings
+            FROM per GROUP BY token)
+        SELECT token, df, postings FROM v
+        ORDER BY df DESC, token ASC LIMIT 100""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++
-      pipelineQueries ++ curationQueries
+      pipelineQueries ++ curationQueries ++ analyticsQueries
 }

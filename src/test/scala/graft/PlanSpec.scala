@@ -156,4 +156,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("AQEShuffleRead"),
       s"merge should broadcast small aggregated frames:\n$p")
   }
+
+  test("group_sample: the rank filter becomes WindowGroupLimit (per-stratum " +
+    "5-row heaps, never a whole-stratum sort)") {
+    val p = plan("group_sample")
+    assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
+  }
+
+  test("index_postings: bounded posting collection and TakeOrdered top-100") {
+    val p = plan("index_postings")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-token head must be capped before collect_list:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-100 must not be a global sort:\n$p")
+  }
+
+  test("tfidf: per-doc rank capped by WindowGroupLimit") {
+    val p = plan("tfidf_top")
+    assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
+  }
+
+  test("funnel: every hash exchange keys on user_id (one partitioning " +
+    "carried across all stages)") {
+    val p = plan("funnel_stages")
+    val parts = "hashpartitioning\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected user_id hash exchanges:\n$p")
+    assert(parts.forall(_.startsWith("user_id")),
+      s"a funnel stage shuffled on a non-user key: $parts")
+  }
 }
