@@ -46,7 +46,11 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     val df = rows.toDF("user_id", "event_type", "ts")
     val got = Analytics.funnel(df, Seq("view", "click", "purchase"))
-      .select($"user_id", $"stage").as[(Long, Int)].collect().toMap
+      .select($"user_id", $"t1", $"t2", $"t3", $"stage")
+      .collect().map { r =>
+        def t(i: Int) = if (r.isNullAt(i)) None else Some(r.getTimestamp(i).getTime)
+        r.getLong(0) -> ((t(1), t(2), t(3), r.getInt(4)))
+      }.toMap
 
     val expect = rows.groupBy(_._1).flatMap { case (u, es) =>
       def nextAfter(t: String, after: Option[Long]): Option[Long] = {
@@ -57,7 +61,7 @@ class AnalyticsSpec extends AnyFunSuite {
       nextAfter("view", None).map { t1 =>
         val t2 = nextAfter("click", Some(t1))
         val t3 = t2.flatMap(t => nextAfter("purchase", Some(t)))
-        u -> (1 + t2.size + t3.size)
+        u -> ((Some(t1): Option[Long], t2, t3, 1 + t2.size + t3.size))
       }
     }
     assert(got == expect)
@@ -106,36 +110,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("text_entropy: uniform tokens hit ln(k), single token hits 0") {
-    // constructed directly over the operator's algebra using a local frame
-    val docs = Seq(
-      (1L, "a b c d"),   // 4 distinct tokens once each -> H = ln(4)
-      (2L, "x x x x")    // one token -> H = 0, ttr = 0.25
-    ).toDF("doc_id", "text")
-    val tf = docs.select($"doc_id",
-        explode(split(graft.ops.LlmOps.normText($"text"), " ")).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n"), count(lit(1)).as("u"),
-        sum($"c".cast("double") * log($"c".cast("double"))).as("s"))
-      .select($"doc_id",
-        round(log($"n".cast("double")) - $"s" / $"n", 6).as("h"),
-        round($"u".cast("double") / $"n", 6).as("ttr"))
-      .as[(Long, Double, Double)].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(math.abs(tf(1L)._1 - math.log(4)) < 1e-6 && tf(1L)._2 == 1.0)
-    assert(tf(2L)._1 == 0.0 && tf(2L)._2 == 0.25)
+  test("text_entropy: the production query matches a per-doc brute force") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("text_entropy")(spark, d)
+      .select($"doc_id", $"n_tokens", $"n_unique", $"entropy_r", $"ttr_r")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val raw = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(raw.nonEmpty && got.size == raw.length)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    raw.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = toks.length.toLong
+      val s = counts.values.map(c => c.toDouble * math.log(c.toDouble)).sum
+      val (gn, gu, gh, gt) = got(id)
+      assert(gn == n && gu == counts.size.toLong, s"doc $id token counts")
+      assert(math.abs(gh - r6(math.log(n.toDouble) - s / n)) < 1e-9, s"doc $id entropy")
+      assert(math.abs(gt - r6(counts.size.toDouble / n)) < 1e-9, s"doc $id ttr")
+    }
   }
 
-  test("tfidf: corpus-wide tokens score 0, rarer tokens rank first") {
-    val out = SparkEntry.queries("tfidf_top")(spark, "/root/testdata/sf0.001")
-      .select($"doc_id", $"df", $"score_r", $"rk").as[(Long, Long, Double, Long)]
-      .collect()
+  test("tfidf: scores equal tf*ln(N/df) recomputed, corpus-wide tokens score 0") {
+    val d = "/root/testdata/sf0.001"
+    val nDocs = graft.ops.Tables.documents(spark, d).count()
+    val out = SparkEntry.queries("tfidf_top")(spark, d)
+      .select($"doc_id", $"tf", $"df", $"score_r", $"rk")
+      .as[(Long, Long, Long, Double, Long)].collect()
     assert(out.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (doc, tf, df, score, _) =>
+      val expect = r6(tf * math.log(nDocs.toDouble / df))
+      assert(math.abs(score - expect) < 1e-9,
+        s"doc $doc: score $score != tf*ln(N/df) $expect (tf=$tf df=$df)")
+      if (df == nDocs) assert(score == 0.0, "ubiquitous token must score 0")
+    }
     val byDoc = out.groupBy(_._1)
     byDoc.values.foreach { rows =>
       assert(rows.length <= 3)
-      val ordered = rows.sortBy(_._4).map(_._3)
+      val ordered = rows.sortBy(_._5).map(_._4)
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
         "rank order follows rounded score desc")
     }
