@@ -1162,7 +1162,94 @@ object QueriesExt {
                 x -> CAST(x AS VARCHAR)), ',') AS postings
             FROM per GROUP BY token)
         SELECT token, df, postings FROM v
-        ORDER BY df DESC, token ASC LIMIT 100""")))
+        ORDER BY df DESC, token ASC LIMIT 100""")),
+    "hist_values" -> Q(
+      // Fixed-width value histogram (X26): 20 equal buckets between the
+      // global min/max. The bounds ride in as a broadcast 1-row cross join
+      // (no driver collect); the bucket id is pure per-row IEEE arithmetic
+      // (identical cross-engine), and the per-bucket stats are exact
+      // (count/min/max — no order-sensitive float sums). One
+      // map-side-combinable aggregate after a stateless map.
+      (s, d) => {
+        val px = Tables.pixels(s, d).select(col("value"))
+        val bounds = px.agg(min("value").as("lo"), max("value").as("hi"))
+        px.crossJoin(broadcast(bounds))
+          .select(least(lit(19), floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 20))).cast("int").as("bucket"),
+            col("value"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), min("value").as("lo_v"), max("value").as("hi_v"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          b AS (SELECT min(value) AS lo, max(value) AS hi FROM pixels)
+        SELECT CAST(least(19, floor((value - lo) / ((hi - lo) / 20))) AS INT) AS bucket,
+          count(*) AS n, min(value) AS lo_v, max(value) AS hi_v
+        FROM pixels CROSS JOIN b
+        GROUP BY 1 ORDER BY bucket""")),
+    "embed_centroids" -> Q(
+      // Per-label centroid (X27): mean embedding per class, one row per
+      // (label, dimension). posexplode → (label, dim)-keyed partial-avg —
+      // a single shuffle whose cardinality is labels × dims, independent
+      // of corpus size. The oracle zips DuckDB's parallel unnest of the
+      // vector with its index range.
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        e.groupBy(col("label"), col("dim"))
+          .agg(round(avg("v"), 6).as("mean_r"), count(lit(1)).as("n"))
+          .orderBy("label", "dim")
+      },
+      Some("""WITH x AS (SELECT label,
+            CAST(unnest(range(len(embedding))) AS INT) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS v
+          FROM embeddings)
+        SELECT label, dim, round(avg(v), 6) AS mean_r, count(*) AS n
+        FROM x GROUP BY 1, 2 ORDER BY label, dim""")),
+    "extract_winsor" -> Q(
+      // Winsorized zone mean (X28): values clamped to the zone's
+      // [p05, p95] before averaging — the robust-statistics companion to
+      // the A-catalog mean. Exact interpolated percentiles per zone (the
+      // same percentile/quantile_cont pairing extract_percentile pins),
+      // joined back on the zone key: the join reuses the aggregate's hash
+      // partitioning and AQE broadcasts the |zones|-row percentile frame.
+      (s, d) => {
+        val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
+        val qs = px.groupBy("asdf_id").agg(
+          percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        px.join(qs, Seq("asdf_id"))
+          .select(col("asdf_id"),
+            greatest(col("p05"), least(col("p95"), col("value"))).as("wv"))
+          .groupBy("asdf_id")
+          .agg(round(avg("wv"), 6).as("winsor_mean"), count(lit(1)).as("n"))
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          q AS (SELECT asdf_id, quantile_cont(value, 0.05) AS p05,
+              quantile_cont(value, 0.95) AS p95
+            FROM pixels GROUP BY asdf_id)
+        SELECT pixels.asdf_id,
+          round(avg(greatest(p05, least(p95, value))), 6) AS winsor_mean,
+          count(*) AS n
+        FROM pixels JOIN q ON pixels.asdf_id = q.asdf_id
+        GROUP BY 1 ORDER BY pixels.asdf_id""")),
+    "zone_corr" -> Q(
+      // Per-zone correlation/covariance (X29): Pearson corr and sample
+      // covariance of (value, weight) — the bivariate extension of the
+      // std/var extracts. Single map-side-combinable aggregate; both
+      // engines use the standard co-moment formulas, and the result is
+      // rounded to 6 decimals like every cross-engine float decision.
+      (s, d) => Tables.pixels(s, d)
+        .groupBy("asdf_id")
+        .agg(round(corr(col("value"), col("weight")), 6).as("corr_r"),
+          round(covar_samp(col("value"), col("weight")), 6).as("covar_r"),
+          count(lit(1)).as("n"))
+        .orderBy("asdf_id"),
+      Some(s"""WITH pixels AS (${Tables.pixelsSql})
+        SELECT asdf_id, round(corr(value, weight), 6) AS corr_r,
+          round(covar_samp(value, weight), 6) AS covar_r, count(*) AS n
+        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -176,6 +176,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
   }
 
+  test("hist_values: the min/max bounds broadcast (no fact-side shuffle for the cross join)") {
+    val p = plan("hist_values")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row bounds frame must broadcast:\n$p")
+    assert(p.contains("partial_count"), "bucket counts must partial-aggregate map-side")
+  }
+
+  test("embed_centroids: (label, dim) aggregate partial-aggregates map-side") {
+    val p = plan("embed_centroids")
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      s"centroid means must combine before the exchange:\n$p")
+  }
+
+  test("extract_winsor: percentile frame joins back without shuffling twice on the zone key") {
+    val df = SparkEntry.queries("extract_winsor")(spark, d)
+    df.count() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("AQEShuffleRead"),
+      s"the |zones|-row percentile frame should broadcast under AQE:\n$p")
+  }
+
   test("funnel: every hash exchange keys on user_id (one partitioning " +
     "carried across all stages)") {
     val p = plan("funnel_stages")
