@@ -1174,8 +1174,12 @@ object QueriesExt {
         val px = Tables.pixels(s, d).select(col("value"))
         val bounds = px.agg(min("value").as("lo"), max("value").as("hi"))
         px.crossJoin(broadcast(bounds))
-          .select(least(lit(19), floor((col("value") - col("lo")) /
-            ((col("hi") - col("lo")) / 20))).cast("int").as("bucket"),
+          // degenerate hi == lo would divide 0/0: Spark floors NaN to 0
+          // while DuckDB's NaN ranks above 19 in least() — guard explicitly
+          // so both engines agree on single-value data
+          .select(when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(19), floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / 20))).cast("int")).as("bucket"),
             col("value"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"), min("value").as("lo_v"), max("value").as("hi_v"))
@@ -1183,7 +1187,9 @@ object QueriesExt {
       },
       Some(s"""WITH pixels AS (${Tables.pixelsSql}),
           b AS (SELECT min(value) AS lo, max(value) AS hi FROM pixels)
-        SELECT CAST(least(19, floor((value - lo) / ((hi - lo) / 20))) AS INT) AS bucket,
+        SELECT CASE WHEN hi = lo THEN 0
+            ELSE CAST(least(19, floor((value - lo) / ((hi - lo) / 20))) AS INT)
+          END AS bucket,
           count(*) AS n, min(value) AS lo_v, max(value) AS hi_v
         FROM pixels CROSS JOIN b
         GROUP BY 1 ORDER BY bucket""")),

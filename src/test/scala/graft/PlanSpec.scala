@@ -178,8 +178,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("hist_values: the min/max bounds broadcast (no fact-side shuffle for the cross join)") {
     val p = plan("hist_values")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"the 1-row bounds frame must broadcast:\n$p")
+    // BroadcastExchange alone is NOT evidence — Tables.pixels always
+    // broadcasts the supplier dim. The bounds cross join itself must plan
+    // as a broadcast nested-loop, never a cartesian.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bounds frame must broadcast-nested-loop join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bounds join became a cartesian:\n$p")
     assert(p.contains("partial_count"), "bucket counts must partial-aggregate map-side")
   }
 
@@ -189,12 +193,16 @@ class PlanSpec extends AnyFunSuite {
       s"centroid means must combine before the exchange:\n$p")
   }
 
-  test("extract_winsor: percentile frame joins back without shuffling twice on the zone key") {
+  test("extract_winsor: percentile frame joins back without a sort-merge on the zone key") {
     val df = SparkEntry.queries("extract_winsor")(spark, d)
-    df.count() // let AQE finalize
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin") || p.contains("AQEShuffleRead"),
-      s"the |zones|-row percentile frame should broadcast under AQE:\n$p")
+    df.collect() // execute THIS frame so its adaptive plan finalizes
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), s"AQE plan not finalized:\n$full")
+    // toString appends the pre-AQE "== Initial Plan ==" which legitimately
+    // names SortMergeJoin; only the final section is the executed shape
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"),
+      s"the |zones|-row percentile frame must broadcast under AQE, not sort-merge:\n$p")
   }
 
   test("funnel: every hash exchange keys on user_id (one partitioning " +
