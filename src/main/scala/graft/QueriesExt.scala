@@ -1037,6 +1037,34 @@ object QueriesExt {
         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
           LEFT JOIN s3 ON s2.user_id = s3.user_id
         ORDER BY s1.user_id""")),
+    "funnel_state" -> Q(
+      // T7: the SAME funnel semantics as funnel_stages, but computed by the
+      // keyed-state operator (mapGroupsWithState) through its batch path —
+      // the oracle is identical, so the state machine's fold is pinned
+      // against the declarative chain. The stream path (state carried
+      // across real micro-batches) runs in StreamySpec.
+      (s, d) => Streamy.funnelProgress(Tables.events(s, d)).toDF()
+        .filter(col("t1_us").isNotNull)
+        .select(col("user_id"),
+          timestamp_micros(col("t1_us")).as("t1"),
+          timestamp_micros(col("t2_us")).as("t2"),
+          timestamp_micros(col("t3_us")).as("t3"),
+          col("stage"))
+        .orderBy("user_id"),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT s1.user_id, t1, t2, t3,
+          CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+                 + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s2.user_id = s3.user_id
+        ORDER BY s1.user_id""")),
     "retention_cohorts" -> Q(
       // Weekly cohort retention (X21): distinct active users per
       // (first-seen day, whole weeks since). Integer day arithmetic only —

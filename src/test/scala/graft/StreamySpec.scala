@@ -126,4 +126,55 @@ class StreamySpec extends AnyFunSuite {
       .as[(Long, Long, Long, String, Long)].collect().toSet
     assert(streamed == expected)
   }
+
+  test("funnelProgress: state carries across REAL micro-batches (T7)") {
+    import org.apache.spark.sql.functions._
+    // batch 1: user 7 views; batch 2 (later files): clicks then purchases.
+    // A single-batch run could pass without any cross-batch state, so the
+    // stages are SPLIT across files and maxFilesPerTrigger=1 forces one
+    // file per micro-batch.
+    def ev(id: Long, u: Long, tpe: String, t: String) =
+      (id, u, tpe, java.sql.Timestamp.valueOf(t))
+    val batch1 = Seq(
+      ev(1, 7, "view", "2024-01-01 00:00:00"),
+      ev(2, 8, "click", "2024-01-01 00:10:00")) // click before any view
+    val batch2 = Seq(
+      ev(3, 7, "click", "2024-01-01 01:00:00"),
+      ev(4, 7, "purchase", "2024-01-01 02:00:00"),
+      ev(5, 8, "view", "2024-01-01 01:00:00"))
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    batch1.toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtimes => deterministic file order
+    batch2.toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streamy.funnelProgress(stream).toDF().writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("funnel").outputMode("update").start()
+    q.awaitTermination(60000)
+    // update mode emits a refreshed row per user per batch; the final
+    // state per user is the max-stage row
+    val finalState = spark.table("funnel")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .as[(Long, Int)].collect().toMap
+    // user 7 progressed view(b1) -> click+purchase(b2) ACROSS batches;
+    // user 8's click arrived before their view and must not count
+    assert(finalState == Map(7L -> 3, 8L -> 1))
+    // and the batch path matches Analytics.funnel exactly on the union
+    val all = (batch1 ++ batch2).toDF("event_id", "user_id", "event_type", "ts")
+    val fsm = Streamy.funnelProgress(all).toDF()
+      .filter($"t1_us".isNotNull)
+      .select($"user_id", $"t1_us", $"t2_us", $"t3_us", $"stage")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.getInt(4))).toSet
+    val decl = graft.ops.Analytics.funnel(all, Seq("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"t1"), unix_micros($"t2"),
+        unix_micros($"t3"), $"stage")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.getInt(4))).toSet
+    assert(fsm == decl)
+  }
 }
