@@ -1013,17 +1013,12 @@ object QueriesExt {
           FROM documents)
         WHERE rk <= 5 ORDER BY lang, source, rk""")))
 
-  // ---- §2.11 batch event analytics + retrieval index build (X20-X24) ---
-  private val analyticsQueries: Seq[(String, Q)] = Seq(
-    "funnel_stages" -> Q(
-      // Ordered funnel (X20): earliest view → first click after it → first
-      // purchase after that, per user, plus the deepest stage reached.
-      // Every step shares the user_id partitioning (see Analytics.funnel's
-      // scale note); the oracle re-derives the chain with sequential CTEs.
-      (s, d) => Analytics.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
-        .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("stage"))
-        .orderBy("user_id"),
-      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+  /** The ordered-funnel oracle, shared verbatim by `funnel_stages`
+    * (declarative chain) and `funnel_state` (keyed-state FSM) — one
+    * definition so the two implementations can never validate against
+    * diverged semantics. */
+  private val funnelOracleSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
             WHERE event_type = 'view' GROUP BY 1),
           s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
             JOIN s1 ON e.user_id = s1.user_id
@@ -1036,7 +1031,19 @@ object QueriesExt {
                  + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
           LEFT JOIN s3 ON s2.user_id = s3.user_id
-        ORDER BY s1.user_id""")),
+        ORDER BY s1.user_id"""
+
+  // ---- §2.11 batch event analytics + retrieval index build (X20-X24) ---
+  private val analyticsQueries: Seq[(String, Q)] = Seq(
+    "funnel_stages" -> Q(
+      // Ordered funnel (X20): earliest view → first click after it → first
+      // purchase after that, per user, plus the deepest stage reached.
+      // Every step shares the user_id partitioning (see Analytics.funnel's
+      // scale note); the oracle re-derives the chain with sequential CTEs.
+      (s, d) => Analytics.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("stage"))
+        .orderBy("user_id"),
+      Some(funnelOracleSql)),
     "funnel_state" -> Q(
       // T7: the SAME funnel semantics as funnel_stages, but computed by the
       // keyed-state operator (mapGroupsWithState) through its batch path —
@@ -1051,20 +1058,7 @@ object QueriesExt {
           timestamp_micros(col("t3_us")).as("t3"),
           col("stage"))
         .orderBy("user_id"),
-      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY 1),
-          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-            JOIN s1 ON e.user_id = s1.user_id
-            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-            JOIN s2 ON e.user_id = s2.user_id
-            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-        SELECT s1.user_id, t1, t2, t3,
-          CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
-                 + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
-        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-          LEFT JOIN s3 ON s2.user_id = s3.user_id
-        ORDER BY s1.user_id""")),
+      Some(funnelOracleSql)),
     "retention_cohorts" -> Q(
       // Weekly cohort retention (X21): distinct active users per
       // (first-seen day, whole weeks since). Integer day arithmetic only —

@@ -138,7 +138,8 @@ object Streamy {
     typed.groupByKey(_._1)
       .mapGroupsWithState[FunnelStamps, FunnelRow](GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[FunnelStamps]) =>
-          var st = state.getOption.getOrElse(FunnelStamps(None, None, None))
+          val prev = state.getOption.getOrElse(FunnelStamps(None, None, None))
+          var st = prev
           // restore event-time order within the invocation; the sorted seq
           // is one user's slice of one micro-batch, not the corpus
           rows.toSeq.sortBy(_._3).foreach { case (_, tpe, us) =>
@@ -149,7 +150,9 @@ object Streamy {
               if (st.t3.isEmpty && st.t2.exists(_ < us)) st = st.copy(t3 = Some(us))
             }
           }
-          state.update(st)
+          // persist only real progress: a no-view user must not grow the
+          // state store, and an unchanged user must not rewrite its entry
+          if (st != prev && st.t1.nonEmpty) state.update(st)
           FunnelRow(uid, st.t1, st.t2, st.t3,
             st.t1.size + st.t2.size + st.t3.size)
       }

@@ -65,7 +65,7 @@ class StreamySpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("memory").queryName("deduped").outputMode("append").start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
     val out = spark.table("deduped")
     assert(out.count() == events.count())
     assert(out.select("event_id").distinct().count() == events.count())
@@ -121,7 +121,7 @@ class StreamySpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("memory").queryName("ij").outputMode("append").start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
     val streamed = spark.table("ij")
       .as[(Long, Long, Long, String, Long)].collect().toSet
     assert(streamed == expected)
@@ -156,7 +156,7 @@ class StreamySpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("memory").queryName("funnel").outputMode("update").start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
     // update mode emits a refreshed row per user per batch; the final
     // state per user is the max-stage row
     val finalState = spark.table("funnel")
