@@ -84,6 +84,30 @@ class AnalyticsSpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
 
+  test("retention matches a per-user brute force on random event logs") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { _ =>
+      (rnd.nextInt(40).toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(60) * 86400000L +
+          rnd.nextInt(86400) * 1000L))
+    }
+    val df = rows.toDF("user_id", "ts")
+    val got = Analytics.retention(df)
+      .select($"cohort_day".cast("string"), $"week_off", $"users")
+      .as[(String, Long, Long)].collect().toSet
+
+    val dayMs = 86400000L
+    def utcDay(t: Timestamp): Long = t.getTime / dayMs // epoch is UTC-midnight-aligned
+    val cohort = rows.groupBy(_._1).view.mapValues(es => es.map(e => utcDay(e._2)).min)
+    val expect = rows
+      .map { case (u, t) => (cohort(u), (utcDay(t) - cohort(u)) / 7, u) }
+      .groupBy(p => (p._1, p._2))
+      .map { case ((cd, w), us) =>
+        (java.time.LocalDate.ofEpochDay(cd).toString, w, us.map(_._3).distinct.size.toLong)
+      }.toSet
+    assert(got == expect)
+  }
+
   test("group_sample keeps exactly min(5, stratum size) rows, deterministically") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("group_sample")
