@@ -15,6 +15,17 @@ import graft.streaming.Streamy
 object QueriesExt {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** The shared (doc_id, token) explode used by every word-token operator
+    * (vocab build, TF-IDF, entropy, inverted index) — ONE tokenization
+    * definition mirrored by `string_split($normSql, ' ')` on the oracle
+    * side, so a delimiter or spread change can never desynchronize them. */
+  private def tokens(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    base.repartition(LlmOps.spreadWidth(base))
+      .select(col("doc_id"),
+        explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+  }
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
@@ -590,10 +601,7 @@ object QueriesExt {
       // one shuffle) → token rollup (second shuffle, vocabulary-sized) →
       // global top-k via TakeOrdered — never a full sort of the vocab.
       (s, d) => {
-        val base = docs(s, d)
-        val tok = base.repartition(LlmOps.spreadWidth(base))
-          .select(col("doc_id"),
-            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        val tok = tokens(s, d)
         tok.groupBy(col("token"), col("doc_id"))
           .agg(count(lit(1)).as("tfd"))
           .groupBy(col("token"))
@@ -1084,13 +1092,10 @@ object QueriesExt {
       // cross join).
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val base = docs(s, d)
-        val tok = base.repartition(LlmOps.spreadWidth(base))
-          .select(col("doc_id"),
-            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        val tok = tokens(s, d)
         val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
         val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val nDocs = base.agg(count(lit(1)).as("n_docs"))
+        val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_r").desc, col("token").asc)
         tf.join(dfq, Seq("token"))
@@ -1123,10 +1128,7 @@ object QueriesExt {
       // partial-agg order noise is ~1e-13 — far under the 6-decimal round.
       // Two map-side-combinable aggregates, no window, no join.
       (s, d) => {
-        val base = docs(s, d)
-        val tok = base.repartition(LlmOps.spreadWidth(base))
-          .select(col("doc_id"),
-            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        val tok = tokens(s, d)
         tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_tokens"),
@@ -1158,10 +1160,7 @@ object QueriesExt {
       // token partitioning; the top-100 is TakeOrdered, not a global sort.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val base = docs(s, d)
-        val tok = base.repartition(LlmOps.spreadWidth(base))
-          .select(col("doc_id"),
-            explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+        val tok = tokens(s, d)
         val perDoc = tok.select(col("token"), col("doc_id")).distinct()
         val dfq = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))

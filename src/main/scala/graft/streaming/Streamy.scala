@@ -127,7 +127,15 @@ object Streamy {
     * event-time order ACROSS batches — a stamp never moves backward, so a
     * late earlier event is ignored rather than rewriting history (the
     * in-batch sort absorbs intra-batch disorder). Emits the refreshed
-    * state row per user per batch (stream side runs in update mode). */
+    * state row per user per batch (stream side runs in update mode).
+    *
+    * Batch-path caveat: on a plain DataFrame one invocation receives a
+    * user's ENTIRE history and sorts it in one task — fine for
+    * verification corpora, but a pathologically hot key (bot traffic) is
+    * a per-task memory exposure the 24-byte state figure does not cover.
+    * For corpus-scale BATCH funnels use [[graft.ops.Analytics.funnel]]
+    * (aggregate-only, skew-safe); this operator's scale posture is the
+    * STREAM path, where an invocation sees one micro-batch slice. */
   def funnelProgress(events: DataFrame, s1: String = "view",
       s2: String = "click", s3: String = "purchase"): org.apache.spark.sql.Dataset[FunnelRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}

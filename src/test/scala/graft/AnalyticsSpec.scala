@@ -145,7 +145,10 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.nonEmpty && got.size == raw.length)
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     raw.foreach { case (id, text) =>
-      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      // exact normText mirror: Spark trim strips ONLY ASCII spaces (Java
+      // String.trim would also eat \t/\n and change the edge-token count)
+      val spaceTrimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = spaceTrimmed.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
       val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
       val n = toks.length.toLong
       val s = counts.values.map(c => c.toDouble * math.log(c.toDouble)).sum
