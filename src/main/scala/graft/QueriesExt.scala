@@ -1276,7 +1276,116 @@ object QueriesExt {
       Some(s"""WITH pixels AS (${Tables.pixelsSql})
         SELECT asdf_id, round(corr(value, weight), 6) AS corr_r,
           round(covar_samp(value, weight), 6) AS covar_r, count(*) AS n
-        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")))
+        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")),
+    "doc_chunks" -> Q(
+      // Overlapping retrieval chunking (X30): 32-token windows every 24
+      // tokens (8-token overlap) — the RAG-prep sibling of the
+      // non-overlapping pack_sequences. Starts are a per-row integer
+      // sequence (explode amplification ≤ n/stride per doc, bounded by doc
+      // length); no shuffle before the verify sort.
+      (s, d) => {
+        val size = 32; val stride = 24
+        docs(s, d)
+          .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("w"))
+          .withColumn("n", org.apache.spark.sql.functions.size(col("w")))
+          .select(col("doc_id"), col("w"), col("n"),
+            explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+              .as("start"))
+          .select(col("doc_id"),
+            (col("start") / stride).cast("long").as("chunk_idx"),
+            col("start").cast("long").as("start"),
+            least(lit(size), col("n") - col("start")).cast("long").as("chunk_len"),
+            array_join(slice(col("w"), col("start") + 1, lit(size)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          st AS (SELECT doc_id, w, len(w) AS n, unnest(range(0, greatest(len(w), 1), 24)) AS start
+            FROM n)
+        SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+          CAST(start AS BIGINT) AS start,
+          CAST(least(32, n - start) AS BIGINT) AS chunk_len,
+          array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text
+        FROM st ORDER BY doc_id, chunk_idx""")),
+    "pmi_bigrams" -> Q(
+      // PMI collocations (X31): pointwise mutual information of adjacent
+      // token pairs, ln((n_ab/B) / ((n_a/T)(n_b/T))), support ≥ 5, top 50.
+      // Scale shape: bigram + unigram counts are map-side-combinable
+      // token-keyed aggregates; the two unigram attach joins are
+      // vocabulary-sized (AQE broadcasts while small); T and B ride in as
+      // broadcast 1-row frames; the PMI score is rounded to 6 decimals
+      // BEFORE ranking (file-header float-parity rule) and the top-50 is
+      // TakeOrdered, never a global sort.
+      (s, d) => {
+        val bi = docs(s, d)
+          .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("w"))
+          .select(explode(expr(
+            "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+            .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val nab = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        val uni = tokens(s, d).groupBy(col("token")).agg(count(lit(1)).as("n_u"))
+        val totT = uni.agg(sum(col("n_u")).as("t_tok"))
+        val totB = nab.agg(sum(col("n_ab")).as("b_tok"))
+        nab.filter(col("n_ab") >= 5)
+          .join(uni.withColumnRenamed("token", "w1").withColumnRenamed("n_u", "n_a"), Seq("w1"))
+          .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("n_u", "n_b"), Seq("w2"))
+          .crossJoin(broadcast(totT)).crossJoin(broadcast(totB))
+          .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+            col("n_ab"),
+            round(log((col("n_ab") / col("b_tok")) /
+              ((col("n_a") / col("t_tok")) * (col("n_b") / col("t_tok")))), 6)
+              .as("pmi_r"))
+          .orderBy(col("pmi_r").desc, col("bigram").asc)
+          .limit(50)
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          bi AS (SELECT list_transform(range(greatest(len(w) - 1, 0)),
+              i -> struct_pack(w1 := w[i+1], w2 := w[i+2])) AS bs FROM n),
+          b AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi, unnest(bs) AS u(b)),
+          nab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM b GROUP BY 1, 2),
+          tok AS (SELECT token FROM n, unnest(w) AS u(token)),
+          uni AS (SELECT token, CAST(count(*) AS BIGINT) AS n_u FROM tok GROUP BY 1),
+          tt AS (SELECT CAST(sum(n_u) AS BIGINT) AS t_tok FROM uni),
+          tb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS b_tok FROM nab)
+        SELECT nab.w1 || ' ' || nab.w2 AS bigram, n_ab,
+          round(ln((n_ab / b_tok) / ((a.n_u / t_tok) * (c.n_u / t_tok))), 6) AS pmi_r
+        FROM nab JOIN uni a ON nab.w1 = a.token JOIN uni c ON nab.w2 = c.token
+        CROSS JOIN tt CROSS JOIN tb
+        WHERE n_ab >= 5
+        ORDER BY pmi_r DESC, bigram ASC LIMIT 50""")),
+    "corpus_card" -> Q(
+      // Corpus report card (X32): per-source dataset documentation rollup —
+      // docs, languages, characters, token volume and vocabulary breadth.
+      // The token frame joins doc metadata on the doc key (one shuffle),
+      // then one map-side-combinable aggregate per source; output is
+      // |sources|-sized.
+      (s, d) => {
+        val meta = docs(s, d).select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        val docStats = meta.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        val tokStats = tokens(s, d)
+          .join(meta.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("total_tokens"),
+            countDistinct(col("token")).as("vocab"))
+        docStats.join(tokStats, Seq("source"))
+          .orderBy("source")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, source, lang, n_chars,
+            string_split($normSql, ' ') AS w FROM documents),
+          ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              count(DISTINCT lang) AS n_langs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM n GROUP BY 1),
+          tok AS (SELECT doc_id, source, token FROM n, unnest(w) AS u(token)),
+          ts AS (SELECT source, CAST(count(*) AS BIGINT) AS total_tokens,
+              count(DISTINCT token) AS vocab FROM tok GROUP BY 1)
+        SELECT ds.source AS source, n_docs, n_langs, total_chars, total_tokens, vocab
+        FROM ds JOIN ts ON ds.source = ts.source
+        ORDER BY source""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -134,6 +134,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_chunks tiles every document: stride-24 starts, full coverage, 8-token overlap") {
+    val out = SparkEntry.queries("doc_chunks")(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"chunk_idx", $"start", $"chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { chunks =>
+      val sorted = chunks.sortBy(_._2)
+      // every chunk ends at min(start + 32, n); recover n from the furthest end
+      val n = sorted.map(c => c._3 + c._4).max
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx == i && start == 24L * i, "stride-24 starts, dense chunk_idx")
+        assert(len == math.min(32L, n - start), "window-clamped length")
+        assert(len >= 1, "no empty chunk")
+      }
+      assert(sorted.head._3 == 0L && sorted.last._3 < n, "tiling covers [0, n)")
+    }
+  }
+
+  test("pmi_bigrams: support floor holds and ranking follows rounded PMI") {
+    val out = SparkEntry.queries("pmi_bigrams")(spark, "/root/testdata/sf0.001")
+      .select($"bigram", $"n_ab", $"pmi_r").as[(String, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.forall(_._2 >= 5), "support >= 5")
+    val scores = out.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "pmi desc")
+  }
+
+  test("corpus_card totals reconcile with the raw documents table") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("corpus_card")(spark, d)
+      .select($"n_docs", $"total_chars").as[(Long, Long)].collect()
+    val docsDf = graft.ops.Tables.documents(spark, d)
+    assert(out.map(_._1).sum == docsDf.count(), "every doc belongs to one source row")
+    assert(out.map(_._2).sum ==
+      docsDf.agg(sum($"n_chars")).as[Long].collect().head)
+  }
+
   test("text_entropy: the production query matches a per-doc brute force") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("text_entropy")(spark, d)

@@ -205,6 +205,12 @@ class PlanSpec extends AnyFunSuite {
       s"the |zones|-row percentile frame must broadcast under AQE, not sort-merge:\n$p")
   }
 
+  test("pmi_bigrams: top-50 is TakeOrdered with partial counts, never a global sort") {
+    val p = plan("pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+    assert(p.contains("partial_count"), "bigram counts must partial-aggregate map-side")
+  }
+
   test("funnel: every hash exchange keys on user_id (one partitioning " +
     "carried across all stages)") {
     val p = plan("funnel_stages")
