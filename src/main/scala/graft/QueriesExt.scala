@@ -1284,18 +1284,18 @@ object QueriesExt {
       // sequence (explode amplification ≤ n/stride per doc, bounded by doc
       // length); no shuffle before the verify sort.
       (s, d) => {
-        val size = 32; val stride = 24
+        val winSize = 32; val stride = 24
         docs(s, d)
           .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("w"))
-          .withColumn("n", org.apache.spark.sql.functions.size(col("w")))
+          .withColumn("n", size(col("w")))
           .select(col("doc_id"), col("w"), col("n"),
             explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
               .as("start"))
           .select(col("doc_id"),
             (col("start") / stride).cast("long").as("chunk_idx"),
             col("start").cast("long").as("start"),
-            least(lit(size), col("n") - col("start")).cast("long").as("chunk_len"),
-            array_join(slice(col("w"), col("start") + 1, lit(size)), " ")
+            least(lit(winSize), col("n") - col("start")).cast("long").as("chunk_len"),
+            array_join(slice(col("w"), col("start") + 1, lit(winSize)), " ")
               .as("chunk_text"))
           .orderBy("doc_id", "chunk_idx")
       },
@@ -1317,12 +1317,17 @@ object QueriesExt {
       // BEFORE ranking (file-header float-parity rule) and the top-50 is
       // TakeOrdered, never a global sort.
       (s, d) => {
-        val bi = docs(s, d)
-          .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("w"))
-          .select(explode(expr(
-            "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
-            .as("b"))
-          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // bigrams via the GUARDED shingle helper (Spark sequence(a, b)
+        // counts DOWN when b < a — a one-token doc must contribute zero
+        // bigrams, exactly like the oracle's empty range). Tokens never
+        // contain spaces, so the pair splits back out unambiguously.
+        val base = docs(s, d)
+        val bi = base
+          .repartition(LlmOps.spreadWidth(base))
+          .withColumn("norm", LlmOps.normText(col("text")))
+          .select(explode(LlmOps.bigramShingles("norm")).as("bg"))
+          .select(substring_index(col("bg"), " ", 1).as("w1"),
+            substring_index(col("bg"), " ", -1).as("w2"))
         val nab = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
         val uni = tokens(s, d).groupBy(col("token")).agg(count(lit(1)).as("n_u"))
         val totT = uni.agg(sum(col("n_u")).as("t_tok"))

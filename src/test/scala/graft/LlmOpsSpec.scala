@@ -131,10 +131,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 9L -> 1L))
   }
 
-  test("bigram shingles: n-1 shingles in order") {
-    val df = Seq("a b c d").toDF("norm")
+  test("bigram shingles: n-1 shingles in order; one-token and empty text yield NONE") {
+    val df = Seq("a b c d", "solo", "").toDF("norm")
       .select(LlmOps.bigramShingles("norm").as("sh"))
-    assert(df.as[Seq[String]].collect().head == Seq("a b", "b c", "c d"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b", "b c", "c d"))
+    // the sequence(a, b) counts-DOWN trap: one token must mean zero bigrams
+    assert(rows(1) == Seq.empty && rows(2) == Seq.empty)
   }
 
   test("minhash signature is deterministic and permutation-sensitive") {
