@@ -1390,7 +1390,34 @@ object QueriesExt {
               count(DISTINCT token) AS vocab FROM tok GROUP BY 1)
         SELECT ds.source AS source, n_docs, n_langs, total_chars, total_tokens, vocab
         FROM ds JOIN ts ON ds.source = ts.source
-        ORDER BY source""")))
+        ORDER BY source""")),
+    "quality_tiles" -> Q(
+      // Quantile binning (X33): per-language size quartiles via ntile —
+      // the distribution companion to the histogram (equal-POPULATION
+      // buckets instead of equal-width). Deterministic full-key ordering
+      // (n_chars, doc_id) makes both engines cut identical tiles; the
+      // rollup is exact integer arithmetic. One window shuffle on lang,
+      // one tiny (lang × 4) aggregate.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("tile", ntile(4).over(w).cast("long"))
+          .groupBy(col("lang"), col("tile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang", "tile")
+      },
+      Some("""WITH t AS (SELECT lang, n_chars,
+            CAST(ntile(4) OVER (PARTITION BY lang
+              ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+          FROM documents)
+        SELECT lang, tile, CAST(count(*) AS BIGINT) AS n_docs,
+          min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM t GROUP BY 1, 2 ORDER BY lang, tile""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -171,6 +171,20 @@ class AnalyticsSpec extends AnyFunSuite {
       docsDf.agg(sum($"n_chars")).as[Long].collect().head)
   }
 
+  test("quality_tiles: per-language tiles are population-balanced (sizes differ by <= 1)") {
+    val out = SparkEntry.queries("quality_tiles")(spark, "/root/testdata/sf0.001")
+      .select($"lang", $"tile", $"n_docs", $"min_chars", $"max_chars")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { tiles =>
+      val sizes = tiles.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"ntile must balance: ${tiles.toSeq}")
+      // tiles are ordered ranges: tile k's max <= tile k+1's min
+      val sorted = tiles.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) => assert(a._5 <= b._4) }
+    }
+  }
+
   test("text_entropy: the production query matches a per-doc brute force") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("text_entropy")(spark, d)
