@@ -1417,7 +1417,143 @@ object QueriesExt {
         SELECT lang, tile, CAST(count(*) AS BIGINT) AS n_docs,
           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM t GROUP BY 1, 2 ORDER BY lang, tile""")))
+        FROM t GROUP BY 1, 2 ORDER BY lang, tile""")),
+    "sessionize_events" -> Q(
+      // Batch gap sessionization (X34): a new session starts when a user's
+      // inter-event gap exceeds 30 min — the BATCH counterpart of the
+      // streaming session window (T3), which at 100 TB is how historical
+      // backfills run while T3 handles the live tail. One window shuffle
+      // on user_id serves both the lag and the running session counter
+      // (same partitioning, same ordering — Spark plans a single sort);
+      // the rollup reuses it too. All arithmetic is exact epoch-micros
+      // integers; the (ts, event_id) full-key ordering makes the ROWS
+      // running sum identical in both engines.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("new_s",
+            when(lag(col("us"), 1).over(ord).isNull ||
+              col("us") - lag(col("us"), 1).over(ord) > lit(1800000000L), 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            timestamp_micros(min(col("us"))).as("start_ts"),
+            timestamp_micros(max(col("us"))).as("end_ts"),
+            ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long").as("dur_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+          f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          CAST(count(*) AS BIGINT) AS n_events,
+          make_timestamp(min(us)) AS start_ts, make_timestamp(max(us)) AS end_ts,
+          CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS dur_s
+        FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+    "rolling_activity" -> Q(
+      // Rolling time-range activity (X35): per event, the user's event
+      // count and spend over the PRECEDING HOUR — a RANGE frame on epoch
+      // seconds, the load-signal primitive behind rate limiting and
+      // engagement scoring. One window shuffle on user_id; the frame is
+      // evaluated incrementally (sliding min/max bounds over the sorted
+      // run), never re-scanned per row. Spend is summed in exact integer
+      // cents (floor(x*100+0.5) — the file-header float-parity rule)
+      // because range-frame float summation order differs across engines
+      // (DuckDB segment tree vs Spark running frame).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hour = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3600L, 0L)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("sec"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            count(lit(1)).over(hour).as("n_1h"),
+            sum(col("cents")).over(hour).as("cents_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+            CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT user_id, event_id, ts,
+          count(*) OVER w AS n_1h,
+          CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+    "top_paths" -> Q(
+      // Top event paths (X36): each user's first-8-event type sequence,
+      // ranked by how many users share it — the sequence-mining companion
+      // to the funnel. The rank filter after row_number compiles to
+      // WindowGroupLimit (per-partition top-8 kept map-side, like
+      // group_sample/tfidf_top); the path build is one user-keyed
+      // aggregate whose output cardinality is |users|, then a path-keyed
+      // count and a TakeOrdered top-20 — no global sort.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("rn", row_number().over(ord))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+          p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY us, event_id) AS path
+            FROM e WHERE rn <= 8 GROUP BY 1)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""")),
+    "rollup_report" -> Q(
+      // Hierarchical rollup (X37): customer counts and balances at
+      // (region, nation), per-region subtotal, and grand-total levels in
+      // ONE pass — Spark expands ROLLUP to grouping sets inside a single
+      // partial/final aggregate instead of three scans + union. Balances
+      // sum in exact integer cents; `lvl` (grouping_id) disambiguates a
+      // real NULL key from a rolled-up one. The two dimension joins
+      // broadcast (25-row nation, 5-row region). DuckDB sorts NULLs last
+      // by default — Spark's asc is NULLS FIRST, so the oracle pins
+      // NULLS FIRST explicitly.
+      (s, d) => Tables.t(s, d, "customer")
+        .join(broadcast(Tables.t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+        .rollup(col("region"), col("nation"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"),
+          (grouping(col("region")) * 2 + grouping(col("nation"))).cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("region"), col("nation")),
+      Some("""SELECT r_name AS region, n_name AS nation,
+          CAST(count(*) AS BIGINT) AS n_cust,
+          CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+          CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl
+        FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY lvl, region NULLS FIRST, nation NULLS FIRST""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -185,6 +185,82 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize_events: sessions match a per-user brute force (30-min gap)") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("sessionize_events")(spark, d)
+      .select($"user_id", $"session_id", $"n_events", $"dur_s")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val raw = graft.ops.Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val want = raw.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.map(e => (e._2, e._3)).sorted
+      // split the sorted run wherever the gap exceeds 30 min
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc @ cur :: rest, e) =>
+          if (e._1 - cur.head._1 > 1800000000L) List(e) :: acc
+          else (e :: cur) :: rest
+        case (Nil, _) => Nil // unreachable
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (ss, i) =>
+        (u, i + 1L, ss.size.toLong, (ss.last._1 - ss.head._1) / 1000000L)
+      }
+    }.sorted
+    assert(got == want)
+  }
+
+  test("rolling_activity: hour-frame counts match a per-user brute force") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("rolling_activity")(spark, d)
+      .select($"user_id", $"event_id", $"n_1h", $"cents_1h")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val raw = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_id", (unix_micros($"ts") / 1000000L).cast("long"),
+        floor($"value" * 100 + 0.5).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = raw.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.map { e =>
+        val frame = es.filter(o => o._3 >= e._3 - 3600 && o._3 <= e._3)
+        (u, e._2, frame.size.toLong, frame.map(_._4).sum)
+      }
+    }.sorted
+    assert(got == want)
+  }
+
+  test("top_paths: paths are gap-free prefixes and user counts sum correctly") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("top_paths")(spark, d)
+      .select($"path", $"n_users").as[(String, Long)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    // counts are descending (the rank order is the contract)
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    got.foreach { case (p, _) =>
+      val steps = p.split(">")
+      assert(steps.nonEmpty && steps.length <= 8 && steps.forall(_.nonEmpty), p)
+    }
+  }
+
+  test("rollup_report: subtotal levels are consistent (nations sum to regions " +
+    "sum to grand total)") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("rollup_report")(spark, d)
+      .select($"region", $"nation", $"n_cust", $"cents", $"lvl")
+      .as[(Option[String], Option[String], Long, Long, Int)].collect()
+    val leaves = rows.filter(_._5 == 0)
+    val regions = rows.filter(_._5 == 1)
+    val grand = rows.filter(_._5 == 3)
+    assert(grand.length == 1)
+    assert(grand.head._3 == leaves.map(_._3).sum)
+    assert(grand.head._4 == leaves.map(_._4).sum)
+    regions.foreach { r =>
+      val mine = leaves.filter(_._1 == r._1)
+      assert(mine.map(_._3).sum == r._3 && mine.map(_._4).sum == r._4, r)
+    }
+    // rolled-up keys are NULL, real keys are not (lvl disambiguates)
+    assert(regions.forall(r => r._1.isDefined && r._2.isEmpty))
+    assert(leaves.forall(r => r._1.isDefined && r._2.isDefined))
+  }
+
   test("text_entropy: the production query matches a per-doc brute force") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("text_entropy")(spark, d)

@@ -219,4 +219,47 @@ class PlanSpec extends AnyFunSuite {
     assert(parts.forall(_.startsWith("user_id")),
       s"a funnel stage shuffled on a non-user key: $parts")
   }
+
+  test("sessionize: lag, the running session counter AND the session rollup " +
+    "all ride one user_id exchange and one partition-local sort") {
+    // Spark legitimately splits lag (offset frame) and the running sum
+    // (rows frame) into two Window operators, but they must share the same
+    // exchange + sort, and hash(user_id) must also satisfy the
+    // (user_id, session_id) aggregate's clustering — no second shuffle.
+    val p = plan("sessionize_events")
+    val parts = "hashpartitioning\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(parts.length == 1 && parts.head.startsWith("user_id"),
+      s"expected exactly one user_id hash exchange, got $parts:\n$p")
+    // one partition-local sort feeds both windows (the only other sort is
+    // the global verify orderBy)
+    assert("], false, 0".r.findAllIn(p).length == 1,
+      s"expected exactly one partition-local sort:\n$p")
+  }
+
+  test("rolling_activity: both hour-frame aggregates ride one user_id window " +
+    "(single exchange, no per-aggregate re-sort)") {
+    val p = plan("rolling_activity")
+    assert("(?m)^\\s*[+:i*-]*\\s*Window ".r.findAllIn(p).length == 1,
+      s"expected exactly one Window operator:\n$p")
+    val parts = "hashpartitioning\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(parts.forall(_.startsWith("user_id")),
+      s"rolling frame shuffled on a non-user key: $parts")
+  }
+
+  test("top_paths: first-8 filter becomes WindowGroupLimit; top-20 is TakeOrdered") {
+    val p = plan("top_paths")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=8 must cap per-user rows map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must not be a global sort:\n$p")
+  }
+
+  test("rollup_report: grouping sets expand inside ONE aggregate; dimension " +
+    "joins broadcast") {
+    val p = plan("rollup_report")
+    assert(p.contains("Expand"), s"ROLLUP must plan as Expand + single agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation/region must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no customer-side shuffle for dims:\n$p")
+    assert(p.contains("partial_count"), "rollup counts must partial-aggregate map-side")
+  }
 }
