@@ -1420,12 +1420,15 @@ object QueriesExt {
         FROM t GROUP BY 1, 2 ORDER BY lang, tile""")),
     "sessionize_events" -> Q(
       // Batch gap sessionization (X34): a new session starts when a user's
-      // inter-event gap exceeds 30 min — the BATCH counterpart of the
+      // inter-event gap reaches 30 min — the BATCH counterpart of the
       // streaming session window (T3), which at 100 TB is how historical
-      // backfills run while T3 handles the live tail. One window shuffle
-      // on user_id serves both the lag and the running session counter
-      // (same partitioning, same ordering — Spark plans a single sort);
-      // the rollup reuses it too. All arithmetic is exact epoch-micros
+      // backfills run while T3 handles the live tail. The split rule is
+      // gap >= 30 min, matching session_window's half-open [ts, ts+gap)
+      // semantics exactly (an event landing exactly on the boundary opens
+      // a new session in both paths). One window shuffle on user_id
+      // serves both the lag and the running session counter (same
+      // partitioning, same ordering — Spark plans a single sort); the
+      // rollup reuses it too. All arithmetic is exact epoch-micros
       // integers; the (ts, event_id) full-key ordering makes the ROWS
       // running sum identical in both engines.
       (s, d) => {
@@ -1436,7 +1439,7 @@ object QueriesExt {
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
           .withColumn("new_s",
             when(lag(col("us"), 1).over(ord).isNull ||
-              col("us") - lag(col("us"), 1).over(ord) > lit(1800000000L), 1L)
+              col("us") - lag(col("us"), 1).over(ord) >= lit(1800000000L), 1L)
               .otherwise(0L))
           .withColumn("session_id", sum(col("new_s")).over(run))
           .groupBy(col("user_id"), col("session_id"))
@@ -1448,7 +1451,7 @@ object QueriesExt {
       },
       Some("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
           f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
           g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
@@ -1474,7 +1477,9 @@ object QueriesExt {
           .rangeBetween(-3600L, 0L)
         Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("ts"),
-            (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("sec"),
+            // floor, not cast-truncate: exact mirror of the oracle's
+            // floor(epoch_us/1e6) for pre-1970 timestamps too
+            floor(unix_micros(col("ts")) / lit(1000000L)).cast("long").as("sec"),
             floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
           .select(col("user_id"), col("event_id"), col("ts"),
             count(lit(1)).over(hour).as("n_1h"),

@@ -195,10 +195,10 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     val want = raw.groupBy(_._1).toSeq.flatMap { case (u, es) =>
       val sorted = es.map(e => (e._2, e._3)).sorted
-      // split the sorted run wherever the gap exceeds 30 min
+      // split wherever the gap reaches 30 min (>=, session_window parity)
       val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
         case (acc @ cur :: rest, e) =>
-          if (e._1 - cur.head._1 > 1800000000L) List(e) :: acc
+          if (e._1 - cur.head._1 >= 1800000000L) List(e) :: acc
           else (e :: cur) :: rest
         case (Nil, _) => Nil // unreachable
       }.reverse.map(_.reverse)
@@ -227,17 +227,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("top_paths: paths are gap-free prefixes and user counts sum correctly") {
+  test("top_paths: matches a per-user brute force (first 8 events by time)") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("top_paths")(spark, d)
-      .select($"path", $"n_users").as[(String, Long)].collect()
+      .select($"path", $"n_users").as[(String, Long)].collect().toSeq
     assert(got.nonEmpty && got.length <= 20)
-    // counts are descending (the rank order is the contract)
-    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
-    got.foreach { case (p, _) =>
-      val steps = p.split(">")
-      assert(steps.nonEmpty && steps.length <= 8 && steps.forall(_.nonEmpty), p)
-    }
+    val raw = graft.ops.Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val want = raw.groupBy(_._1).toSeq
+      .map { case (_, es) =>
+        es.map(e => (e._2, e._3, e._4)).sorted.take(8).map(_._3).mkString(">")
+      }
+      .groupBy(identity).map { case (p, us) => (p, us.size.toLong) }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == want)
   }
 
   test("rollup_report: subtotal levels are consistent (nations sum to regions " +
