@@ -1558,7 +1558,122 @@ object QueriesExt {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
-        ORDER BY lvl, region NULLS FIRST, nation NULLS FIRST""")))
+        ORDER BY lvl, region NULLS FIRST, nation NULLS FIRST""")),
+    "set_ops_users" -> Q(
+      // Set algebra (X38): INTERSECT (viewed AND purchased) and EXCEPT
+      // (viewed but never purchased) in one tagged frame — the audience
+      // segmentation primitive. Spark plans both as hash aggregates over
+      // a user_id shuffle (set semantics = dedup built in); the two
+      // branches share the same scan via exchange reuse. Output
+      // cardinality is |users| — never event-scale.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def ids(t: String) = e.filter(col("event_type") === t).select(col("user_id"))
+        val v = ids("view"); val p = ids("purchase")
+        v.intersect(p).withColumn("tag", lit("both"))
+          .unionByName(v.except(p).withColumn("tag", lit("view_only")))
+          .select(col("tag"), col("user_id"))
+          .orderBy("tag", "user_id")
+      },
+      Some("""SELECT 'both' AS tag, user_id FROM (
+          SELECT user_id FROM events WHERE event_type = 'view'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'view_only' AS tag, user_id FROM (
+          SELECT user_id FROM events WHERE event_type = 'view'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+        ORDER BY tag, user_id""")),
+    "rank_percentile" -> Q(
+      // Distribution position (X39): percent_rank and cume_dist of each
+      // document's size within its language — the per-row companion to
+      // the quantile tiles. Both are exact integer-ratio windows
+      // ((rank-1)/(n-1), peers/n) so cross-engine parity is exact; the
+      // 6-decimal rounding is the house float-output rule, not a
+      // decision boundary. One window shuffle on lang.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("pr_r", round(percent_rank().over(w), 6))
+          .withColumn("cd_r", round(cume_dist().over(w), 6))
+          .orderBy("lang", "n_chars", "doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+          round(percent_rank() OVER w, 6) AS pr_r,
+          round(cume_dist() OVER w, 6) AS cd_r
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
+        ORDER BY lang, n_chars, doc_id""")),
+    "outlier_zscore" -> Q(
+      // Z-score outlier screen (X40): per-zone standard scores, rolled up
+      // to (zone, n, n_out, max |z|) — the anomaly-detection companion to
+      // the std/var extracts. The stats frame is |zones|-sized and joins
+      // back under AQE as a broadcast; z is rounded to 6 decimals BEFORE
+      // the |z| > 2 decision so both engines flag identical rows (the
+      // tfidf round-before-rank rule). Degenerate zones (constant or
+      // single-row → sd 0/NULL) score 0 by definition in both engines.
+      (s, d) => {
+        val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
+        val st = px.groupBy("asdf_id").agg(
+          avg("value").as("mu"), stddev_samp(col("value")).as("sd"))
+        px.join(st, Seq("asdf_id"))
+          .select(col("asdf_id"),
+            when(col("sd").isNull || col("sd") === 0, lit(0.0))
+              .otherwise(round((col("value") - col("mu")) / col("sd"), 6))
+              .as("z_r"))
+          .groupBy("asdf_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("z_r")) > 2, 1L).otherwise(0L)).as("n_out"),
+            max(abs(col("z_r"))).as("max_z"))
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          st AS (SELECT asdf_id, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM pixels GROUP BY asdf_id),
+          z AS (SELECT pixels.asdf_id,
+              CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                ELSE round((value - mu) / sd, 6) END AS z_r
+            FROM pixels JOIN st ON pixels.asdf_id = st.asdf_id)
+        SELECT asdf_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN abs(z_r) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+          max(abs(z_r)) AS max_z
+        FROM z GROUP BY asdf_id ORDER BY asdf_id""")),
+    "daily_spine" -> Q(
+      // Gap-filled daily series (X41): a generated date spine left-joined
+      // to per-day counts, zero-filled, with a running total — the
+      // time-series regularization step every downstream charting/model
+      // feed needs. The spine derives from the data's own min/max day
+      // (one 1-row aggregate), the join is broadcast (spine = |days|
+      // rows), and the running sum's unpartitioned window is BOUNDED BY
+      // THE CALENDAR — days, not events — so the single-task sort is a
+      // non-issue at any corpus size (same argument as queue_rank, but
+      // structural: the frame is already |days| long before the window).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"))
+        val byDay = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+        val spine = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("day"))
+        val run = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(byDay, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+          .withColumn("cum_n", sum(col("n")).over(run))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+          b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+          s AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+              CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        SELECT s.day AS day, COALESCE(n, 0) AS n,
+          CAST(sum(COALESCE(n, 0)) OVER (ORDER BY s.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        FROM s LEFT JOIN d ON s.day = d.day
+        ORDER BY day""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

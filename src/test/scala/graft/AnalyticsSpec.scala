@@ -265,6 +265,80 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(leaves.forall(r => r._1.isDefined && r._2.isDefined))
   }
 
+  test("set_ops_users: intersect/except tags match a per-user brute force") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("set_ops_users")(spark, d)
+      .select($"tag", $"user_id").as[(String, Long)].collect().toSeq.sorted
+    val raw = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val viewers = raw.filter(_._2 == "view").map(_._1).toSet
+    val buyers = raw.filter(_._2 == "purchase").map(_._1).toSet
+    val want = (viewers.intersect(buyers).toSeq.map(("both", _)) ++
+      viewers.diff(buyers).toSeq.map(("view_only", _))).sorted
+    assert(got == want)
+  }
+
+  /** Spark's round() is HALF_UP on the BigDecimal form — mirror it exactly
+    * (math.rint is half-even and can differ at an exact .5 boundary). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rank_percentile: percent_rank/cume_dist match exact integer ratios") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("rank_percentile")(spark, d)
+      .select($"doc_id", $"lang", $"n_chars", $"pr_r", $"cd_r")
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    val byLang = got.groupBy(_._2)
+    byLang.values.foreach { rows =>
+      val n = rows.length.toDouble
+      val sorted = rows.sortBy(_._3)
+      sorted.foreach { r =>
+        val below = sorted.count(_._3 < r._3).toDouble
+        val atOrBelow = sorted.count(_._3 <= r._3).toDouble
+        val pr = if (n == 1) 0.0 else below / (n - 1)
+        assert(r._4 == round6(pr), r)
+        assert(r._5 == round6(atOrBelow / n), r)
+      }
+    }
+  }
+
+  test("outlier_zscore: flags match a per-zone brute force") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("outlier_zscore")(spark, d)
+      .select($"asdf_id", $"n", $"n_out").as[(Long, Long, Long)].collect().toSeq.sorted
+    val raw = graft.ops.Tables.pixels(spark, d)
+      .select($"asdf_id", $"value").as[(Long, Double)].collect()
+    val want = raw.groupBy(_._1).toSeq.map { case (z, vs) =>
+      val xs = vs.map(_._2); val n = xs.length
+      val mu = xs.sum / n
+      val sd = if (n < 2) 0.0
+        else math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+      val nOut = if (sd == 0) 0L
+        else xs.count(x => math.abs(round6((x - mu) / sd)) > 2).toLong
+      (z, n.toLong, nOut)
+    }.sorted
+    assert(got == want)
+  }
+
+  test("daily_spine: contiguous calendar, zero-filled, cumulative exact") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("daily_spine")(spark, d)
+      .select($"day".cast("string"), $"n", $"cum_n")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val days = got.map(r => java.time.LocalDate.parse(r._1))
+    days.sliding(2).foreach {
+      case Seq(a, b) => assert(a.plusDays(1) == b, s"gap in spine: $a -> $b")
+      case _ =>
+    }
+    assert(got.map(_._2).sum == got.last._3)
+    got.foldLeft(0L) { case (acc, (_, n, cum)) =>
+      assert(n >= 0 && cum == acc + n); cum
+    }
+    val total = graft.ops.Tables.events(spark, d).count()
+    assert(got.last._3 == total)
+  }
+
   test("text_entropy: the production query matches a per-doc brute force") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("text_entropy")(spark, d)

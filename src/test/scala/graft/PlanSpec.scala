@@ -262,4 +262,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no customer-side shuffle for dims:\n$p")
     assert(p.contains("partial_count"), "rollup counts must partial-aggregate map-side")
   }
+
+  test("set_ops_users: INTERSECT/EXCEPT plan as semi/anti joins (set dedup " +
+    "inside the aggregate, no cartesian anywhere)") {
+    val p = plan("set_ops_users")
+    assert(p.contains("LeftSemi"), s"INTERSECT must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"EXCEPT must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"set op became a cartesian:\n$p")
+  }
+
+  test("outlier_zscore: the |zones|-row stats frame joins back as a " +
+    "broadcast under AQE, never a sort-merge") {
+    val df = SparkEntry.queries("outlier_zscore")(spark, d)
+    df.collect() // finalize THIS frame's adaptive plan
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), s"AQE plan not finalized:\n$full")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"),
+      s"stats frame must broadcast under AQE:\n$p")
+    assert(p.contains("partial_stddev_samp"),
+      "zone stats must partial-aggregate map-side")
+  }
+
+  test("daily_spine: the calendar spine generates from a 1-row aggregate " +
+    "and joins broadcast; one |days|-bounded window") {
+    val p = plan("daily_spine")
+    assert(p.contains("Generate explode(sequence("),
+      s"spine must be a generated sequence, not a stored table:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"spine join must broadcast:\n$p")
+  }
+
+  test("rank_percentile: percent_rank and cume_dist share ONE Window " +
+    "operator and one lang exchange") {
+    val p = plan("rank_percentile")
+    assert("(?m)^\\s*[+:i*-]*\\s*Window ".r.findAllIn(p).length == 1,
+      s"expected exactly one Window operator:\n$p")
+    val parts = "hashpartitioning\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(parts.length == 1 && parts.head.startsWith("lang"),
+      s"expected one lang hash exchange, got $parts:\n$p")
+  }
 }
