@@ -45,6 +45,11 @@ object QueriesCore {
     exQ("percentile", """quantile_cont(value, 0.95) AS "percentile""""),
     exQ("unique", """count(DISTINCT value) AS "unique""""),
     exQ("range", """max(value)-min(value) AS "range""""),
+    // [EXT] robust/ratio statistics: DuckDB's native mad() is a genuinely
+    // independent formulation of the two-stage median-of-deviations
+    exQ("mad", """mad(value) AS "mad""""),
+    exQ("geomean", """exp(avg(ln(value))) AS "geomean""""),
+    exQ("harmonic", """count(value)/sum(1.0/value) AS "harmonic""""),
     "extract_categorical" -> Q(
       (s, d) => Extracts.extract(Tables.pixels(s, d), "categorical",
         classes = Seq("A", "N", "R")).orderBy("asdf_id"),

@@ -24,7 +24,10 @@ object Extracts {
     "weighted_mean", "weighted_count", "weighted_sum",
     "categorical", "reliability",
     "std", "median", "majority", "minority", "unique", "range",
-    "percentile", "var", "mode")
+    "percentile", "var", "mode",
+    // [EXT] robust/ratio statistics beyond the reference catalog — the
+    // screens a training-data pipeline layers on top of zonal stats
+    "mad", "geomean", "harmonic")
 
   /** Zonal aggregate of `value` (weighted by `weight` where applicable),
     * grouped by `zone`. Output column is named `method` (aliased by callers
@@ -90,6 +93,25 @@ object Extracts {
           .groupBy(z)
           .agg(min(struct(col("cnt"), col(cls).as("pick"))).as("m"))
           .select(z, col("m.pick").as(method))
+      case "mad" =>
+        // [EXT] median absolute deviation — the robust dispersion screen
+        // (outlier-insensitive, unlike std). Two stages: per-zone exact
+        // median (|zones| rows), broadcast back over the pixel stream, then
+        // a second exact median of |v - med|. The broadcast side is
+        // aggregate output — tiny at any scale — so the fact table never
+        // shuffles for the join; the two median aggregates are the only
+        // exchanges. Matches DuckDB's mad() (interpolated, DOUBLE input).
+        val medC = "__graft_mad_med"
+        val med = pixels.groupBy(z).agg(median(v).as(medC))
+        pixels.join(broadcast(med), zone)
+          .groupBy(z).agg(median(abs(v - col(medC))).as(method))
+      case "geomean" =>
+        // [EXT] geometric mean via exp(avg(ln v)) — identical formulation
+        // on the oracle side; value > 0 in this relation by construction
+        agg1(exp(avg(log(v))))
+      case "harmonic" =>
+        // [EXT] harmonic mean = n / Σ(1/v) — rate-style averaging
+        agg1(count(v) / sum(lit(1.0) / v))
       case "reliability" =>
         // sum / potential ratio (`queue/templates/field_names.txt:17-22`):
         // here `value` = realized amount, `weight` column = potential amount.

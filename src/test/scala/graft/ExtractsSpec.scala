@@ -62,6 +62,19 @@ class ExtractsSpec extends AnyFunSuite {
     assert(one("percentile")(1).getDouble(1) == 2.9) // exact interpolated p95 of 1,2,3
   }
 
+  test("[EXT] robust/ratio methods: mad geomean harmonic") {
+    // zone 1 values 1,2,3: median 2, deviations [1,0,1] -> mad 1
+    assert(one("mad")(1).getDouble(1) == 1.0)
+    // singleton zone: deviation from itself is 0
+    assert(one("mad")(2).getDouble(1) == 0.0)
+    assert(math.abs(one("geomean")(1).getDouble(1) - math.cbrt(6.0)) < 1e-12)
+    // harmonic of 1,2,3 = 3 / (1 + 1/2 + 1/3) = 18/11
+    assert(math.abs(one("harmonic")(1).getDouble(1) - 18.0 / 11.0) < 1e-12)
+    // interpolated mad: 4 values 1,2,4,10 -> median 3, |dev| sorted 1,1,2,7 -> 1.5
+    val t = Seq((9, 1.0), (9, 2.0), (9, 4.0), (9, 10.0)).toDF("asdf_id", "value")
+    assert(Extracts.extract(t, "mad").collect().head.getDouble(1) == 1.5)
+  }
+
   test("reliability = sum/potential (field_names.txt:17-22)") {
     val r = Extracts.extract(px, "reliability", value = "value", weight = "weight")
       .collect().map(x => x.getInt(0) -> x).toMap
