@@ -176,6 +176,45 @@ object QueriesExt {
       Some(s"""SELECT sha256($normSql) AS h, min(doc_id) AS doc_id,
           count(*) AS n_copies
         FROM documents GROUP BY h ORDER BY doc_id""")),
+    "dedup_levenshtein" -> Q(
+      // Edit-distance near-dup pairs (X2f): levenshtein(norm_a, norm_b)
+      // <= 5 — the character-level complement to the token-level Jaccard
+      // family (catches typo-variants that shingle sets miss). EXACT
+      // blocking, same construction as dedup_ngram_jaccard: dist <= 5
+      // forces |len_a - len_b| <= 5 < 8, so floor(len/8) bands differ by
+      // at most 1; (lang, band) is an equi-key, one side probes ±1, and
+      // each qualifying pair meets in exactly one bucket — byte-identical
+      // to the unbanded join (LlmOpsSpec pins this). The probe side stays
+      // slim (no text payload); norm text attaches to survivors by one
+      // id-keyed join. The DP itself is the THRESHOLDED Spark builtin
+      // (O(len·5) band DP, -1 when exceeded), not the O(len²) full matrix.
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("norm", LlmOps.normText(col("text")))
+          .select(col("doc_id"), col("lang"), col("norm"),
+            length(col("norm")).as("ln"))
+          .withColumn("band", floor(col("ln") / 8))
+        val a = base.select(col("doc_id").as("doc_a"), col("lang"),
+          col("ln").as("la"),
+          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("lband"))
+        val b = base.select(col("doc_id").as("doc_b"), col("lang"),
+          col("ln").as("lb"), col("norm").as("nb"), col("band").as("lband"))
+        val na = base.select(col("doc_id").as("doc_a"), col("norm").as("na"))
+        a.join(b, Seq("lang", "lband"))
+          .filter(col("doc_a") < col("doc_b") && abs(col("la") - col("lb")) <= 5)
+          .join(na, Seq("doc_a"))
+          .withColumn("dist", levenshtein(col("na"), col("nb"), 5))
+          .filter(col("dist") =!= -1)
+          .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, lang, $normSql AS norm FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          levenshtein(a.norm, b.norm) AS dist
+        FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(length(a.norm) - length(b.norm)) <= 5
+        WHERE levenshtein(a.norm, b.norm) <= 5
+        ORDER BY doc_a, doc_b""")),
     "dedup_minhash" -> Q(
       // MinHash over word-bigram shingles; 8 permutations, 2 bands × 4 —
       // candidate pairs share a full 4-signature band.
@@ -1673,7 +1712,79 @@ object QueriesExt {
           CAST(sum(COALESCE(n, 0)) OVER (ORDER BY s.day
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
         FROM s LEFT JOIN d ON s.day = d.day
-        ORDER BY day""")))
+        ORDER BY day""")),
+    "path_transitions" -> Q(
+      // Markov transition matrix (X42): consecutive event-type pairs per
+      // user ordered by (ts, event_id), rolled up to (src, dst, count,
+      // probability) — the sequence-model input next to top_paths' literal
+      // prefixes. One window shuffle on user_id (the same partitioning the
+      // session family uses), then a |types|²-row aggregate, so the
+      // exchange after the window moves almost nothing. The probability is
+      // an exact integer ratio; the 6-decimal rounding is the house
+      // float-output rule, not a decision boundary.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val nxt = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("dst", lead(col("event_type"), 1).over(ord))
+          .filter(col("dst").isNotNull)
+        val counts = nxt.groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        // per-source totals: |types| rows — window over the tiny aggregate,
+        // not over the event stream
+        val bySrc = Window.partitionBy(col("src"))
+        counts.withColumn("p_r", round(col("n") / sum(col("n")).over(bySrc), 6))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH nxt AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+          c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM nxt
+            WHERE dst IS NOT NULL GROUP BY src, dst)
+        SELECT src, dst, n, round(n / sum(n) OVER (PARTITION BY src), 6) AS p_r
+        FROM c ORDER BY src, dst""")),
+    "skyline_users" -> Q(
+      // Pareto frontier (X43): users not strictly dominated on (event
+      // count, total spend) — the multi-objective "best" screen (data
+      // curation uses the same shape for quality-vs-coverage corpus
+      // picks). The naive formulation is an N² self-join; the scale path
+      // here is: per-user aggregate (one shuffle), max-spend per distinct
+      // count (|counts| rows), a running max over the DISTINCT counts
+      // descending — a window bounded by |distinct x|, not users — then
+      // one join back to keep frontier rows. Spend is per-row integer
+      // cents (floor(x*100+0.5)) summed exactly, so the dominance
+      // decisions are integer-exact in both engines. The oracle is the
+      // independent NOT EXISTS dominance formulation, so the semantics —
+      // not the construction — are what's pinned.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, d)
+          .select(col("user_id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("c")).as("cents"))
+        val ymax = u.groupBy(col("n_events")).agg(max(col("cents")).as("ymax"))
+        // running max of ymax over STRICTLY greater counts; frame length =
+        // distinct event-counts (bounded, nowhere near user cardinality)
+        val above = Window.orderBy(col("n_events").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = ymax
+          .withColumn("best_above", max(col("ymax")).over(above))
+          .filter(col("best_above").isNull || col("ymax") > col("best_above"))
+        u.join(frontier.select(col("n_events"), col("ymax")), Seq("n_events"))
+          .filter(col("cents") === col("ymax"))
+          .select(col("user_id"), col("n_events"), col("cents"))
+          .orderBy("n_events", "user_id")
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY user_id)
+        SELECT user_id, n_events, cents FROM u a
+        WHERE NOT EXISTS (SELECT 1 FROM u b
+          WHERE b.n_events >= a.n_events AND b.cents >= a.cents
+            AND (b.n_events > a.n_events OR b.cents > a.cents))
+        ORDER BY n_events, user_id""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -386,4 +386,37 @@ class AnalyticsSpec extends AnyFunSuite {
         "rank order follows rounded score desc")
     }
   }
+
+  test("skyline_users: running-max construction equals brute-force dominance (X43)") {
+    val d = "/root/testdata/sf0.001"
+    val u = graft.ops.Tables.events(spark, d)
+      .select($"user_id", floor($"value" * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"c").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val brute = u.filter(a => !u.exists(b =>
+        b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3)))
+      .map(r => (r._1, r._2, r._3)).toSet
+    val out = SparkEntry.queries("skyline_users")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == brute && out.nonEmpty)
+    // frontier is an antichain: no member dominates another
+    out.foreach(a => out.foreach(b =>
+      assert(!(b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3)))))
+  }
+
+  test("path_transitions: rows conserve transitions and per-source probability sums to 1") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("path_transitions")(spark, d)
+      .as[(String, String, Long, Double)].collect()
+    val e = graft.ops.Tables.events(spark, d)
+    val total = e.count()
+    val users = e.select($"user_id").distinct().count()
+    // Σ transition counts = Σ_user (n_u - 1) = N - |users|
+    assert(out.map(_._3).sum == total - users)
+    out.groupBy(_._1).values.foreach { rows =>
+      val p = rows.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"per-source probabilities sum to $p")
+    }
+  }
 }

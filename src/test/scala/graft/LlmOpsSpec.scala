@@ -202,4 +202,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 1L, "p q r s")))
     assert(out(5L) == ((1L, 1L, "m n o")))
   }
+
+  test("dedup_levenshtein: length-banded blocking equals the unbanded join (X2f)") {
+    // the oracle already pins this via SQL; this is the Scala-side witness
+    // that the ±1 band probe drops no qualifying pair and duplicates none
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_levenshtein")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    val base = graft.ops.Tables.documents(spark, d)
+      .withColumn("norm", LlmOps.normText($"text"))
+      .select($"doc_id", $"lang", $"norm")
+    val brute = base.select($"doc_id".as("doc_a"), $"lang", $"norm".as("na"))
+      .join(base.select($"doc_id".as("doc_b"), $"lang".as("langb"), $"norm".as("nb")),
+        $"lang" === $"langb" && $"doc_a" < $"doc_b")
+      .withColumn("dist", levenshtein($"na", $"nb"))
+      .filter($"dist" <= 5)
+      .select($"doc_a", $"doc_b", $"dist".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    info(s"pairs at sf0.001: ${out.size}")
+    assert(out == brute)
+  }
 }
