@@ -127,6 +127,26 @@ object QueriesExt {
         .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 6) AS total_r
         FROM events GROUP BY user_id ORDER BY user_id""")),
+    "session_state" -> Q(
+      // T8 sessionization FSM exercised through the shared batch path
+      // (complete input → trailing sessions flush); the stream path —
+      // event-time timeout eviction across real micro-batches — runs in
+      // StreamySpec. Oracle is the X34 window formulation, so the FSM's
+      // session set is pinned to the declarative sessionizer exactly.
+      (s, d) => Streamy.sessionFlush(Tables.events(s, d)).toDF()
+        .select(col("user_id"), col("sstart_us"), col("send_us"),
+          col("n"), col("cents"))
+        .orderBy("user_id", "sstart_us"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+          f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        SELECT user_id, min(us) AS sstart_us, max(us) AS send_us,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS cents
+        FROM g GROUP BY user_id, sid ORDER BY user_id, sstart_us""")),
     "stream_interval_join" -> Q(
       // stream-stream interval join (same-user follow-on events within an
       // hour), verified through the shared batch path; the streaming path

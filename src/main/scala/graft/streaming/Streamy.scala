@@ -166,6 +166,82 @@ object Streamy {
       }
   }
 
+  /** Open-session accumulator: 32 bytes per active user — no event history. */
+  case class SessionAcc(start_us: Long, last_us: Long, n: Long, cents: Long)
+  case class SessionRow(user_id: Long, sstart_us: Long, send_us: Long,
+    n: Long, cents: Long)
+
+  /** T8: gap sessionization as custom keyed state (`flatMapGroupsWithState`
+    * with EVENT-TIME TIMEOUT) — the third state-store pattern after
+    * mapGroupsWithState (T7) and dropDuplicatesWithinWatermark (T5), and
+    * the one real session pipelines need: a session closes either when a
+    * later event arrives past the gap (emitted immediately, append mode)
+    * or when the WATERMARK passes `last event + gap` with no successor —
+    * the state store evicts the idle user and emits the finished session,
+    * so state is bounded by ACTIVE users, not ever-seen users.
+    *
+    * Split rule is `gap >= 30 min`, identical to the batch sessionizer
+    * (X34) and session_window's half-open semantics, and spend is per-row
+    * integer cents — so the stream path, the batch path, and the SQL
+    * oracle agree exactly. On a batch frame there is no watermark: the
+    * input is complete, so the trailing open session of each user is
+    * flushed too and the output equals X34's session set.
+    *
+    * Batch-path caveat (same as [[funnelProgress]]): one invocation sees a
+    * user's whole history; corpus-scale BATCH sessionization should use
+    * the window formulation (X34) — this operator's scale posture is the
+    * stream path, where an invocation sees one micro-batch slice. */
+  def sessionFlush(events: DataFrame, gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", s"$gapMinutes minutes") else events
+    val typed = src.select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no successor: the session is
+            // finished; emit it and evict the user from the store
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionRow(uid, s.start_us, s.last_us, s.n, s.cents))
+          } else {
+            var open = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            // event-time order within the invocation (one micro-batch slice
+            // on streams, the full — complete — history on batch)
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, us, c) =>
+              open match {
+                case Some(s) if us - s.last_us < gapUs =>
+                  open = Some(SessionAcc(s.start_us, us, s.n + 1, s.cents + c))
+                case Some(s) =>
+                  out += SessionRow(uid, s.start_us, s.last_us, s.n, s.cents)
+                  open = Some(SessionAcc(us, us, 1L, c))
+                case None =>
+                  open = Some(SessionAcc(us, us, 1L, c))
+              }
+            }
+            if (streaming) {
+              open.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60L * 1000L)
+              }
+              out.iterator
+            } else {
+              // complete input: the trailing open session is final too
+              (out ++ open.map(s =>
+                SessionRow(uid, s.start_us, s.last_us, s.n, s.cents))).iterator
+            }
+          }
+      }
+  }
+
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,
     * then stops, exactly like one cron tick.

@@ -127,6 +127,54 @@ class StreamySpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("sessionFlush: sessions span REAL micro-batches; watermark timeout flushes idle users (T8)") {
+    import org.apache.spark.sql.functions._
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      (id, u, "view", java.sql.Timestamp.valueOf(t), v)
+    // batch 1: u7 opens a session; u9 has a lone event (will time out).
+    // batch 2: u7 CONTINUES the same session (00:20, within the gap,
+    // across the batch boundary), then opens a second one at 01:30;
+    // u8's 04:00 event advances the watermark to 03:30, which passes
+    // last+gap for u9 (00:35) and u7's second session (02:00) -> both
+    // flush by TIMEOUT; u8's own session (04:30 > 03:30) stays open
+    // and must NOT be emitted.
+    val batch1 = Seq(
+      ev(1, 7, "2024-01-01 00:00:00", 1.0),
+      ev(2, 7, "2024-01-01 00:10:00", 2.0),
+      ev(3, 9, "2024-01-01 00:05:00", 5.0))
+    val batch2 = Seq(
+      ev(4, 7, "2024-01-01 00:20:00", 0.5),
+      ev(5, 7, "2024-01-01 01:30:00", 4.0),
+      ev(6, 8, "2024-01-01 04:00:00", 9.0))
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    batch1.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtimes => deterministic file order
+    batch2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streamy.sessionFlush(stream).toDF().writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sess").outputMode("append").start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    val streamed = spark.table("sess")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == Set(
+      (7L, us("2024-01-01 00:00:00"), us("2024-01-01 00:20:00"), 3L, 350L),
+      (7L, us("2024-01-01 01:30:00"), us("2024-01-01 01:30:00"), 1L, 400L),
+      (9L, us("2024-01-01 00:05:00"), us("2024-01-01 00:05:00"), 1L, 500L)))
+    // batch path on the same union flushes EVERYTHING incl. open sessions
+    val all = (batch1 ++ batch2).toDF(cols: _*)
+    val batch = Streamy.sessionFlush(all).toDF()
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch == streamed +
+      ((8L, us("2024-01-01 04:00:00"), us("2024-01-01 04:00:00"), 1L, 900L)))
+  }
+
   test("funnelProgress: state carries across REAL micro-batches (T7)") {
     import org.apache.spark.sql.functions._
     // batch 1: user 7 views; batch 2 (later files): clicks then purchases.
