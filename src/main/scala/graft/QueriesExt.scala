@@ -431,6 +431,63 @@ object QueriesExt {
       WHERE rn <= 5 ORDER BY qid, rn"""
 
   private val simQueries: Seq[(String, Q)] = Seq(
+    "sim_rrf" -> Q(
+      // Reciprocal-rank fusion (X46): fuse two retrievers — cosine and
+      // Euclidean top-10 — by RRF (Σ 1/(60+rank)), the standard hybrid-
+      // search combiner. Both rankings derive from ONE dot-product pass
+      // (L2² = |q|²+|c|²−2·dot reuses the norms and the dot), so the
+      // marginal cost over sim_topk is two rank windows on the same
+      // partitioning (Spark plans one sort per ordering, same exchange).
+      // Brute O(Q·N) candidate generation — the declared baseline, like
+      // sim_topk; the IVF family is the scale path for candidates. Both
+      // distances round to 6 decimals BEFORE ranking, the fused score
+      // rounds before the final rank, ties break on candidate id — so
+      // both engines make identical decisions at every stage.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 50 === 0).toDF("qid", "qlabel", "qv", "qn")
+        val pairs = q.join(e, col("vec_id") =!= col("qid"))
+          .withColumn("dot", LlmOps.dot(col("qv"), col("v")))
+          .withColumn("cos_r", round(col("dot") / (col("qn") * col("nrm")), 6))
+          .withColumn("l2_r", round(
+            col("qn") * col("qn") + col("nrm") * col("nrm") - lit(2.0) * col("dot"), 6))
+        val wc = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)
+        val wl = Window.partitionBy(col("qid")).orderBy(col("l2_r").asc, col("vec_id").asc)
+        val wf = Window.partitionBy(col("qid")).orderBy(col("rrf_r").desc, col("vec_id").asc)
+        pairs
+          .withColumn("rc", row_number().over(wc))
+          .withColumn("rl", row_number().over(wl))
+          .filter(col("rc") <= 10 || col("rl") <= 10)
+          .withColumn("rrf_r", round(
+            when(col("rc") <= 10, lit(1.0) / (col("rc") + 60)).otherwise(lit(0.0)) +
+            when(col("rl") <= 10, lit(1.0) / (col("rl") + 60)).otherwise(lit(0.0)), 6))
+          .withColumn("rk", row_number().over(wf).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("vec_id").as("cand"), col("rrf_r"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH e AS ($embSql),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+          p AS (SELECT q.qid, c.vec_id AS cand,
+              list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1]*c.v[i+1])) AS dot,
+              sqrt(list_sum(list_transform(q.qv, x -> x*x))) AS qn,
+              sqrt(list_sum(list_transform(c.v, x -> x*x))) AS cn
+            FROM q JOIN e c ON c.vec_id != q.qid),
+          r AS (SELECT qid, cand, round(dot / (qn*cn), 6) AS cos_r,
+              round(qn*qn + cn*cn - CAST(2.0 AS DOUBLE)*dot, 6) AS l2_r FROM p),
+          rnk AS (SELECT qid, cand,
+              row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand ASC) AS rc,
+              row_number() OVER (PARTITION BY qid ORDER BY l2_r ASC, cand ASC) AS rl
+            FROM r),
+          f AS (SELECT qid, cand,
+              round(CASE WHEN rc <= 10 THEN CAST(1.0 AS DOUBLE)/(rc+60) ELSE 0 END +
+                    CASE WHEN rl <= 10 THEN CAST(1.0 AS DOUBLE)/(rl+60) ELSE 0 END, 6) AS rrf_r
+            FROM rnk WHERE rc <= 10 OR rl <= 10)
+        SELECT qid, rk, cand, rrf_r FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY rrf_r DESC, cand ASC) AS BIGINT) AS rk FROM f) t
+        WHERE rk <= 5 ORDER BY qid, rk""")),
     "sim_topk" -> Q(
       (s, d) => topkDf(s, d, sameCellOnly = false),
       Some(topkSql("c.vec_id != q.qid"))),
@@ -1180,6 +1237,62 @@ object QueriesExt {
               ORDER BY score_r DESC, token ASC) AS BIGINT) AS rk FROM sc)
         SELECT doc_id, token, tf, df, score_r, rk FROM rk
         WHERE rk <= 3 ORDER BY doc_id, rk""")),
+    "bm25_top" -> Q(
+      // BM25 top terms (X45): per-document top-3 tokens by the Okapi BM25
+      // weight (k1=1.2, b=0.75) — the retrieval scorer a curation pipeline
+      // uses where TF-IDF saturates on long documents. Same scale shape as
+      // tfidf_top plus one doc-keyed length join: token aggregates, a
+      // vocabulary-sized df join (AQE decides broadcast), 1-row n/avgdl
+      // frames broadcast, WindowGroupLimit caps the rank window. Scores
+      // round to 6 decimals BEFORE ranking (house float-parity rule);
+      // every decimal literal is forced to DOUBLE on the oracle side so
+      // no DECIMAL intermediate can truncate differently.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = tokens(s, d)
+        val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_r").desc, col("token").asc)
+        tf.join(dfq, Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(nDocs))
+          .crossJoin(broadcast(avgdl))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("score_r", round(
+            col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("dl"), col("score_r"), col("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          tok AS (SELECT doc_id, token FROM n, unnest(w) AS u(token)),
+          tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          ad AS (SELECT avg(dl) AS avgdl FROM dl),
+          sc AS (SELECT tf.doc_id AS doc_id, tf.token AS token, tf, df, dl.dl AS dl,
+              round(ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                  / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                * (tf * CAST(2.2 AS DOUBLE))
+                / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * dl.dl / avgdl)), 6) AS score_r
+            FROM tf JOIN dfq ON tf.token = dfq.token
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN nd CROSS JOIN ad),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_r DESC, token ASC) AS BIGINT) AS rk FROM sc)
+        SELECT doc_id, token, tf, df, dl, score_r, rk FROM rk
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
     "text_entropy" -> Q(
       // Token-entropy quality signal (X23): unigram Shannon entropy via the
       // summation-stable rearrangement H = ln(n) − Σ c·ln(c) / n, plus
@@ -1804,7 +1917,42 @@ object QueriesExt {
         WHERE NOT EXISTS (SELECT 1 FROM u b
           WHERE b.n_events >= a.n_events AND b.cents >= a.cents
             AND (b.n_events > a.n_events OR b.cents > a.cents))
-        ORDER BY n_events, user_id""")))
+        ORDER BY n_events, user_id""")),
+    "type2_history" -> Q(
+      // SCD Type-2 change history (X47): compact each user's event-type
+      // stream into validity intervals — keep only CHANGE rows (first
+      // event or type ≠ previous), stamp valid_from = change time,
+      // valid_to = next change time (NULL = current), version = change
+      // ordinal. The dimension-table build step every warehouse feed
+      // needs. Both windows share one user-keyed sort (lag on the full
+      // stream, lead/row_number on the compacted rows — Spark reuses the
+      // exchange, adds one re-sort over the much smaller change set).
+      // All values are exact integers; (us, event_id) full-key ordering
+      // makes the lag decisions identical in both engines.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val changes = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag(col("event_type"), 1).over(ord))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        changes
+          .withColumn("valid_to", lead(col("us"), 1).over(ord))
+          .withColumn("version", row_number().over(ord).cast("long"))
+          .select(col("user_id"), col("version"), col("event_type").as("state"),
+            col("us").as("valid_from"), col("valid_to"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events),
+          f AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS prev FROM e),
+          g AS (SELECT * FROM f WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+          event_type AS state, us AS valid_from, lead(us) OVER w AS valid_to
+        FROM g WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ORDER BY user_id, version""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

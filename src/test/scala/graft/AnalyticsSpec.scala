@@ -387,6 +387,61 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25_top: scores recompute from the output's own tf/df/dl (X45)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, d)
+    val nDocs = docs.count().toDouble
+    val avgdl = docs
+      .select(size(split(graft.ops.LlmOps.normText($"text"), " ")).as("dl"))
+      .agg(avg($"dl")).as[Double].head()
+    val out = SparkEntry.queries("bm25_top")(spark, d)
+      .as[(Long, String, Long, Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    out.foreach { case (doc, tok, tf, df, dl, score, _) =>
+      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      val expect = r6(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      assert(math.abs(score - expect) < 1e-9,
+        s"doc $doc '$tok': $score != $expect (tf=$tf df=$df dl=$dl)")
+    }
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.length <= 3)
+      val ordered = rows.sortBy(_._7).map(_._6)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("type2_history: intervals equal a per-user brute-force compaction (X47)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("type2_history")(spark, d)
+      .as[(Long, Long, String, Long, Option[Long])].collect().toSeq
+    val brute = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(e => (e._4, e._2))
+        val changes = sorted.foldLeft(Vector.empty[(String, Long)]) { (acc, e) =>
+          if (acc.isEmpty || acc.last._1 != e._3) acc :+ (e._3, e._4) else acc
+        }
+        changes.zipWithIndex.map { case ((st, from), i) =>
+          (uid, (i + 1).toLong, st, from,
+            changes.lift(i + 1).map(_._2))
+        }
+      }
+    assert(out.toSet == brute.toSet && out.nonEmpty)
+    // intervals tile: valid_to of version v = valid_from of v+1, state changes
+    out.groupBy(_._1).values.foreach { rows =>
+      val byV = rows.sortBy(_._2)
+      assert(byV.map(_._2) == (1L to byV.length).toSeq)
+      byV.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4)); assert(a._3 != b._3)
+        case _ =>
+      }
+      assert(byV.last._5.isEmpty)
+    }
+  }
+
   test("skyline_users: running-max construction equals brute-force dominance (X43)") {
     val d = "/root/testdata/sf0.001"
     val u = graft.ops.Tables.events(spark, d)

@@ -222,4 +222,37 @@ class LlmOpsSpec extends AnyFunSuite {
     info(s"pairs at sf0.001: ${out.size}")
     assert(out == brute)
   }
+
+  test("sim_rrf: fusion equals a Scala brute-force RRF over both rankings (X46)") {
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.ops.Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val brute = vecs.keys.filter(_ % 50 == 0).flatMap { qid =>
+      val qv = vecs(qid)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val scored = (vecs - qid).toSeq.map { case (cid, cv) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        (cid, r6(dot / (qn * cn)), r6(qn * qn + cn * cn - 2.0 * dot))
+      }
+      val rc = scored.sortBy(s => (-s._2, s._1)).zipWithIndex
+        .map { case (s, i) => s._1 -> (i + 1) }.toMap
+      val rl = scored.sortBy(s => (s._3, s._1)).zipWithIndex
+        .map { case (s, i) => s._1 -> (i + 1) }.toMap
+      scored.map(_._1)
+        .filter(c => rc(c) <= 10 || rl(c) <= 10)
+        .map { c =>
+          val f = (if (rc(c) <= 10) 1.0 / (rc(c) + 60) else 0.0) +
+            (if (rl(c) <= 10) 1.0 / (rl(c) + 60) else 0.0)
+          (c, r6(f))
+        }
+        .sortBy { case (c, f) => (-f, c) }.take(5).zipWithIndex
+        .map { case ((c, f), i) => (qid, (i + 1).toLong, c, f) }
+    }.toSet
+    val out = SparkEntry.queries("sim_rrf")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == brute && out.nonEmpty)
+  }
 }
