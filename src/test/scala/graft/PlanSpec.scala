@@ -302,4 +302,44 @@ class PlanSpec extends AnyFunSuite {
     assert(parts.length == 1 && parts.head.startsWith("lang"),
       s"expected one lang hash exchange, got $parts:\n$p")
   }
+
+  test("dedup_levenshtein: candidate join keys on (lang, length band), " +
+    "never lang alone; the DP is the thresholded builtin") {
+    val p = plan("dedup_levenshtein")
+    val joins = p.split("\n").filter(_.contains("HashJoin"))
+    assert(joins.exists(j => j.contains("lang") && j.contains("lband")),
+      s"candidate join must key on (lang, band):\n${joins.mkString("\n")}")
+    assert(!joins.exists(j => j.contains("lang") && !j.contains("lband")),
+      "no join may block on lang alone")
+    assert(p.contains("levenshtein") && p.contains("Some(5)"),
+      s"expected the thresholded levenshtein call:\n$p")
+  }
+
+  test("type2_history: lag + lead/rank share one user_id exchange " +
+    "(exchange reuse, two sorts at most)") {
+    val p = plan("type2_history")
+    val parts = "hashpartitioning\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(parts.nonEmpty && parts.forall(_.startsWith("user_id")),
+      s"all window exchanges must key on user_id, got $parts:\n$p")
+    assert(parts.length == 1,
+      s"compaction must reuse the window exchange, got ${parts.length}:\n$p")
+  }
+
+  test("path_transitions: one user window exchange; the probability " +
+    "window runs over the |types|^2 aggregate, not events") {
+    val p = plan("path_transitions")
+    val parts = "hashpartitioning\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    // user_id window + (src,dst) aggregate + src probability window
+    assert(parts.count(_.startsWith("user_id")) == 1,
+      s"expected exactly one user_id exchange, got $parts:\n$p")
+  }
+
+  test("bm25_top: corpus-count and avg-doclen frames broadcast; " +
+    "rank window caps via WindowGroupLimit") {
+    val p = plan("bm25_top")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"1-row stat frames must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-3 rank must be a group limit, not a full sort:\n$p")
+  }
 }
