@@ -1952,7 +1952,102 @@ object QueriesExt {
         SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
           event_type AS state, us AS valid_from, lead(us) OVER w AS valid_to
         FROM g WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        ORDER BY user_id, version""")))
+        ORDER BY user_id, version""")),
+    "json_props" -> Q(
+      // Semi-structured extraction (X48): parse the `props` JSON column
+      // with an explicit schema (`from_json` — typed schema-on-read, the
+      // Spark idiom for event-property bags) and aggregate the extracted
+      // field per event type. The parse is a per-row codegen'd projection;
+      // the rollup is one |types|-row hash aggregate; all outputs are
+      // exact integers. Oracle uses DuckDB's native json_extract — an
+      // independent JSON parser, so the extraction semantics (not the
+      // construction) are what's pinned.
+      (s, d) => {
+        import org.apache.spark.sql.types.{StructType, StructField, LongType}
+        val sch = StructType(Seq(StructField("k", LongType)))
+        Tables.events(s, d)
+          .withColumn("k", from_json(col("props"), sch).getField("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            count_distinct(col("k")).as("uniq_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS uniq_k,
+          CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+          CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+    "debounce_events" -> Q(
+      // Throttle/debounce (X49): drop repeat (user, type) events arriving
+      // within 1 h of their PREDECESSOR — the per-source rate limit an
+      // ingest feed applies (threshold is a parameter; 1 h makes the rule
+      // bite at the fixture's arrival rate). Burst-LEADER flavor (a chain
+      // of sub-gap-spaced events collapses to its first event):
+      // one lag per (user_id, event_type) and a gap filter, exact integer
+      // micros, one window shuffle. The survivor-gap flavor ("keep when
+      // ≥5 s since the last KEPT event") is inherently sequential — that
+      // is [[Streamy]] FSM territory, not a window — so the declarative
+      // op pins the flavor both engines can compute identically.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(ord))
+          .filter(col("gap").isNull || col("gap") >= lit(3600000000L))
+          .select(col("user_id"), col("event_type"), col("event_id"), col("us"))
+          .orderBy("user_id", "event_type", "us")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events),
+          f AS (SELECT *, us - lag(us) OVER (PARTITION BY user_id, event_type
+              ORDER BY us, event_id) AS gap FROM e)
+        SELECT user_id, event_type, event_id, us FROM f
+        WHERE gap IS NULL OR gap >= 3600000000
+        ORDER BY user_id, event_type, us""")),
+    "weighted_sample" -> Q(
+      // Deterministic weighted sampling without replacement (X50):
+      // Efraimidis-Spirakis A-Res — key = ln(u)/w with u a deterministic
+      // md5-derived uniform and w = n_chars; the global top-20 by key is
+      // an exact-size weighted sample, reproducible across engines and
+      // runs (the property a training-mix builder needs for audits).
+      // u = (first 6 md5 hex digits + 1) / (16^6 + 1) ∈ (0,1] exactly in
+      // both engines; the key rounds to 12 decimals BEFORE ranking (key
+      // magnitudes are ~1e-3·1/w, so 6 house decimals would quantize the
+      // order away; 12 keeps ~1e-12 boundaries against ~1e-19 cross-engine
+      // noise), ties break on doc_id. Scale shape: stateless per-row key
+      // + one TakeOrdered(20) — no shuffle at all beyond the final gather.
+      (s, d) => {
+        val hex = "0123456789abcdef"
+        val u6 = {
+          // value of md5(doc_id)'s first 6 hex digits as an integer
+          val digits = (0 until 6).map(i =>
+            (instr(lit(hex), substring(md5(col("doc_id").cast("string")), i + 1, 1)) - 1)
+              * math.pow(16, 5 - i).toLong)
+          digits.reduce(_ + _)
+        }
+        docs(s, d)
+          .withColumn("u", (u6 + lit(1.0)) / lit(16777217.0))
+          .withColumn("key_r", round(log(col("u")) / col("n_chars"), 12))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("key_r"))
+          .orderBy(col("key_r").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH k AS (SELECT doc_id, lang, n_chars,
+            (CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 1048576 +
+             (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536 +
+             (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1)) AS u6
+          FROM documents)
+        SELECT doc_id, lang, n_chars,
+          round(ln((u6 + CAST(1.0 AS DOUBLE)) / CAST(16777217.0 AS DOUBLE)) / n_chars, 12) AS key_r
+        FROM k ORDER BY key_r DESC, doc_id LIMIT 20""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -442,6 +442,51 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted_sample: md5-derived A-Res keys recompute exactly in plain Scala (X50)") {
+    val d = "/root/testdata/sf0.001"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)].collect()
+    val brute = docs.map { case (id, lang, n) =>
+      val u6 = md5hex(id.toString).take(6).foldLeft(0L)((a, c) =>
+        a * 16 + "0123456789abcdef".indexOf(c))
+      val key = math.rint(math.log((u6 + 1.0) / 16777217.0) / n * 1e12) / 1e12
+      (id, lang, n, key)
+    }.sortBy(r => (-r._4, r._1)).take(20).toSeq
+    val out = SparkEntry.queries("weighted_sample")(spark, d)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == brute)
+  }
+
+  test("debounce_events: lag-gap filter equals a per-key brute force (X49)") {
+    val d = "/root/testdata/sf0.001"
+    val raw = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val brute = raw.groupBy(e => (e._1, e._3)).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._2)).toSeq
+      sorted.head +: sorted.sliding(2).collect {
+        case Seq(a, b) if b._4 - a._4 >= 3600000000L => b
+      }.toSeq
+    }.map(e => (e._1, e._3, e._2, e._4)).toSet
+    val out = SparkEntry.queries("debounce_events")(spark, d)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == brute && out.size < raw.length,
+      "debounce must actually drop something on the fixture")
+  }
+
+  test("json_props: extraction conserves event counts; bounds are consistent (X48)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("json_props")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == graft.ops.Tables.events(spark, d).count())
+    out.foreach { case (t, n, sum, uniq, mn, mx) =>
+      assert(mn <= mx && uniq >= 1 && uniq <= n)
+      assert(sum >= n * mn && sum <= n * mx, s"$t: sum out of bounds")
+    }
+  }
+
   test("skyline_users: running-max construction equals brute-force dominance (X43)") {
     val d = "/root/testdata/sf0.001"
     val u = graft.ops.Tables.events(spark, d)
