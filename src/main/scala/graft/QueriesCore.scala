@@ -116,6 +116,30 @@ object QueriesCore {
       Some(s"""WITH pixels AS ($pixelsSql)
         SELECT asdf_id, l_orderkey, l_linenumber, value FROM pixels
         ORDER BY l_orderkey, l_linenumber""")),
+    "unpivot_wide" -> Q(
+      // Wide→long melt (X51): the inverse of the merge/naming grammar —
+      // a wide per-zone extract frame unpivoted to (zone, field, value)
+      // rows, the shape a charting/indicator feed consumes. Spark's
+      // native `unpivot` plans as Expand: a map-side row multiplication
+      // with NO shuffle (the only exchanges are the upstream aggregate
+      // and the deterministic output sort). The oracle is an independent
+      // UNION ALL formulation, so the melt semantics are pinned, not the
+      // construction.
+      (s, d) => {
+        val wide = Tables.pixels(s, d).groupBy(col("asdf_id")).agg(
+          avg(col("value")).as("mean"), sum(col("value")).as("sum"),
+          max(col("value")).as("max"))
+        wide.unpivot(Array(col("asdf_id")),
+            Array(col("mean"), col("sum"), col("max")), "field", "value")
+          .orderBy("asdf_id", "field")
+      },
+      Some(s"""WITH pixels AS ($pixelsSql),
+          w AS (SELECT asdf_id, avg(value) AS mean, sum(value) AS sum,
+                max(value) AS max FROM pixels GROUP BY asdf_id)
+        SELECT asdf_id, 'mean' AS field, mean AS value FROM w
+        UNION ALL SELECT asdf_id, 'sum', sum FROM w
+        UNION ALL SELECT asdf_id, 'max', max FROM w
+        ORDER BY asdf_id, field""")),
     "merge_wide" -> Q(
       (s, d) => {
         val px = Tables.pixels(s, d)
