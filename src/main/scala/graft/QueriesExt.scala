@@ -2022,14 +2022,12 @@ object QueriesExt {
       // noise), ties break on doc_id. Scale shape: stateless per-row key
       // + one TakeOrdered(20) — no shuffle at all beyond the final gather.
       (s, d) => {
-        val hex = "0123456789abcdef"
-        val u6 = {
-          // value of md5(doc_id)'s first 6 hex digits as an integer
-          val digits = (0 until 6).map(i =>
-            (instr(lit(hex), substring(md5(col("doc_id").cast("string")), i + 1, 1)) - 1)
+        // value of md5(doc_id)'s first 6 hex digits as an integer, built
+        // from the file's shared hexv primitive (same DuckDB mirror)
+        val u6 = (0 until 6).map(i =>
+            hexv(substring(md5(col("doc_id").cast("string")), i + 1, 1))
               * math.pow(16, 5 - i).toLong)
-          digits.reduce(_ + _)
-        }
+          .reduce(_ + _)
         docs(s, d)
           .withColumn("u", (u6 + lit(1.0)) / lit(16777217.0))
           .withColumn("key_r", round(log(col("u")) / col("n_chars"), 12))

@@ -183,9 +183,15 @@ object Streamy {
     * Split rule is `gap >= 30 min`, identical to the batch sessionizer
     * (X34) and session_window's half-open semantics, and spend is per-row
     * integer cents — so the stream path, the batch path, and the SQL
-    * oracle agree exactly. On a batch frame there is no watermark: the
-    * input is complete, so the trailing open session of each user is
-    * flushed too and the output equals X34's session set.
+    * oracle agree exactly UNDER THE SAME CONTRACT AS [[funnelProgress]]:
+    * a user's events arrive in event-time order across micro-batches
+    * (the in-batch sort absorbs intra-batch disorder). A late-but-
+    * admissible event (above the watermark, at or before the open
+    * session's tail) merges conservatively — start extends backward,
+    * never an inverted or double-counted interval — because a forward
+    * FSM cannot split retroactively. On a batch frame there is no
+    * watermark: the input is complete, so the trailing open session of
+    * each user is flushed too and the output equals X34's session set.
     *
     * Batch-path caveat (same as [[funnelProgress]]): one invocation sees a
     * user's whole history; corpus-scale BATCH sessionization should use
@@ -218,6 +224,19 @@ object Streamy {
             // on streams, the full — complete — history on batch)
             rows.toSeq.sortBy(_._3).foreach { case (_, _, us, c) =>
               open match {
+                case Some(s) if us <= s.last_us =>
+                  // late-but-admissible (above the watermark, at or before
+                  // the open session's tail — only possible across
+                  // micro-batches): merge conservatively, extending the
+                  // start backward if needed. A retroactive SPLIT is
+                  // impossible in a forward FSM, so exact batch parity
+                  // holds under the same contract as [[funnelProgress]]:
+                  // a user's events arrive in event-time order ACROSS
+                  // batches (the in-batch sort absorbs intra-batch
+                  // disorder); disorder degrades to this conservative
+                  // merge instead of emitting inverted intervals
+                  open = Some(SessionAcc(math.min(s.start_us, us), s.last_us,
+                    s.n + 1, s.cents + c))
                 case Some(s) if us - s.last_us < gapUs =>
                   open = Some(SessionAcc(s.start_us, us, s.n + 1, s.cents + c))
                 case Some(s) =>

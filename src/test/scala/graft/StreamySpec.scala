@@ -175,6 +175,42 @@ class StreamySpec extends AnyFunSuite {
       ((8L, us("2024-01-01 04:00:00"), us("2024-01-01 04:00:00"), 1L, 900L)))
   }
 
+  test("sessionFlush: late-but-admissible event merges conservatively, never inverts (T8)") {
+    import org.apache.spark.sql.functions._
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      (id, u, "view", java.sql.Timestamp.valueOf(t), v)
+    // batch 1: u7 at 10:00 -> watermark 09:30. batch 2: u7 at 09:50 —
+    // LATE but above the watermark, so it is admitted and lands BEFORE
+    // the open session's tail; then 10:25 (25 min after the tail) must
+    // MERGE, not split against the out-of-order predecessor. u8's 12:00
+    // advances the watermark to 11:30, timing out u7's session.
+    val batch1 = Seq(ev(1, 7, "2024-01-01 10:00:00", 1.0))
+    val batch2 = Seq(
+      ev(2, 7, "2024-01-01 09:50:00", 2.0),
+      ev(3, 7, "2024-01-01 10:25:00", 4.0),
+      ev(4, 8, "2024-01-01 12:00:00", 9.0))
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    val dir = Files.createTempDirectory("graft_sess_late").toString
+    val ckpt = Files.createTempDirectory("graft_sess_late_ckpt").toString
+    batch1.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    batch2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streamy.sessionFlush(stream).toDF().writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sess_late").outputMode("append").start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    val streamed = spark.table("sess_late")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == Set(
+      (7L, us("2024-01-01 09:50:00"), us("2024-01-01 10:25:00"), 3L, 700L)))
+    streamed.foreach { case (_, s, e, _, _) => assert(s <= e, "inverted interval") }
+  }
+
   test("funnelProgress: state carries across REAL micro-batches (T7)") {
     import org.apache.spark.sql.functions._
     // batch 1: user 7 views; batch 2 (later files): clicks then purchases.
