@@ -131,4 +131,42 @@ class PropertySpec extends AnyFunSuite {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
     assert(r.passed, r.status.toString)
   }
+
+  test("sessionFlush (batch) equals a brute-force sessionizer on random event logs (T8)") {
+    // the hand-written FSM fold must reproduce "sort by (ts, id); split at
+    // gap >= 30 min; aggregate (start, end, n, cents)" for ANY arrival
+    // pattern — duplicate timestamps, singleton users, negative values
+    lazy val spark = TestSpark.spark
+    import spark.implicits._
+    val evGen = for {
+      id <- Gen.chooseNum(0L, 100000L)
+      u <- Gen.chooseNum(0L, 4L)
+      sec <- Gen.chooseNum(0L, 7200L)
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (id, u, sec, v)
+    val logGen = Gen.chooseNum(1, 50).flatMap(n => Gen.listOfN(n, evGen))
+      .map(_.distinctBy(_._1))
+    val gapUs = 30 * 60L * 1000000L
+    val p = Prop.forAll(logGen) { evs =>
+      val df = evs.map { case (id, u, sec, v) =>
+        (id, u, "view", new java.sql.Timestamp(sec * 1000L), v)
+      }.toDF("event_id", "user_id", "event_type", "ts", "value")
+      val got = graft.streaming.Streamy.sessionFlush(df).toDF()
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val expect = evs.groupBy(_._2).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1))
+          .map(e => (e._3 * 1000000L, math.floor(e._4 * 100 + 0.5).toLong))
+        val sessions = sorted.tail.foldLeft(
+          Vector(Vector(sorted.head))) { (acc, e) =>
+          if (e._1 - acc.last.last._1 < gapUs) acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+        }
+        sessions.map(ss =>
+          (u, ss.head._1, ss.last._1, ss.length.toLong, ss.map(_._2).sum))
+      }.toSet
+      got == expect
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(r.passed, r.status.toString)
+  }
 }
