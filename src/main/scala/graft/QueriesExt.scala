@@ -2045,7 +2045,122 @@ object QueriesExt {
           FROM documents)
         SELECT doc_id, lang, n_chars,
           round(ln((u6 + CAST(1.0 AS DOUBLE)) / CAST(16777217.0 AS DOUBLE)) / n_chars, 12) AS key_r
-        FROM k ORDER BY key_r DESC, doc_id LIMIT 20""")))
+        FROM k ORDER BY key_r DESC, doc_id LIMIT 20""")),
+    "session_attribution" -> Q(
+      // Point-in-interval attribution (X52): attach each purchase to the
+      // session CONTAINING it. The naive formulation is a range join
+      // (purchases × sessions with BETWEEN — O(P·S) per user); the scale
+      // path here reuses the as-of machinery: sessions are per-user
+      // non-overlapping and ordered, so "the latest session starting at
+      // or before the purchase" IS the containing session — one union +
+      // one running last-non-null window ([[graft.ops.AsOf]]), no range
+      // join anywhere. The containment bound survives as an explicit
+      // filter (structurally always true here because a purchase is an
+      // event of its own session; it guards the general contract where
+      // intervals need not cover the points). The oracle is the
+      // independent BETWEEN-join formulation, so the semantics — not the
+      // construction — are what's pinned.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val evs = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("new_s",
+            when(lag(col("us"), 1).over(ord).isNull ||
+              col("us") - lag(col("us"), 1).over(ord) >= lit(1800000000L), 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(run))
+        val sess = evs.groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("sstart_us"), max(col("us")).as("send_us"))
+          .select(col("user_id"), col("sstart_us").as("us"),
+            col("sid"), col("sstart_us"), col("send_us"))
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us"), col("event_id"))
+        AsOf.join(purchases, sess, "user_id", "us",
+            Seq("sid", "sstart_us", "send_us"))
+          .filter(col("us") <= col("send_us"))
+          .select(col("user_id"), col("event_id"), col("sid"),
+            col("sstart_us"), col("send_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events),
+          f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+          sess AS (SELECT user_id, sid, min(us) AS sstart_us, max(us) AS send_us
+            FROM g GROUP BY 1, 2),
+          p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+        SELECT p.user_id, p.event_id, CAST(sess.sid AS BIGINT) AS sid,
+          sess.sstart_us, sess.send_us
+        FROM p JOIN sess ON p.user_id = sess.user_id
+          AND p.us BETWEEN sess.sstart_us AND sess.send_us
+        ORDER BY p.user_id, p.event_id""")),
+    "cumulative_users" -> Q(
+      // Exact cumulative distinct users (X53): a running COUNT(DISTINCT)
+      // is holistic — per-day distinct state grows with history and no
+      // window computes it exactly. The first-occurrence trick makes it
+      // algebraic: a user contributes to distinct-growth exactly once, on
+      // their FIRST day — so min(day) per user, count per day, running
+      // sum. Two map-side-combinable aggregates and a |days|-bounded
+      // window (the daily_spine argument); no distinct state anywhere.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val firstSeen = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        val newBy = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        val run = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(col("day")).distinct()
+          .join(newBy, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(run))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+          nb AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1),
+          ds AS (SELECT DISTINCT day FROM e)
+        SELECT ds.day AS day, COALESCE(n_new, 0) AS n_new,
+          CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY ds.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM ds LEFT JOIN nb ON ds.day = nb.day ORDER BY day""")),
+    "wow_growth" -> Q(
+      // Week-over-week growth (X54): weekly rollup (integer cents), lag,
+      // exact-ratio percent change rounded at output. The lag window is
+      // CALENDAR-bounded (|weeks| rows) like the spine; both engines
+      // truncate weeks to Monday. First week (no predecessor) and a zero
+      // base yield NULL growth in both engines.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wk = Tables.events(s, d)
+          .select(to_date(date_trunc("week", col("ts"))).as("wk"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          .groupBy(col("wk"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+        val w = Window.orderBy(col("wk"))
+        wk.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+          .withColumn("wow_r",
+            when(col("prev_cents").isNull || col("prev_cents") === 0, lit(null))
+              .otherwise(round((col("cents") - col("prev_cents")) /
+                col("prev_cents").cast("double"), 6)))
+          .select(col("wk"), col("n"), col("cents"), col("wow_r"))
+          .orderBy("wk")
+      },
+      Some("""WITH wk AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1),
+          l AS (SELECT *, lag(cents) OVER (ORDER BY wk) AS prev_cents FROM wk)
+        SELECT wk, n, cents,
+          CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+            ELSE round((cents - prev_cents) / CAST(prev_cents AS DOUBLE), 6) END AS wow_r
+        FROM l ORDER BY wk""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -487,6 +487,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("session_attribution: as-of construction equals brute-force interval containment (X52)") {
+    val d = "/root/testdata/sf0.001"
+    val evs = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    // brute: sessionize per user, then containment-scan every purchase
+    val brute = evs.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2)).toSeq
+      var sid = 0L; var last = Option.empty[Long]
+      val tagged = sorted.map { e =>
+        if (last.forall(l => e._4 - l >= 1800000000L)) sid += 1
+        last = Some(e._4)
+        (e, sid)
+      }
+      val sess = tagged.groupBy(_._2).map { case (s, rs) =>
+        s -> ((rs.map(_._1._4).min, rs.map(_._1._4).max)) }
+      tagged.filter(_._1._3 == "purchase").flatMap { case (p, _) =>
+        sess.collect { case (s, (lo, hi)) if p._4 >= lo && p._4 <= hi =>
+          (uid, p._2, s, lo, hi) }
+      }
+    }.toSet
+    val out = SparkEntry.queries("session_attribution")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == brute && out.nonEmpty)
+  }
+
+  test("cumulative_users: final total equals global distinct; never decreases (X53)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cumulative_users")(spark, d)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val total = graft.ops.Tables.events(spark, d)
+      .select($"user_id").distinct().count()
+    assert(out.last._3 == total, "final cumulative must equal global distinct users")
+    assert(out.map(_._2).sum == total, "every user counts exactly once")
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._3 + b._2, "running sum consistent")
+      case _ =>
+    }
+  }
+
   test("skyline_users: running-max construction equals brute-force dominance (X43)") {
     val d = "/root/testdata/sf0.001"
     val u = graft.ops.Tables.events(spark, d)
