@@ -81,6 +81,38 @@ object QueriesExt {
         FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
           AND a.doc_id < b.doc_id)"""
 
+  /** Shared gap-sessionization pieces (30-min split, half-open semantics,
+    * (us, event_id) full-key order) — ONE definition consumed by the batch
+    * sessionizer (X34), the session-FSM oracle (T8), and the attribution
+    * join (X52), so the split rule can never desynchronize across them.
+    * The oracle CTE chain `e → f → g` leaves every event tagged with its
+    * `sid`; the Spark mirror [[sessionizedEvents]] returns the same frame. */
+  private val sessionCtes: String =
+    """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+      f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+            OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)"""
+
+  /** Spark mirror of [[sessionCtes]]'s `g`: every event tagged with its
+    * per-user session ordinal. One user-keyed window shuffle serves the
+    * lag, the running sum, and (via exchange reuse) downstream rollups. */
+  private def sessionizedEvents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(ord).isNull ||
+          col("us") - lag(col("us"), 1).over(ord) >= lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(run))
+  }
+
   // ---- §2.10 streaming windows (batch-verifiable, same code path) ------
   private val streamQueries: Seq[(String, Q)] = Seq(
     "stream_tumbling" -> Q(
@@ -137,13 +169,7 @@ object QueriesExt {
         .select(col("user_id"), col("sstart_us"), col("send_us"),
           col("n"), col("cents"))
         .orderBy("user_id", "sstart_us"),
-      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
-          f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-          g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
-              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      Some(s"""WITH $sessionCtes
         SELECT user_id, min(us) AS sstart_us, max(us) AS send_us,
           CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS cents
         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart_us""")),
@@ -1603,36 +1629,20 @@ object QueriesExt {
       // rollup reuses it too. All arithmetic is exact epoch-micros
       // integers; the (ts, event_id) full-key ordering makes the ROWS
       // running sum identical in both engines.
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-          .withColumn("new_s",
-            when(lag(col("us"), 1).over(ord).isNull ||
-              col("us") - lag(col("us"), 1).over(ord) >= lit(1800000000L), 1L)
-              .otherwise(0L))
-          .withColumn("session_id", sum(col("new_s")).over(run))
-          .groupBy(col("user_id"), col("session_id"))
-          .agg(count(lit(1)).as("n_events"),
-            timestamp_micros(min(col("us"))).as("start_ts"),
-            timestamp_micros(max(col("us"))).as("end_ts"),
-            ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long").as("dur_s"))
-          .orderBy("user_id", "session_id")
-      },
-      Some("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
-          f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-          g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
-              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
-            FROM f)
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      (s, d) => sessionizedEvents(s, d)
+        .withColumnRenamed("sid", "session_id")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          timestamp_micros(min(col("us"))).as("start_ts"),
+          timestamp_micros(max(col("us"))).as("end_ts"),
+          ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long").as("dur_s"))
+        .orderBy("user_id", "session_id"),
+      Some(s"""WITH $sessionCtes
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
           CAST(count(*) AS BIGINT) AS n_events,
           make_timestamp(min(us)) AS start_ts, make_timestamp(max(us)) AS end_ts,
           CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS dur_s
-        FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_id""")),
     "rolling_activity" -> Q(
       // Rolling time-range activity (X35): per event, the user's event
       // count and spend over the PRECEDING HOUR — a RANGE frame on epoch
@@ -2061,17 +2071,7 @@ object QueriesExt {
       // independent BETWEEN-join formulation, so the semantics — not the
       // construction — are what's pinned.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val evs = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
-          .withColumn("new_s",
-            when(lag(col("us"), 1).over(ord).isNull ||
-              col("us") - lag(col("us"), 1).over(ord) >= lit(1800000000L), 1L)
-              .otherwise(0L))
-          .withColumn("sid", sum(col("new_s")).over(run))
+        val evs = sessionizedEvents(s, d)
         val sess = evs.groupBy(col("user_id"), col("sid"))
           .agg(min(col("us")).as("sstart_us"), max(col("us")).as("send_us"))
           .select(col("user_id"), col("sstart_us").as("us"),
@@ -2085,13 +2085,7 @@ object QueriesExt {
             col("sstart_us"), col("send_us"))
           .orderBy("user_id", "event_id")
       },
-      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-            FROM events),
-          f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-          g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
-              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+      Some(s"""WITH $sessionCtes,
           sess AS (SELECT user_id, sid, min(us) AS sstart_us, max(us) AS send_us
             FROM g GROUP BY 1, 2),
           p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
