@@ -2154,7 +2154,107 @@ object QueriesExt {
         SELECT wk, n, cents,
           CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
             ELSE round((cents - prev_cents) / CAST(prev_cents AS DOUBLE), 6) END AS wow_r
-        FROM l ORDER BY wk""")))
+        FROM l ORDER BY wk""")),
+    "snapshot_diff" -> Q(
+      // Snapshot diff (X55): the cache-audit primitive — compare two
+      // versions of a derived table (per-part mean price, 1995 vs 1996)
+      // and classify every key as added / removed / changed / unchanged.
+      // One full-outer join of two aggregate frames (both key-partitioned,
+      // AQE decides the strategy); values round to 6 decimals BEFORE the
+      // equality decision so both engines classify identically. This is
+      // what invalidation tooling runs against the content-addressed
+      // cache when an upstream dataset re-versions.
+      (s, d) => {
+        def byYear(y: Int) = Tables.pixels(s, d)
+          .filter(col("temporal") === y)
+          .groupBy(col("l_partkey"))
+          .agg(round(avg(col("value")), 6).as(s"v$y"))
+        byYear(1995).join(byYear(1996), Seq("l_partkey"), "full_outer")
+          .select(col("l_partkey"),
+            when(col("v1995").isNull, lit("added"))
+              .when(col("v1996").isNull, lit("removed"))
+              .when(col("v1995") === col("v1996"), lit("unchanged"))
+              .otherwise(lit("changed")).as("status"),
+            col("v1995"), col("v1996"))
+          .orderBy("l_partkey")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          a AS (SELECT l_partkey, round(avg(value), 6) AS v1995 FROM pixels
+            WHERE temporal = 1995 GROUP BY 1),
+          b AS (SELECT l_partkey, round(avg(value), 6) AS v1996 FROM pixels
+            WHERE temporal = 1996 GROUP BY 1)
+        SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey,
+          CASE WHEN v1995 IS NULL THEN 'added'
+               WHEN v1996 IS NULL THEN 'removed'
+               WHEN v1995 = v1996 THEN 'unchanged'
+               ELSE 'changed' END AS status,
+          v1995, v1996
+        FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey
+        ORDER BY l_partkey""")),
+    "outlier_robust" -> Q(
+      // Robust outlier screen (X56): modified z-score 0.6745·(x−med)/MAD
+      // (Iglewicz-Hoaglin) — the screen that survives the very outliers
+      // it hunts, unlike the mean/std z (X40). Same scale shape as
+      // extract_mad: the per-zone (median, MAD) frame is aggregate output
+      // and broadcasts back over the pixel stream; the score rounds to 6
+      // decimals BEFORE the |rz| > 3.5 decision; degenerate zones
+      // (MAD = 0) score 0 by definition in both engines.
+      (s, d) => {
+        val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
+        val med = px.groupBy(col("asdf_id")).agg(median(col("value")).as("med"))
+        val stats = px.join(broadcast(med), Seq("asdf_id"))
+          .groupBy(col("asdf_id"))
+          .agg(first(col("med")).as("med"),
+            median(abs(col("value") - col("med"))).as("mad"))
+        px.join(broadcast(stats), Seq("asdf_id"))
+          .select(col("asdf_id"),
+            when(col("mad") === 0, lit(0.0))
+              .otherwise(round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+              .as("rz"))
+          .groupBy(col("asdf_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("rz")) > 3.5, 1L).otherwise(0L)).as("n_out"),
+            max(abs(col("rz"))).as("max_rz"))
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          st AS (SELECT asdf_id, median(value) AS med, mad(value) AS mad
+            FROM pixels GROUP BY 1),
+          z AS (SELECT pixels.asdf_id,
+              CASE WHEN mad = 0 THEN 0.0
+                ELSE round(CAST(0.6745 AS DOUBLE) * (value - med) / mad, 6) END AS rz
+            FROM pixels JOIN st ON pixels.asdf_id = st.asdf_id)
+        SELECT asdf_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+          max(abs(rz)) AS max_rz
+        FROM z GROUP BY asdf_id ORDER BY asdf_id""")),
+    "dup_graph_degree" -> Q(
+      // Duplicate-graph degree histogram (X57): how many docs have k
+      // LSH-candidate neighbors — the corpus-health signal that catches
+      // boilerplate storms (one template yielding a near-clique) before
+      // the connected-components pass walks it. Edges explode to both
+      // endpoints, count per node (zero-degree docs kept via left join),
+      // then a |degrees|-row histogram. Everything after the pair join is
+      // aggregate-cardinality.
+      (s, d) => {
+        val pairs = LlmOps.minhashPairs(docs(s, d))
+        val deg = pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        docs(s, d).select(col("doc_id"))
+          .join(deg, Seq("doc_id"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH $minhashPairCtes,
+          deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+              SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+          alldocs AS (SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
+            FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+        FROM alldocs GROUP BY degree ORDER BY degree""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -527,6 +527,62 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot_diff: statuses partition the key universe consistently (X55)") {
+    val d = "/root/testdata/sf0.001"
+    val px = graft.ops.Tables.pixels(spark, d)
+    def keys(y: Int) = px.filter($"temporal" === y)
+      .select($"l_partkey").distinct().as[Long].collect().toSet
+    val k95 = keys(1995); val k96 = keys(1996)
+    val out = SparkEntry.queries("snapshot_diff")(spark, d)
+      .as[(Long, String, Option[Double], Option[Double])].collect()
+    assert(out.map(_._1).toSet == (k95 ++ k96))
+    val byStatus = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStatus.getOrElse("added", Set()) == k96 -- k95)
+    assert(byStatus.getOrElse("removed", Set()) == k95 -- k96)
+    assert((byStatus.getOrElse("changed", Set()) ++
+      byStatus.getOrElse("unchanged", Set())) == (k95 & k96))
+    out.foreach {
+      case (_, "added", o, n) => assert(o.isEmpty && n.nonEmpty)
+      case (_, "removed", o, n) => assert(o.nonEmpty && n.isEmpty)
+      case (_, "unchanged", o, n) => assert(o == n)
+      case (_, "changed", o, n) => assert(o.nonEmpty && n.nonEmpty && o != n)
+      case (_, s, _, _) => fail(s"unknown status $s")
+    }
+  }
+
+  test("outlier_robust: modified z recomputes from per-zone medians (X56)") {
+    val d = "/root/testdata/sf0.001"
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val px = graft.ops.Tables.pixels(spark, d)
+      .select($"asdf_id", $"value").as[(Long, Double)].collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val expect = px.groupBy(_._1).map { case (z, vs) =>
+      val values = vs.map(_._2).toSeq
+      val med = median(values)
+      val mad = median(values.map(v => math.abs(v - med)))
+      val rz = values.map(v => if (mad == 0) 0.0 else r6(0.6745 * (v - med) / mad))
+      (z, values.size.toLong, rz.count(r => math.abs(r) > 3.5).toLong,
+        rz.map(math.abs).max)
+    }.toSet
+    val out = SparkEntry.queries("outlier_robust")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == expect)
+  }
+
+  test("dup_graph_degree: histogram conserves edges and documents (X57)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dup_graph_degree")(spark, d)
+      .as[(Long, Long)].collect()
+    val nDocs = graft.ops.Tables.documents(spark, d).count()
+    val nPairs = graft.ops.LlmOps.minhashPairs(
+      graft.ops.Tables.documents(spark, d)).count()
+    assert(out.map(_._2).sum == nDocs, "every doc lands in exactly one degree bucket")
+    assert(out.map(r => r._1 * r._2).sum == 2 * nPairs, "handshake lemma")
+  }
+
   test("skyline_users: running-max construction equals brute-force dominance (X43)") {
     val d = "/root/testdata/sf0.001"
     val u = graft.ops.Tables.events(spark, d)
