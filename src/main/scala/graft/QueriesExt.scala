@@ -48,10 +48,20 @@ object QueriesExt {
     * once and every downstream op joins against it — [[Tables.memo]] is the
     * in-session equivalent (the CC output is already checkpoint-backed, so
     * reuse costs a block read, not a recompute). */
+  /** LSH candidate pairs, memoized per (session, sf dir) with a lazy
+    * localCheckpoint: the three independent consumers (pair listing,
+    * connected components, degree histogram) each trigger the full
+    * shingle→signature→band pipeline otherwise — a real deployment
+    * materializes the pair list once and every downstream op reads it. */
+  private def dupPairs(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"derived:minhash_pairs:$d") {
+      LlmOps.minhashPairs(docs(s, d)).localCheckpoint(false)
+    }
+
   private def dupClusters(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"derived:dup_clusters:$d") {
       val nodes = docs(s, d).select(col("doc_id").as("node"))
-      LlmOps.connectedComponents(nodes, LlmOps.minhashPairs(docs(s, d)))
+      LlmOps.connectedComponents(nodes, dupPairs(s, d))
     }
 
   /** Shared oracle CTE chain: documents → bigram shingles → 8 MinHash
@@ -264,7 +274,7 @@ object QueriesExt {
     "dedup_minhash" -> Q(
       // MinHash over word-bigram shingles; 8 permutations, 2 bands × 4 —
       // candidate pairs share a full 4-signature band.
-      (s, d) => LlmOps.minhashPairs(docs(s, d)).orderBy("doc_a", "doc_b"),
+      (s, d) => dupPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $minhashPairCtes
         SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
     "dedup_clusters" -> Q(
@@ -2237,7 +2247,7 @@ object QueriesExt {
       // then a |degrees|-row histogram. Everything after the pair join is
       // aggregate-cardinality.
       (s, d) => {
-        val pairs = LlmOps.minhashPairs(docs(s, d))
+        val pairs = dupPairs(s, d)
         val deg = pairs.select(col("doc_a").as("doc_id"))
           .unionAll(pairs.select(col("doc_b").as("doc_id")))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
