@@ -183,6 +183,26 @@ object QueriesExt {
         SELECT user_id, min(us) AS sstart_us, max(us) AS send_us,
           CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS cents
         FROM g GROUP BY user_id, sid ORDER BY user_id, sstart_us""")),
+    "stream_enrich" -> Q(
+      // T9 stream-static enrichment through the shared batch path: events
+      // enriched with a zone dimension (user → nation) and rolled up per
+      // zone name. The streaming path — the same join broadcast per
+      // micro-batch, no state store — runs in StreamySpec on a real
+      // stream. Integer cents keep the rollup exact.
+      (s, d) => {
+        val dim = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        val e = Tables.events(s, d)
+          .select(col("user_id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+        Streamy.enrich(e, dim, "user_id", "n_nationkey")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+          .orderBy(col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events LEFT JOIN nation ON user_id = n_nationkey
+        GROUP BY n_name ORDER BY n_name NULLS FIRST""")),
     "stream_interval_join" -> Q(
       // stream-stream interval join (same-user follow-on events within an
       // hour), verified through the shared batch path; the streaming path

@@ -261,6 +261,18 @@ object Streamy {
       }
   }
 
+  /** T9: stream-static enrichment join — the third canonical streaming
+    * join shape after stream-stream (T6) and keyed state (T7/T8): a
+    * static dimension attaches to a stream without ANY state store,
+    * because the static side is (re)broadcast per micro-batch. On a
+    * batch frame the same call site is a plain broadcast join. The
+    * dimension is explicitly broadcast: at any scale the event side
+    * never shuffles for an enrichment. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,
     * then stops, exactly like one cron tick.

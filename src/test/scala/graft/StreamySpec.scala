@@ -211,6 +211,33 @@ class StreamySpec extends AnyFunSuite {
     streamed.foreach { case (_, s, e, _, _) => assert(s <= e, "inverted interval") }
   }
 
+  test("enrich: stream-static broadcast join on a REAL stream matches batch (T9)") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq((7L, "ALPHA"), (8L, "BETA")).toDF("k", "zone")
+    val evs = Seq(
+      (1L, 7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, 8L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      (3L, 9L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 3.0)) // no dim row
+      .toDF("event_id", "user_id", "ts", "value")
+    val expected = Set((1L, "ALPHA"), (2L, "BETA"), (3L, null: String))
+    val batch = Streamy.enrich(evs, dim, "user_id", "k")
+      .select($"event_id", $"zone").as[(Long, String)].collect().toSet
+    assert(batch == expected)
+    val dir = Files.createTempDirectory("graft_enrich").toString
+    val ckpt = Files.createTempDirectory("graft_enrich_ckpt").toString
+    evs.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streamy.enrich(stream, dim, "user_id", "k")
+      .select($"event_id", $"zone").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("enrich").outputMode("append").start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    val streamed = spark.table("enrich").as[(Long, String)].collect().toSet
+    assert(streamed == expected)
+  }
+
   test("funnelProgress: state carries across REAL micro-batches (T7)") {
     import org.apache.spark.sql.functions._
     // batch 1: user 7 views; batch 2 (later files): clicks then purchases.
