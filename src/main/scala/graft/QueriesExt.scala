@@ -906,6 +906,100 @@ object QueriesExt {
           CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
         FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
         ORDER BY d.doc_id""")),
+    "contamination_frac" -> Q(
+      // Graded decontamination (X59): not just the X7 boolean flag but the
+      // OVERLAP FRACTION — matched distinct shingles / total distinct
+      // shingles per doc — so a pipeline can threshold at 80% (drop) vs
+      // 5% (keep) instead of nuking every doc sharing one common phrase.
+      // Same scale shape as X7: the eval shingle set broadcasts, the
+      // corpus side is one explode + two doc-keyed aggregates; the
+      // fraction is an exact integer ratio rounded at output. Sub-2-word
+      // docs (no shingles) score 0 by definition in both engines.
+      (s, d) => {
+        def grams(df: DataFrame) = df
+          .withColumn("__norm", LlmOps.normText(col("text")))
+          .select(col("doc_id"), explode(LlmOps.bigramShingles("__norm")).as("g"))
+        val evalGrams = grams(docs(s, d).filter(col("doc_id") % 100 === 0))
+          .select(col("g")).distinct()
+        val perDoc = grams(docs(s, d)).distinct()
+          .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        docs(s, d).select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("frac",
+            when(col("n_shingles") === 0, lit(0.0))
+              .otherwise(round(col("n_hit").cast("double") / col("n_shingles"), 6)))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id, g
+            FROM n, unnest(list_transform(range(greatest(len(w)-1, 0)),
+              i -> w[i+1] || ' ' || w[i+2])) AS u(g)),
+          ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0),
+          agg AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+            FROM sh LEFT JOIN ev ON sh.g = ev.g GROUP BY sh.doc_id)
+        SELECT d.doc_id,
+          COALESCE(n_shingles, 0) AS n_shingles, COALESCE(n_hit, 0) AS n_hit,
+          CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+            ELSE round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_shingles, 6) END AS frac
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        ORDER BY d.doc_id""")),
+    "doc_quality_composite" -> Q(
+      // Composite quality score (X58): the multi-signal blend a curation
+      // pipeline actually thresholds on — token volume (saturating),
+      // stopword density, word-length shape (peaked at ~5 chars), digit
+      // pollution — one weighted score per doc, every component an exact
+      // ratio computed in a single stateless pass (no shuffle at all
+      // before the output sort). Weights are policy, not physics; the
+      // score rounds to 6 decimals and each component is emitted so a
+      // recalibration can re-rank without recomputation.
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("tokens", split(LlmOps.normText(col("text")), " "))
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            expr("aggregate(tokens, 0L, (a, t) -> a + length(t))").as("tok_chars"),
+            expr("size(filter(tokens, t -> t IN ('the','a','key','value')))")
+              .cast("long").as("stop_cnt"),
+            length(col("text")).cast("long").as("n_chars"),
+            length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
+        base
+          .withColumn("vol", least(col("n_tokens"), lit(50L)) / lit(50.0))
+          .withColumn("stop_frac",
+            col("stop_cnt").cast("double") / col("n_tokens"))
+          .withColumn("len_shape", greatest(lit(0.0),
+            lit(1.0) - abs(col("tok_chars").cast("double") / col("n_tokens") - lit(5.0)) / lit(5.0)))
+          .withColumn("digit_frac", col("n_digits").cast("double") / col("n_chars"))
+          .withColumn("score_r", round(
+            lit(0.4) * col("vol") + lit(0.3) * col("stop_frac")
+              + lit(0.2) * col("len_shape") + lit(0.1) * (lit(1.0) - col("digit_frac")), 6))
+          .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+            col("n_digits"), col("score_r"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS tokens
+          FROM documents),
+          c AS (SELECT doc_id,
+              CAST(len(tokens) AS BIGINT) AS n_tokens,
+              CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS tok_chars,
+              CAST(len(list_filter(tokens, x -> x IN ('the','a','key','value'))) AS BIGINT) AS stop_cnt,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+            FROM t)
+        SELECT doc_id, n_tokens, stop_cnt, n_digits,
+          round(CAST(0.4 AS DOUBLE) * (least(n_tokens, 50) / CAST(50.0 AS DOUBLE))
+            + CAST(0.3 AS DOUBLE) * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+            + CAST(0.2 AS DOUBLE) * greatest(CAST(0.0 AS DOUBLE),
+                CAST(1.0 AS DOUBLE) - abs(CAST(tok_chars AS DOUBLE) / n_tokens
+                  - CAST(5.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE))
+            + CAST(0.1 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                - CAST(n_digits AS DOUBLE) / n_chars), 6) AS score_r
+        FROM c ORDER BY doc_id""")),
     "text_clean" -> Q(
       // PII / boilerplate scrubbing — URL, email, and long digit runs
       // replaced by typed placeholders (the standard pre-training scrub).

@@ -121,4 +121,29 @@ class CurationSpec extends AnyFunSuite {
       .map(_._1).toSet
     assert(haveSet == expected, "selection must be exactly the budget prefix")
   }
+
+  test("contamination_frac agrees with the decontaminate boolean; eval docs score 1.0 (X59)") {
+    val frac = run("contamination_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    val flag = run("decontaminate").as[(Long, Int)].collect().toMap
+    frac.foreach { case (id, nSh, nHit, f) =>
+      assert(f >= 0.0 && f <= 1.0 && nHit <= nSh)
+      // the X7 boolean and the X59 fraction must never disagree
+      assert((flag(id) == 1) == (nHit > 0), s"doc $id: flag=${flag(id)} hits=$nHit")
+      // an eval-set doc shares ALL its shingles with the eval set
+      if (id % 100 == 0 && nSh > 0) assert(f == 1.0, s"eval doc $id frac=$f")
+    }
+    assert(frac.exists(r => r._4 > 0.0 && r._4 < 1.0),
+      "fixture should contain partial overlap (else the fraction adds nothing over X7)")
+  }
+
+  test("doc_quality_composite: scores bounded in [0,1], every doc scored (X58)") {
+    val out = run("doc_quality_composite")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == graft.ops.Tables.documents(spark, d).count())
+    out.foreach { case (id, n, stop, dig, s) =>
+      assert(s >= 0.0 && s <= 1.0, s"doc $id score $s out of bounds")
+      assert(stop <= n)
+    }
+  }
 }
