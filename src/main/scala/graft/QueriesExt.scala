@@ -106,6 +106,19 @@ object QueriesExt {
       g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)"""
 
+  /** The event stream in the shape every ordered-event operator consumes:
+    * (user_id, event_id, event_type, exact epoch-micros) — ONE definition
+    * of the (us, event_id) full-key ordering base. */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+  /** Integer-cents projection of a monetary double — the file-header
+    * float-parity rule (`floor(x*100+0.5)`), shared by every spend rollup. */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + lit(0.5)).cast("long")
+
   /** Spark mirror of [[sessionCtes]]'s `g`: every event tagged with its
     * per-user session ordinal. One user-keyed window shuffle serves the
     * lag, the running sum, and (via exchange reuse) downstream rollups. */
@@ -113,9 +126,7 @@ object QueriesExt {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+    eventsUs(s, d)
       .withColumn("new_s",
         when(lag(col("us"), 1).over(ord).isNull ||
           col("us") - lag(col("us"), 1).over(ord) >= lit(1800000000L), 1L)
@@ -192,8 +203,7 @@ object QueriesExt {
       (s, d) => {
         val dim = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
         val e = Tables.events(s, d)
-          .select(col("user_id"),
-            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          .select(col("user_id"), cents(col("value")).as("c"))
         Streamy.enrich(e, dim, "user_id", "n_nationkey")
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
@@ -1991,9 +2001,8 @@ object QueriesExt {
       // float-output rule, not a decision boundary.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val nxt = Tables.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val nxt = eventsUs(s, d)
           .withColumn("dst", lead(col("event_type"), 1).over(ord))
           .filter(col("dst").isNotNull)
         val counts = nxt.groupBy(col("event_type").as("src"), col("dst"))
@@ -2027,8 +2036,7 @@ object QueriesExt {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val u = Tables.events(s, d)
-          .select(col("user_id"),
-            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          .select(col("user_id"), cents(col("value")).as("c"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"), sum(col("c")).as("cents"))
         val ymax = u.groupBy(col("n_events")).agg(max(col("cents")).as("ymax"))
@@ -2066,9 +2074,7 @@ object QueriesExt {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        val changes = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
+        val changes = eventsUs(s, d)
           .withColumn("prev", lag(col("event_type"), 1).over(ord))
           .filter(col("prev").isNull || col("prev") =!= col("event_type"))
         changes
@@ -2128,9 +2134,7 @@ object QueriesExt {
         import org.apache.spark.sql.expressions.Window
         val ord = Window.partitionBy(col("user_id"), col("event_type"))
           .orderBy(col("us"), col("event_id"))
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
+        eventsUs(s, d)
           .withColumn("gap", col("us") - lag(col("us"), 1).over(ord))
           .filter(col("gap").isNull || col("gap") >= lit(3600000000L))
           .select(col("user_id"), col("event_type"), col("event_id"), col("us"))
@@ -2156,12 +2160,11 @@ object QueriesExt {
       // noise), ties break on doc_id. Scale shape: stateless per-row key
       // + one TakeOrdered(20) — no shuffle at all beyond the final gather.
       (s, d) => {
-        // value of md5(doc_id)'s first 6 hex digits as an integer, built
-        // from the file's shared hexv primitive (same DuckDB mirror)
-        val u6 = (0 until 6).map(i =>
-            hexv(substring(md5(col("doc_id").cast("string")), i + 1, 1))
-              * math.pow(16, 5 - i).toLong)
-          .reduce(_ + _)
+        // value of md5(doc_id)'s first 6 hex digits as an integer — one
+        // md5 + one base-16 parse (the oracle mirrors it digit-by-digit
+        // via the shared hexv contract; DuckDB 1.0 has no conv())
+        val u6 = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long")
         docs(s, d)
           .withColumn("u", (u6 + lit(1.0)) / lit(16777217.0))
           .withColumn("key_r", round(log(col("u")) / col("n_chars"), 12))
@@ -2258,7 +2261,7 @@ object QueriesExt {
         import org.apache.spark.sql.expressions.Window
         val wk = Tables.events(s, d)
           .select(to_date(date_trunc("week", col("ts"))).as("wk"),
-            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+            cents(col("value")).as("c"))
           .groupBy(col("wk"))
           .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
         val w = Window.orderBy(col("wk"))
@@ -2289,11 +2292,16 @@ object QueriesExt {
       // what invalidation tooling runs against the content-addressed
       // cache when an upstream dataset re-versions.
       (s, d) => {
-        def byYear(y: Int) = Tables.pixels(s, d)
-          .filter(col("temporal") === y)
+        // ONE scan, one shuffle: conditional aggregation computes both
+        // versions in a single groupBy (avg ignores the other year's
+        // nulls), replacing the two-scan + full-outer-join formulation —
+        // the oracle keeps the join form, so both shapes stay pinned
+        Tables.pixels(s, d)
+          .filter(col("temporal").isin(1995, 1996))
           .groupBy(col("l_partkey"))
-          .agg(round(avg(col("value")), 6).as(s"v$y"))
-        byYear(1995).join(byYear(1996), Seq("l_partkey"), "full_outer")
+          .agg(
+            round(avg(when(col("temporal") === 1995, col("value"))), 6).as("v1995"),
+            round(avg(when(col("temporal") === 1996, col("value"))), 6).as("v1996"))
           .select(col("l_partkey"),
             when(col("v1995").isNull, lit("added"))
               .when(col("v1996").isNull, lit("removed"))
