@@ -322,6 +322,28 @@ object QueriesExt {
           SELECT e.src, w.rep FROM edges e JOIN walk w ON e.dst = w.node)
         SELECT node AS doc_id, min(rep) AS rep FROM walk
         GROUP BY node ORDER BY doc_id""")),
+    "dup_cluster_sizes" -> Q(
+      // Duplicate-cluster size histogram (X60): how many clusters have k
+      // members — with the degree histogram (X57), the pair of corpus-
+      // health signals that distinguishes "many small dup pairs" from
+      // "one boilerplate megacluster" (identical dedup rate, opposite
+      // remediation). Reads the memoized CC labels; everything after is
+      // aggregate-cardinality (|clusters|, then |sizes| rows).
+      (s, d) => dupClusters(s, d)
+        .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz"),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, rep) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, w.rep FROM edges e JOIN walk w ON e.dst = w.node),
+        lab AS (SELECT node, min(rep) AS rep FROM walk GROUP BY node),
+        cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY rep)
+        SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM cl GROUP BY sz ORDER BY sz""")),
     "dedup_simhash" -> Q(
       (s, d) => LlmOps.simhash16(docs(s, d), "doc_id", "text").orderBy("doc_id"),
       Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

@@ -572,6 +572,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == expect)
   }
 
+  test("dup_cluster_sizes: histogram conserves documents and clusters (X60)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dup_cluster_sizes")(spark, d)
+      .as[(Long, Long)].collect()
+    val nDocs = graft.ops.Tables.documents(spark, d).count()
+    val nClusters = SparkEntry.queries("dedup_clusters")(spark, d)
+      .select($"rep").distinct().count()
+    assert(out.map(r => r._1 * r._2).sum == nDocs, "every doc in exactly one cluster")
+    assert(out.map(_._2).sum == nClusters)
+  }
+
   test("dup_graph_degree: histogram conserves edges and documents (X57)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("dup_graph_degree")(spark, d)
