@@ -344,6 +344,113 @@ object QueriesExt {
         cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY rep)
         SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
         FROM cl GROUP BY sz ORDER BY sz""")),
+    "profile_table" -> Q(
+      // Table profiling (X61): per-column null count, distinct count, and
+      // min/max (string-rendered) for the orders table — the schema-wide
+      // health snapshot a pipeline runs before trusting an input drop
+      // (what Deequ/dbt tests compute). The profile is GENERATED from the
+      // column list: one aggregate row per table in a single pass (all
+      // columns' aggregates fused into one HashAggregate), then a
+      // stack/melt to long form — no per-column scans. Double min/max
+      // render as integer CENTS (the house float-parity rule) — double→
+      // string rendering is the one thing the two engines format
+      // differently, so floats never render directly.
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        val o = Tables.orders(s, d)
+        def render(c: String) = o.schema(c).dataType match {
+          case org.apache.spark.sql.types.DoubleType =>
+            (x: org.apache.spark.sql.Column) => cents(x).cast("string")
+          case _ => (x: org.apache.spark.sql.Column) => x.cast("string")
+        }
+        val aggs = cols.flatMap { c =>
+          val r = render(c)
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            count_distinct(col(c)).as(s"${c}__distinct"),
+            r(min(col(c))).as(s"${c}__min"),
+            r(max(col(c))).as(s"${c}__max"))
+        }
+        val one = o.agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map(c =>
+          s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+          .mkString(", ")
+        one.selectExpr(
+            s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_s, max_s)")
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (SELECT
+            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_n,
+            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS k_d,
+            CAST(min(o_orderkey) AS VARCHAR) AS k_mn, CAST(max(o_orderkey) AS VARCHAR) AS k_mx,
+            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_d,
+            CAST(min(o_custkey) AS VARCHAR) AS c_mn, CAST(max(o_custkey) AS VARCHAR) AS c_mx,
+            CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_n,
+            CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+            min(o_orderstatus) AS s_mn, max(o_orderstatus) AS s_mx,
+            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+            CAST(count(DISTINCT o_totalprice) AS BIGINT) AS t_d,
+            CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS t_mn,
+            CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS t_mx,
+            CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+            CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS p_d,
+            min(o_orderpriority) AS p_mn, max(o_orderpriority) AS p_mx
+          FROM orders)
+        SELECT 'o_custkey' AS col_name, c_n AS n_nulls, c_d AS n_distinct, c_mn AS min_s, c_mx AS max_s FROM a
+        UNION ALL SELECT 'o_orderkey', k_n, k_d, k_mn, k_mx FROM a
+        UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_mn, p_mx FROM a
+        UNION ALL SELECT 'o_orderstatus', s_n, s_d, s_mn, s_mx FROM a
+        UNION ALL SELECT 'o_totalprice', t_n, t_d, t_mn, t_mx FROM a
+        ORDER BY col_name""")),
+    "data_constraints" -> Q(
+      // Constraint audit (X62): Deequ-style rule evaluation — each rule
+      // yields (rule, n_violations) and the frame is the audit report a
+      // pipeline gates a drop on. Rules: primary-key uniqueness,
+      // referential integrity (lineitem→orders), domain membership,
+      // value range, non-negativity. Each rule is one aggregate (or one
+      // anti-join for the FK) over a shared scan; outputs are exact
+      // integers; zero rows violated = healthy fixture, and the spec
+      // injects violations to prove the rules actually fire.
+      (s, d) => {
+        val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+        val pkDup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).agg(count(lit(1)).as("v"))
+        val fkOrphans = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))
+        val domain = o.agg(sum(when(
+          !col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("v"))
+        val range = o.agg(sum(when(
+          col("o_totalprice") <= 0 || col("o_totalprice") > 1000000, 1L)
+          .otherwise(0L)).as("v"))
+        val nonneg = li.agg(sum(when(col("l_quantity") < 0, 1L).otherwise(0L)).as("v"))
+        def tag(df: DataFrame, rule: String) =
+          df.select(lit(rule).as("rule"), col("v").cast("long").as("n_violations"))
+        tag(pkDup, "pk_unique_o_orderkey")
+          .unionByName(tag(fkOrphans, "fk_lineitem_orders"))
+          .unionByName(tag(domain, "domain_o_orderstatus"))
+          .unionByName(tag(range, "range_o_totalprice"))
+          .unionByName(tag(nonneg, "nonneg_l_quantity"))
+          .orderBy("rule")
+      },
+      Some("""SELECT 'domain_o_orderstatus' AS rule,
+          CAST((SELECT sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+            FROM orders) AS BIGINT) AS n_violations
+        UNION ALL SELECT 'fk_lineitem_orders',
+          CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)) AS BIGINT)
+        UNION ALL SELECT 'nonneg_l_quantity',
+          CAST((SELECT sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)
+            FROM lineitem) AS BIGINT)
+        UNION ALL SELECT 'pk_unique_o_orderkey',
+          CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+            GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+        UNION ALL SELECT 'range_o_totalprice',
+          CAST((SELECT sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+            THEN 1 ELSE 0 END) FROM orders) AS BIGINT)
+        ORDER BY rule""")),
     "dedup_simhash" -> Q(
       (s, d) => LlmOps.simhash16(docs(s, d), "doc_id", "text").orderBy("doc_id"),
       Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

@@ -572,6 +572,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == expect)
   }
 
+  test("data_constraints: healthy fixture is clean; injected violations fire every rule (X62)") {
+    val d = "/root/testdata/sf0.001"
+    val healthy = SparkEntry.queries("data_constraints")(spark, d)
+      .as[(String, Long)].collect().toMap
+    assert(healthy.size == 5 && healthy.values.forall(_ == 0L),
+      s"fixture should satisfy all constraints: $healthy")
+    // corrupt copy: one duplicated pk row that also breaks domain+range,
+    // one lineitem row with an orphan FK and a negative quantity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    val o = graft.ops.Tables.orders(spark, d)
+    o.unionByName(o.limit(1)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", lit(-5.0)))
+      .write.parquet(s"$tmp/orders.parquet")
+    val li = graft.ops.Tables.lineitem(spark, d)
+    li.unionByName(li.limit(1)
+        .withColumn("l_orderkey", lit(-999L))
+        .withColumn("l_quantity", lit(-3.0)))
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val fired = SparkEntry.queries("data_constraints")(spark, tmp)
+      .as[(String, Long)].collect().toMap
+    assert(fired == Map(
+      "pk_unique_o_orderkey" -> 1L, "fk_lineitem_orders" -> 1L,
+      "domain_o_orderstatus" -> 1L, "range_o_totalprice" -> 1L,
+      "nonneg_l_quantity" -> 1L), s"rules must fire exactly once each: $fired")
+  }
+
+  test("profile_table: profile recomputes from direct per-column queries (X61)") {
+    val d = "/root/testdata/sf0.001"
+    val o = graft.ops.Tables.orders(spark, d)
+    val out = SparkEntry.queries("profile_table")(spark, d)
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority"))
+    out.values.foreach(r => assert(r._2 == 0L, s"${r._1}: unexpected nulls"))
+    assert(out("o_orderkey")._3 == o.select($"o_orderkey").distinct().count())
+    assert(out("o_orderkey")._4.toLong == o.agg(min($"o_orderkey")).as[Long].head())
+    val maxCents = o.agg(max(floor($"o_totalprice" * 100 + 0.5).cast("long")))
+      .as[Long].head()
+    assert(out("o_totalprice")._5.toLong ==
+      o.agg(floor(max($"o_totalprice") * 100 + 0.5).cast("long")).as[Long].head())
+    assert(out("o_totalprice")._5.toLong == maxCents)
+  }
+
   test("dup_cluster_sizes: histogram conserves documents and clusters (X60)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("dup_cluster_sizes")(spark, d)
