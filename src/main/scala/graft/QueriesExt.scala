@@ -364,19 +364,32 @@ object QueriesExt {
             (x: org.apache.spark.sql.Column) => cents(x).cast("string")
           case _ => (x: org.apache.spark.sql.Column) => x.cast("string")
         }
-        val aggs = cols.flatMap { c =>
+        // pass 1: every non-distinct aggregate fused into ONE map-side-
+        // combinable row (N distinct aggregates fused globally instead
+        // plan an Expand whose every copy funnels into a single group —
+        // measured 8 s at sf0.1, the wrong shape)
+        val simpleAggs = cols.flatMap { c =>
           val r = render(c)
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-            count_distinct(col(c)).as(s"${c}__distinct"),
-            r(min(col(c))).as(s"${c}__min"),
-            r(max(col(c))).as(s"${c}__max"))
+            r(min(col(c))).as(s"${c}__min"), r(max(col(c))).as(s"${c}__max"))
         }
-        val one = o.agg(aggs.head, aggs.tail: _*)
+        val one = o.agg(simpleAggs.head, simpleAggs.tail: _*)
         val stacked = cols.map(c =>
-          s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
-          .mkString(", ")
-        one.selectExpr(
-            s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_s, max_s)")
+          s"'$c', `${c}__nulls`, `${c}__min`, `${c}__max`").mkString(", ")
+        val simple = one.selectExpr(
+          s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, min_s, max_s)")
+        // pass 2: distinct counts over the melted (col_name, value) frame —
+        // the col_name grouping key keeps the distinct aggregation
+        // partitioned instead of global (injective string rendering, so
+        // distinct-of-rendered = distinct-of-value)
+        val long = cols.map(c =>
+            o.select(lit(c).as("col_name"), render(c)(col(c)).as("v")))
+          .reduce(_.unionByName(_))
+        val distincts = long.groupBy(col("col_name"))
+          .agg(count_distinct(col("v")).as("n_distinct"))
+        simple.join(distincts, Seq("col_name"))
+          .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+            col("min_s"), col("max_s"))
           .orderBy("col_name")
       },
       Some("""WITH a AS (SELECT
