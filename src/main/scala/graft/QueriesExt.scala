@@ -41,13 +41,6 @@ object QueriesExt {
   private def hexv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     instr(lit("0123456789abcdef"), c) - 1
 
-  /** Duplicate-cluster labels `(node, rep)` for the corpus at `d`, memoized
-    * per session. Three independent operators (cluster listing, min-id
-    * purge, quality-aware retention) consume the same LSH + connected-
-    * components result; a real deployment materializes that intermediate
-    * once and every downstream op joins against it — [[Tables.memo]] is the
-    * in-session equivalent (the CC output is already checkpoint-backed, so
-    * reuse costs a block read, not a recompute). */
   /** LSH candidate pairs, memoized per (session, sf dir) with a lazy
     * localCheckpoint: the three independent consumers (pair listing,
     * connected components, degree histogram) each trigger the full
@@ -58,6 +51,14 @@ object QueriesExt {
       LlmOps.minhashPairs(docs(s, d)).localCheckpoint(false)
     }
 
+  /** Duplicate-cluster labels `(node, rep)` for the corpus at `d`, memoized
+    * per session. Four independent operators (cluster listing, min-id
+    * purge, quality-aware retention, size histogram) consume the same
+    * LSH + connected-components result; a real deployment materializes
+    * that intermediate once and every downstream op joins against it —
+    * [[Tables.memo]] is the in-session equivalent (the CC output is
+    * already checkpoint-backed, so reuse costs a block read, not a
+    * recompute). */
   private def dupClusters(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"derived:dup_clusters:$d") {
       val nodes = docs(s, d).select(col("doc_id").as("node"))
@@ -380,8 +381,10 @@ object QueriesExt {
           s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, min_s, max_s)")
         // pass 2: distinct counts over the melted (col_name, value) frame —
         // the col_name grouping key keeps the distinct aggregation
-        // partitioned instead of global (injective string rendering, so
-        // distinct-of-rendered = distinct-of-value)
+        // partitioned instead of global. The distinct is of the RENDERED
+        // value — for doubles that is distinct CENTS, the profile's
+        // declared semantic (raw-double distinct would hinge on sub-cent
+        // noise) — and the oracle mirrors the same rendering.
         val long = cols.map(c =>
             o.select(lit(c).as("col_name"), render(c)(col(c)).as("v")))
           .reduce(_.unionByName(_))
@@ -403,7 +406,7 @@ object QueriesExt {
             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
             min(o_orderstatus) AS s_mn, max(o_orderstatus) AS s_mx,
             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
-            CAST(count(DISTINCT o_totalprice) AS BIGINT) AS t_d,
+            CAST(count(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS t_d,
             CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS t_mn,
             CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS t_mx,
             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
@@ -429,7 +432,13 @@ object QueriesExt {
         val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
         val pkDup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).agg(count(lit(1)).as("v"))
+        // NULL-safe on both sides: the rule audits NON-NULL keys without a
+        // parent (NULL keys are the nullability rule's business, and
+        // DuckDB's NOT IN would silently zero the count if any NULL crept
+        // into either column — the oracle uses NOT EXISTS for the same
+        // reason)
         val fkOrphans = li.select(col("l_orderkey"))
+          .filter(col("l_orderkey").isNotNull)
           .join(o.select(col("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"), "left_anti")
           .agg(count(lit(1)).as("v"))
@@ -452,8 +461,9 @@ object QueriesExt {
           CAST((SELECT sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
             FROM orders) AS BIGINT) AS n_violations
         UNION ALL SELECT 'fk_lineitem_orders',
-          CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-            (SELECT o_orderkey FROM orders)) AS BIGINT)
+          CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
         UNION ALL SELECT 'nonneg_l_quantity',
           CAST((SELECT sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)
             FROM lineitem) AS BIGINT)
@@ -2340,12 +2350,16 @@ object QueriesExt {
       // independent BETWEEN-join formulation, so the semantics — not the
       // construction — are what's pinned.
       (s, d) => {
-        val evs = sessionizedEvents(s, d)
-        val sess = evs.groupBy(col("user_id"), col("sid"))
+        val sess = sessionizedEvents(s, d).groupBy(col("user_id"), col("sid"))
           .agg(min(col("us")).as("sstart_us"), max(col("us")).as("send_us"))
           .select(col("user_id"), col("sstart_us").as("us"),
             col("sid"), col("sstart_us"), col("send_us"))
-        val purchases = evs.filter(col("event_type") === "purchase")
+        // purchases come in INTERVAL-BLIND (no session tag) — the point
+        // of the operator is attaching membership from the intervals
+        // alone, the shape that holds when the intervals come from
+        // elsewhere (a prior job, another table)
+        val purchases = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("us"), col("event_id"))
         AsOf.join(purchases, sess, "user_id", "us",
             Seq("sid", "sstart_us", "send_us"))

@@ -348,7 +348,6 @@ class AnalyticsSpec extends AnyFunSuite {
     val raw = graft.ops.Tables.documents(spark, d)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     assert(raw.nonEmpty && got.size == raw.length)
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     raw.foreach { case (id, text) =>
       // exact normText mirror: Spark trim strips ONLY ASCII spaces (Java
       // String.trim would also eat \t/\n and change the edge-token count)
@@ -359,8 +358,8 @@ class AnalyticsSpec extends AnyFunSuite {
       val s = counts.values.map(c => c.toDouble * math.log(c.toDouble)).sum
       val (gn, gu, gh, gt) = got(id)
       assert(gn == n && gu == counts.size.toLong, s"doc $id token counts")
-      assert(math.abs(gh - r6(math.log(n.toDouble) - s / n)) < 1e-9, s"doc $id entropy")
-      assert(math.abs(gt - r6(counts.size.toDouble / n)) < 1e-9, s"doc $id ttr")
+      assert(math.abs(gh - round6(math.log(n.toDouble) - s / n)) < 1e-9, s"doc $id entropy")
+      assert(math.abs(gt - round6(counts.size.toDouble / n)) < 1e-9, s"doc $id ttr")
     }
   }
 
@@ -371,9 +370,8 @@ class AnalyticsSpec extends AnyFunSuite {
       .select($"doc_id", $"tf", $"df", $"score_r", $"rk")
       .as[(Long, Long, Long, Double, Long)].collect()
     assert(out.nonEmpty)
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     out.foreach { case (doc, tf, df, score, _) =>
-      val expect = r6(tf * math.log(nDocs.toDouble / df))
+      val expect = round6(tf * math.log(nDocs.toDouble / df))
       assert(math.abs(score - expect) < 1e-9,
         s"doc $doc: score $score != tf*ln(N/df) $expect (tf=$tf df=$df)")
       if (df == nDocs) assert(score == 0.0, "ubiquitous token must score 0")
@@ -397,10 +395,9 @@ class AnalyticsSpec extends AnyFunSuite {
     val out = SparkEntry.queries("bm25_top")(spark, d)
       .as[(Long, String, Long, Long, Long, Double, Long)].collect()
     assert(out.nonEmpty)
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
     out.foreach { case (doc, tok, tf, df, dl, score, _) =>
       val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
-      val expect = r6(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      val expect = round6(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
       assert(math.abs(score - expect) < 1e-9,
         s"doc $doc '$tok': $score != $expect (tf=$tf df=$df dl=$dl)")
     }
@@ -451,7 +448,8 @@ class AnalyticsSpec extends AnyFunSuite {
     val brute = docs.map { case (id, lang, n) =>
       val u6 = md5hex(id.toString).take(6).foldLeft(0L)((a, c) =>
         a * 16 + "0123456789abcdef".indexOf(c))
-      val key = math.rint(math.log((u6 + 1.0) / 16777217.0) / n * 1e12) / 1e12
+      val key = BigDecimal(math.log((u6 + 1.0) / 16777217.0) / n)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
       (id, lang, n, key)
     }.sortBy(r => (-r._4, r._1)).take(20).toSeq
     val out = SparkEntry.queries("weighted_sample")(spark, d)
@@ -558,12 +556,11 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     val px = graft.ops.Tables.pixels(spark, d)
       .select($"asdf_id", $"value").as[(Long, Double)].collect()
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
     val expect = px.groupBy(_._1).map { case (z, vs) =>
       val values = vs.map(_._2).toSeq
       val med = median(values)
       val mad = median(values.map(v => math.abs(v - med)))
-      val rz = values.map(v => if (mad == 0) 0.0 else r6(0.6745 * (v - med) / mad))
+      val rz = values.map(v => if (mad == 0) 0.0 else round6(0.6745 * (v - med) / mad))
       (z, values.size.toLong, rz.count(r => math.abs(r) > 3.5).toLong,
         rz.map(math.abs).max)
     }.toSet
