@@ -2245,6 +2245,57 @@ object QueriesExt {
           event_type AS state, us AS valid_from, lead(us) OVER w AS valid_to
         FROM g WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         ORDER BY user_id, version""")),
+    "assoc_rules" -> Q(
+      // Association rules (X63): market-basket mining over sessions —
+      // baskets are the gap-sessions (shared [[sessionCtes]] rule), items
+      // are event types, and each ordered type pair (a ≠ b) gets
+      // support(a,b), confidence(a→b) and lift — the cross-sell /
+      // next-event signal. Scale shape: distinct (session, type) first
+      // (collapses event volume to ≤ |sessions|·|types| rows), the pair
+      // join blocks on session id (baskets are tiny — bounded by
+      // |types|, so never quadratic in events), and every ratio is an
+      // exact integer quotient rounded at output. The basket universe
+      // (|sessions|) rides in as a broadcast 1-row frame.
+      (s, d) => {
+        val items = sessionizedEvents(s, d)
+          .select(col("user_id"), col("sid"), col("event_type")).distinct()
+        val nBaskets = items.select(col("user_id"), col("sid")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val single = items.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
+        val pairs = items.toDF("user_id", "sid", "a")
+          .join(items.toDF("user_id", "sid", "b"), Seq("user_id", "sid"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(single.toDF("a", "n_a"), Seq("a"))
+          .join(single.toDF("b", "n_b"), Seq("b"))
+          .crossJoin(broadcast(nBaskets))
+          .select(col("a"), col("b"), col("n_ab"),
+            round(col("n_ab") / col("n_baskets"), 6).as("support_r"),
+            round(col("n_ab") / col("n_a"), 6).as("confidence_r"),
+            round(col("n_ab") * col("n_baskets") /
+              (col("n_a") * col("n_b")), 6).as("lift_r"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $sessionCtes,
+          items AS (SELECT DISTINCT user_id, sid, event_type FROM g),
+          nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM
+            (SELECT DISTINCT user_id, sid FROM items)),
+          single AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM items GROUP BY 1),
+          pairs AS (SELECT x.event_type AS a, y.event_type AS b,
+              CAST(count(*) AS BIGINT) AS n_ab
+            FROM items x JOIN items y ON x.user_id = y.user_id
+              AND x.sid = y.sid AND x.event_type <> y.event_type
+            GROUP BY 1, 2)
+        SELECT a, b, n_ab,
+          round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support_r,
+          round(CAST(n_ab AS DOUBLE) / sa.n, 6) AS confidence_r,
+          round(CAST(n_ab AS DOUBLE) * n_baskets / (sa.n * sb.n), 6) AS lift_r
+        FROM pairs JOIN single sa ON pairs.a = sa.event_type
+          JOIN single sb ON pairs.b = sb.event_type
+          CROSS JOIN nb
+        ORDER BY a, b""")),
     "json_props" -> Q(
       // Semi-structured extraction (X48): parse the `props` JSON column
       // with an explicit schema (`from_json` — typed schema-on-read, the

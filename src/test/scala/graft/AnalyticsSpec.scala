@@ -614,6 +614,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("o_totalprice")._5.toLong == maxCents)
   }
 
+  test("assoc_rules: metrics recompute from a brute-force basket build (X63)") {
+    val d = "/root/testdata/sf0.001"
+    val evs = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    // brute baskets: same 30-min gap fold as the attribution test
+    val baskets = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2)).toSeq
+      var sid = 0L; var last = Option.empty[Long]
+      sorted.map { e =>
+        if (last.forall(l => e._4 - l >= 1800000000L)) sid += 1
+        last = Some(e._4)
+        ((uid, sid), e._3)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).values.toSeq
+    val n = baskets.size.toDouble
+    val singles = baskets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val types = singles.keys.toSeq
+    val expect = (for {
+      a <- types; b <- types if a != b
+      nab = baskets.count(bk => bk.contains(a) && bk.contains(b)) if nab > 0
+    } yield (a, b, nab.toLong, round6(nab / n), round6(nab.toDouble / singles(a)),
+        round6(nab * n / (singles(a).toDouble * singles(b))))).toSet
+    val out = SparkEntry.queries("assoc_rules")(spark, d)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(out == expect && out.nonEmpty)
+  }
+
   test("dup_cluster_sizes: histogram conserves documents and clusters (X60)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("dup_cluster_sizes")(spark, d)
