@@ -2296,6 +2296,46 @@ object QueriesExt {
           JOIN single sb ON pairs.b = sb.event_type
           CROSS JOIN nb
         ORDER BY a, b""")),
+    "incremental_daily" -> Q(
+      // Incremental view maintenance (X64): the daily rollup maintained
+      // the way a 100 TB deployment actually maintains it — per-day
+      // partial aggregates memoized in the content-addressed [[Cache]]
+      // (the engine's own layer, here inside an oracled query), combined
+      // algebraically into the serving view. A new day's arrival costs
+      // ONE partition's aggregation + the |days|-sized combine; history
+      // never recomputes. The oracle is the from-scratch GROUP BY, so
+      // what's pinned is exactly the invariant that matters: incremental
+      // == full recompute. The day list is a 1-aggregate collect
+      // (calendar-bounded, metadata scale); per-day partials are
+      // count/cents pairs — algebraic, so the combine is a sum.
+      (s, d) => {
+        val root = s"${sys.props("java.io.tmpdir")}/graft_incr_" +
+          graft.ops.HashKey.sha1Hex(d).take(8)
+        val cache = new Cache(s, root)
+        val e = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            cents(col("value")).as("c"))
+        val days = e.select(col("day")).distinct()
+          .orderBy("day").collect().map(_.getDate(0).toString)
+        val parts = days.map { day =>
+          // key must stay catalog-identifier-safe (the bucketed-layout
+          // probe parses it as a table name): dashless day
+          cache.getOrCompute(s"daily_${day.replace("-", "")}") {
+            e.filter(col("day") === lit(day))
+              .groupBy(col("day"), col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("c")).as("cents_sum"))
+          }
+        }
+        cache.flushDone()
+        parts.reduce(_.unionByName(_))
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("cents_sum")).as("cents_sum"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
     "json_props" -> Q(
       // Semi-structured extraction (X48): parse the `props` JSON column
       // with an explicit schema (`from_json` — typed schema-on-read, the

@@ -642,6 +642,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == expect && out.nonEmpty)
   }
 
+  test("incremental_daily: cached-partial combine equals direct rollup; second run reads the cache (X64)") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("incremental_daily")
+    val first = q(spark, d).as[(java.sql.Date, String, Long, Long)].collect().toSeq
+    val direct = graft.ops.Tables.events(spark, d)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100 + 0.5).cast("long")).as("cents_sum"))
+      .orderBy("day", "event_type")
+      .as[(java.sql.Date, String, Long, Long)].collect().toSeq
+    assert(first == direct)
+    // the per-day partials are now materialized: a re-run must return the
+    // same view from the cache (and the cache must actually hold the days)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_incr_" +
+      graft.ops.HashKey.sha1Hex(d).take(8)
+    val cache = new graft.ops.Cache(spark, root)
+    val day0 = first.head._1.toString.replace("-", "")
+    assert(cache.probe(s"daily_$day0"), s"day partition daily_$day0 not materialized")
+    assert(q(spark, d).as[(java.sql.Date, String, Long, Long)].collect().toSeq == direct)
+  }
+
   test("dup_cluster_sizes: histogram conserves documents and clusters (X60)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("dup_cluster_sizes")(spark, d)
