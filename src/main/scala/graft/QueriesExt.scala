@@ -2317,17 +2317,21 @@ object QueriesExt {
             cents(col("value")).as("c"))
         val days = e.select(col("day")).distinct()
           .orderBy("day").collect().map(_.getDate(0).toString)
-        val parts = days.map { day =>
+        val keys = days.map { day =>
           // key must stay catalog-identifier-safe (the bucketed-layout
           // probe parses it as a table name): dashless day
-          cache.getOrCompute(s"daily_${day.replace("-", "")}") {
+          val key = s"daily_${day.replace("-", "")}"
+          // getOrCompute's write is eager: after this, the partial exists
+          cache.getOrCompute(key) {
             e.filter(col("day") === lit(day))
               .groupBy(col("day"), col("event_type"))
               .agg(count(lit(1)).as("n"), sum(col("c")).as("cents_sum"))
           }
+          key
         }
         cache.flushDone()
-        parts.reduce(_.unionByName(_))
+        // ONE multi-path scan over all day partials, not an N-way union
+        cache.readMany(keys)
           .groupBy(col("day"), col("event_type"))
           .agg(sum(col("n")).as("n"), sum(col("cents_sum")).as("cents_sum"))
           .orderBy("day", "event_type")

@@ -152,6 +152,17 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     }
   }
 
+  /** Read MANY materialized plain-layout keys as ONE multi-path parquet
+    * scan — the combine step of incremental view maintenance reads every
+    * partial; N separate scans unioned cost N plan nodes + N directory
+    * listings where one scan with N root paths costs one. Caller
+    * guarantees the keys are materialized (e.g. via [[getOrCompute]],
+    * whose write is eager) and share a schema. */
+  def readMany(keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "readMany needs at least one key")
+    spark.read.parquet(keys.map(dir): _*)
+  }
+
   /** Bucketed materialization (SURVEY.md §4 physical notes): extracts are
     * |zones|-keyed frames that get fold-joined on `asdf_id` at merge time;
     * persisting them bucketed by the merge key makes every downstream merge
