@@ -1118,7 +1118,10 @@ object QueriesExt {
       // pollution — one weighted score per doc, every component an exact
       // ratio computed in a single stateless pass (no shuffle at all
       // before the output sort). Weights are policy, not physics; the
-      // score rounds to 6 decimals and each component is emitted so a
+      // score is emitted in integer MICRO-POINTS (floor(x·1e6+0.5) — the
+      // engine-portable rule; fractional round() tie-breaks diverge
+      // cross-engine at an exactly-representable .5 boundary, which
+      // sf0.1 actually hit) and each component is emitted so a
       // recalibration can re-rank without recomputation.
       (s, d) => {
         val base = docs(s, d)
@@ -1137,11 +1140,12 @@ object QueriesExt {
           .withColumn("len_shape", greatest(lit(0.0),
             lit(1.0) - abs(col("tok_chars").cast("double") / col("n_tokens") - lit(5.0)) / lit(5.0)))
           .withColumn("digit_frac", col("n_digits").cast("double") / col("n_chars"))
-          .withColumn("score_r", round(
-            lit(0.4) * col("vol") + lit(0.3) * col("stop_frac")
-              + lit(0.2) * col("len_shape") + lit(0.1) * (lit(1.0) - col("digit_frac")), 6))
+          .withColumn("score_u", floor(
+            (lit(0.4) * col("vol") + lit(0.3) * col("stop_frac")
+              + lit(0.2) * col("len_shape") + lit(0.1) * (lit(1.0) - col("digit_frac")))
+              * 1000000 + lit(0.5)).cast("long"))
           .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
-            col("n_digits"), col("score_r"))
+            col("n_digits"), col("score_u"))
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS tokens
@@ -1154,13 +1158,14 @@ object QueriesExt {
               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
             FROM t)
         SELECT doc_id, n_tokens, stop_cnt, n_digits,
-          round(CAST(0.4 AS DOUBLE) * (least(n_tokens, 50) / CAST(50.0 AS DOUBLE))
+          CAST(floor((CAST(0.4 AS DOUBLE) * (least(n_tokens, 50) / CAST(50.0 AS DOUBLE))
             + CAST(0.3 AS DOUBLE) * (CAST(stop_cnt AS DOUBLE) / n_tokens)
             + CAST(0.2 AS DOUBLE) * greatest(CAST(0.0 AS DOUBLE),
                 CAST(1.0 AS DOUBLE) - abs(CAST(tok_chars AS DOUBLE) / n_tokens
                   - CAST(5.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE))
             + CAST(0.1 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-                - CAST(n_digits AS DOUBLE) / n_chars), 6) AS score_r
+                - CAST(n_digits AS DOUBLE) / n_chars)) * 1000000
+            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_u
         FROM c ORDER BY doc_id""")),
     "text_clean" -> Q(
       // PII / boilerplate scrubbing — URL, email, and long digit runs
@@ -2296,6 +2301,27 @@ object QueriesExt {
           JOIN single sb ON pairs.b = sb.event_type
           CROSS JOIN nb
         ORDER BY a, b""")),
+    "drift_bands" -> Q(
+      // Distribution-drift bands (X65): weekly exact p50/p95 of the value
+      // stream plus volume — the monitoring feed that catches an input
+      // distribution shifting under a model (the temporal companion to
+      // the per-zone percentile extract). One |weeks|-keyed aggregate;
+      // exact interpolated percentiles in both engines; the band values
+      // round at output only (house rule), never feeding a decision.
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .select(to_date(date_trunc("week", col("ts"))).as("wk"), col("value"))
+        wk.groupBy(col("wk"))
+          .agg(count(lit(1)).as("n"),
+            round(percentile(col("value"), lit(0.5)), 6).as("p50_r"),
+            round(percentile(col("value"), lit(0.95)), 6).as("p95_r"))
+          .orderBy("wk")
+      },
+      Some("""SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+          CAST(count(*) AS BIGINT) AS n,
+          round(quantile_cont(value, 0.5), 6) AS p50_r,
+          round(quantile_cont(value, 0.95), 6) AS p95_r
+        FROM events GROUP BY 1 ORDER BY wk""")),
     "incremental_daily" -> Q(
       // Incremental view maintenance (X64): the daily rollup maintained
       // the way a 100 TB deployment actually maintains it — per-day

@@ -137,12 +137,12 @@ class CurationSpec extends AnyFunSuite {
       "fixture should contain partial overlap (else the fraction adds nothing over X7)")
   }
 
-  test("doc_quality_composite: scores bounded in [0,1], every doc scored (X58)") {
+  test("doc_quality_composite: micro-point scores bounded in [0, 1e6], every doc scored (X58)") {
     val out = run("doc_quality_composite")
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
     assert(out.length == graft.ops.Tables.documents(spark, d).count())
     out.foreach { case (id, n, stop, dig, s) =>
-      assert(s >= 0.0 && s <= 1.0, s"doc $id score $s out of bounds")
+      assert(s >= 0L && s <= 1000000L, s"doc $id score $s out of bounds")
       assert(stop <= n)
     }
   }
