@@ -663,6 +663,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(q(spark, d).as[(java.sql.Date, String, Long, Long)].collect().toSeq == direct)
   }
 
+  test("drift_bands: volume conserves and bands order (X65)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("drift_bands")(spark, d)
+      .as[(java.sql.Date, Long, Double, Double)].collect()
+    assert(out.map(_._2).sum == graft.ops.Tables.events(spark, d).count())
+    out.foreach { case (wk, n, p50, p95) =>
+      assert(p50 <= p95, s"week $wk: p50 $p50 > p95 $p95")
+      assert(n >= 1)
+    }
+  }
+
   test("dup_cluster_sizes: histogram conserves documents and clusters (X60)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("dup_cluster_sizes")(spark, d)
