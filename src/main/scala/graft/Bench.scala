@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * stdout line is a compact total-only JSON object so a tail-parse always
   * succeeds regardless of how long the per-query map grows.
   *
-  * Methodology: a full unmeasured warm-up pass over every query first —
-  * at bench scale per-query wall-clock is otherwise dominated by one-time
-  * JIT + whole-stage-codegen compilation, which made round-over-round
-  * numbers diverge ~2× on identical code.
+  * Methodology (BASELINE.md protocol, encoded here rather than in prose):
+  * one full unmeasured warm-up pass — at bench scale per-query wall-clock
+  * is otherwise dominated by one-time JIT + whole-stage-codegen
+  * compilation — then TWO measured passes. The reported value/queries come
+  * from the SLOWER pass (the conservative warmed bound BASELINE.md
+  * records); both pass totals are emitted (`pass_totals`) so a contended
+  * single pass can never be mistaken for a code regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,11 +29,11 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm-up: run everything once, unmeasured (JIT, codegen cache, shuffle
     // service, parquet footer cache all get primed); failures surface in
-    // the measured pass
+    // the measured passes
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    val results = queries.map { case (name, fn) =>
+    def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be visible as -1, not masquerade as a fast pass
       val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -39,13 +42,19 @@ object Bench {
         }
       name -> v
     }
+    def totalOf(r: Seq[(String, Double)]) = r.map(_._2).filter(_ >= 0).sum
+    val passes = Seq(measuredPass(), measuredPass())
+    val totals = passes.map(totalOf)
+    val results = passes.maxBy(totalOf) // slower-of-two is the reported pass
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = totals.max
+    val passTotals = totals.mkString("[", ",", "]")
     spark.stop()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals,"queries":$qs,"sf":"$sfDir"}"""
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals,"sf":"$sfDir"}"""
     println(fullLine)
     // compact total-only object LAST — the driver tail-parses this line
     println(totalLine)

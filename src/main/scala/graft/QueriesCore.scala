@@ -105,7 +105,43 @@ object QueriesCore {
         SELECT asdf_id, pick AS minority FROM (
           SELECT asdf_id, cls AS pick,
             row_number() OVER (PARTITION BY asdf_id ORDER BY cnt ASC, cls ASC) AS rn
-          FROM c) t WHERE rn=1 ORDER BY asdf_id""")))
+          FROM c) t WHERE rn=1 ORDER BY asdf_id""")),
+    "extract_percentile_sketch" -> Q(
+      // The 100 TB percentile path (SCALE.md's holistic-aggregate swap,
+      // made an operator), oracled by CONTRACT rather than by value: a
+      // GK sketch's output can depend on partial-merge order, so the
+      // query emits (a) the exact interpolated percentile — value-oracled
+      // like extract_percentile — and (b) `within_bound`, Spark's own
+      // measurement of the sketch's rank-error guarantee
+      // |rank(approx) − p·n| ≤ n/accuracy, which the oracle asserts TRUE.
+      // A sketch that broke its bound hash-mismatches the gate; the
+      // sketch value itself never feeds the compare. The rank check is
+      // one broadcast-back of the |zones|-row sketch frame over the
+      // pixel stream — no extra fact shuffle.
+      (s, d) => {
+        val p = 0.95; val acc = 1000
+        val px = Tables.pixels(s, d)
+        val sk = Extracts.extract(px, "percentile_sketch", p = p, accuracy = acc)
+          .withColumnRenamed("percentile_sketch", "approx")
+        val exact = px.groupBy(col("asdf_id"))
+          .agg(count(lit(1)).as("n"),
+            round(percentile(col("value"), lit(p)), 6).as("p95_r"))
+        val ranks = px.join(broadcast(sk), "asdf_id")
+          .groupBy(col("asdf_id"))
+          .agg(sum(when(col("value") <= col("approx"), 1L).otherwise(0L)).as("cnt_le"),
+            sum(when(col("value") < col("approx"), 1L).otherwise(0L)).as("cnt_lt"))
+        exact.join(ranks, "asdf_id")
+          .select(col("asdf_id"), col("n"), col("p95_r"),
+            (col("cnt_le") >= floor(lit(p) * col("n") - col("n") / lit(acc.toDouble)) &&
+              col("cnt_lt") <= ceil(lit(p) * col("n") + col("n") / lit(acc.toDouble)))
+              .as("within_bound"))
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS ($pixelsSql)
+        SELECT asdf_id, CAST(count(*) AS BIGINT) AS n,
+          round(quantile_cont(value, 0.95), 6) AS p95_r,
+          TRUE AS within_bound
+        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")))
 
   // ---- §2.3 joins ------------------------------------------------------
   private val joinQueries: Seq[(String, Q)] = Seq(

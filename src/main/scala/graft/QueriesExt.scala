@@ -1008,7 +1008,32 @@ object QueriesExt {
           md5(text) AS content_hash,
           CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS width,
           CAST(octet_length(encode(text)) % 48 + 16 AS BIGINT) AS height
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+    "multimodal_decode" -> Q(
+      // REAL multimodal decode (X5, no longer design-only): the engine's
+      // binary fixture — a deterministic closed-form BMP per doc_id — is
+      // encoded and then ACTUALLY decoded through javax.imageio in a
+      // per-partition pass; the emitted integer pixel statistics are what
+      // the oracle can verify, because the fixture's generation formulas
+      // (Multimodal.scala fixture notes: w=4+id%13, h=3+id%7, r=id%200+x,
+      // g=id%180+y, b=id%120+x+y, no channel wrap) have closed-form sums.
+      // What's pinned is the full encode→decode roundtrip through a real
+      // codec, not the formula: a decoder that dropped a row, flipped
+      // channels, or mis-read padding would hash-mismatch.
+      (s, d) => Multimodal.imageStats(Multimodal.bmpFromDocuments(docs(s, d)))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id,
+            4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+            doc_id % 200 AS br, doc_id % 180 AS bg, doc_id % 120 AS bb
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(w * h AS BIGINT) AS n_px,
+          CAST(h * (w * br + (w * (w - 1)) // 2) AS BIGINT) AS sum_r,
+          CAST(w * (h * bg + (h * (h - 1)) // 2) AS BIGINT) AS sum_g,
+          CAST(w * h * bb + h * ((w * (w - 1)) // 2)
+            + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
+        FROM p ORDER BY media_id""")))
 
   // ---- §2.11 training-data pipeline composites -------------------------
   private val pipelineQueries: Seq[(String, Q)] = Seq(
@@ -1139,7 +1164,13 @@ object QueriesExt {
             col("stop_cnt").cast("double") / col("n_tokens"))
           .withColumn("len_shape", greatest(lit(0.0),
             lit(1.0) - abs(col("tok_chars").cast("double") / col("n_tokens") - lit(5.0)) / lit(5.0)))
-          .withColumn("digit_frac", col("n_digits").cast("double") / col("n_chars"))
+          // empty-text guard: 0/0 is NaN in Spark but errors/diverges in a
+          // DuckDB NaN→BIGINT cast — an empty doc scores the digit
+          // component as unpolluted (frac 0), mirroring contamination_frac's
+          // n_shingles = 0 handling
+          .withColumn("digit_frac",
+            when(col("n_chars") === 0, lit(0.0))
+              .otherwise(col("n_digits").cast("double") / col("n_chars")))
           .withColumn("score_u", floor(
             (lit(0.4) * col("vol") + lit(0.3) * col("stop_frac")
               + lit(0.2) * col("len_shape") + lit(0.1) * (lit(1.0) - col("digit_frac")))
@@ -1164,7 +1195,8 @@ object QueriesExt {
                 CAST(1.0 AS DOUBLE) - abs(CAST(tok_chars AS DOUBLE) / n_tokens
                   - CAST(5.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE))
             + CAST(0.1 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-                - CAST(n_digits AS DOUBLE) / n_chars)) * 1000000
+                - CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(n_digits AS DOUBLE) / n_chars END)) * 1000000
             + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_u
         FROM c ORDER BY doc_id""")),
     "text_clean" -> Q(
@@ -2322,6 +2354,45 @@ object QueriesExt {
           round(quantile_cont(value, 0.5), 6) AS p50_r,
           round(quantile_cont(value, 0.95), 6) AS p95_r
         FROM events GROUP BY 1 ORDER BY wk""")),
+    "drift_bands_sketch" -> Q(
+      // drift_bands' 100 TB variant: weekly p50/p95 via the mergeable GK
+      // sketch (percentile_approx — O(accuracy) reducer state instead of
+      // buffering each week's value set), gated exactly like
+      // extract_percentile_sketch: the exact bands stay value-oracled,
+      // and the oracle asserts TRUE for the sketch's rank-error bounds,
+      // measured by Spark against the same stream.
+      (s, d) => {
+        val acc = 1000
+        val wk = Tables.events(s, d)
+          .select(to_date(date_trunc("week", col("ts"))).as("wk"), col("value"))
+        val agg = wk.groupBy(col("wk"))
+          .agg(count(lit(1)).as("n"),
+            round(percentile(col("value"), lit(0.5)), 6).as("p50_r"),
+            round(percentile(col("value"), lit(0.95)), 6).as("p95_r"),
+            percentile_approx(col("value"), lit(0.5), lit(acc)).as("a50"),
+            percentile_approx(col("value"), lit(0.95), lit(acc)).as("a95"))
+        val ranks = wk.join(broadcast(agg.select("wk", "a50", "a95")), "wk")
+          .groupBy(col("wk"))
+          .agg(sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("le95"),
+            sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("lt95"))
+        val accD = lit(acc.toDouble)
+        agg.join(ranks, "wk")
+          .select(col("wk"), col("n"), col("p50_r"), col("p95_r"),
+            (col("le50") >= floor(lit(0.5) * col("n") - col("n") / accD) &&
+              col("lt50") <= ceil(lit(0.5) * col("n") + col("n") / accD) &&
+              col("le95") >= floor(lit(0.95) * col("n") - col("n") / accD) &&
+              col("lt95") <= ceil(lit(0.95) * col("n") + col("n") / accD))
+              .as("within_bound"))
+          .orderBy("wk")
+      },
+      Some("""SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+          CAST(count(*) AS BIGINT) AS n,
+          round(quantile_cont(value, 0.5), 6) AS p50_r,
+          round(quantile_cont(value, 0.95), 6) AS p95_r,
+          TRUE AS within_bound
+        FROM events GROUP BY 1 ORDER BY wk""")),
     "incremental_daily" -> Q(
       // Incremental view maintenance (X64): the daily rollup maintained
       // the way a 100 TB deployment actually maintains it — per-day
@@ -2335,29 +2406,46 @@ object QueriesExt {
       // (calendar-bounded, metadata scale); per-day partials are
       // count/cents pairs — algebraic, so the combine is a sum.
       (s, d) => {
+        import s.implicits._
+        // the cache root mixes a CONTENT fingerprint of the events table
+        // (file names+sizes+mtimes) into the key: a fixture regenerated at
+        // the same path must version the cache, not probe-hit stale
+        // partials — silently combining them would break the operator's
+        // own "incremental == full recompute" invariant. Two concurrent
+        // runs over different data at one path separate the same way.
+        val fp = Option(new java.io.File(s"$d/events.parquet").listFiles())
+          .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
         val root = s"${sys.props("java.io.tmpdir")}/graft_incr_" +
-          graft.ops.HashKey.sha1Hex(d).take(8)
+          graft.ops.HashKey.sha1Hex(s"$d|$fp").take(12)
         val cache = new Cache(s, root)
         val e = Tables.events(s, d)
           .select(to_date(col("ts")).as("day"), col("event_type"),
             cents(col("value")).as("c"))
+        // keys must stay catalog-identifier-safe (the bucketed-layout
+        // probe parses them as table names): dashless day
+        def keyOf(day: String) = s"daily_${day.replace("-", "")}"
         val days = e.select(col("day")).distinct()
           .orderBy("day").collect().map(_.getDate(0).toString)
-        val keys = days.map { day =>
-          // key must stay catalog-identifier-safe (the bucketed-layout
-          // probe parses it as a table name): dashless day
-          val key = s"daily_${day.replace("-", "")}"
-          // getOrCompute's write is eager: after this, the partial exists
-          cache.getOrCompute(key) {
-            e.filter(col("day") === lit(day))
-              .groupBy(col("day"), col("event_type"))
-              .agg(count(lit(1)).as("n"), sum(col("c")).as("cents_sum"))
-          }
-          key
+        // set-level miss detection (ONE anti-join over the done set), then
+        // ONE grouped job fills every missing day via a partitioned write —
+        // never a per-day sequential compute loop, which serializes on the
+        // driver at 10⁵ partition-days. The collected frames are calendar-
+        // bounded (|days|), metadata scale.
+        val missingDays = cache.misses(
+            days.map(dd => (keyOf(dd), dd)).toSeq.toDF("key", "day_str"))
+          .select("day_str").as[String].collect().sorted
+        if (missingDays.nonEmpty) {
+          val partials = e.filter(col("day")
+              .isin(missingDays.map(java.sql.Date.valueOf).toSeq: _*))
+            .groupBy(col("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("cents_sum"))
+            .withColumn("day_part", date_format(col("day"), "yyyyMMdd"))
+          cache.fillManyPartitioned(partials, "day_part", v => s"daily_$v")
         }
         cache.flushDone()
         // ONE multi-path scan over all day partials, not an N-way union
-        cache.readMany(keys)
+        cache.readMany(days.map(keyOf).toSeq)
           .groupBy(col("day"), col("event_type"))
           .agg(sum(col("n")).as("n"), sum(col("cents_sum")).as("cents_sum"))
           .orderBy("day", "event_type")

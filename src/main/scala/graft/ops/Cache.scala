@@ -152,6 +152,44 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     }
   }
 
+  /** Fill MANY missing keys with ONE Spark job (the batch side of
+    * incremental view maintenance): write `df` partitioned by `partCol`
+    * (whose values name the keys via `keyFor`), then promote each
+    * partition directory to a plain cache key dir, stamping the
+    * `_SUCCESS` marker the probe contract requires, and batch-mark the
+    * done set. A per-key `getOrCompute` loop runs N sequential jobs where
+    * this runs one — at 10⁵ partition-days the loop serializes on the
+    * driver while this stays one distributed write.
+    *
+    * `partCol` is dropped from the data files by `partitionBy` (standard
+    * Hive layout), so callers keep any needed copy of the value as a
+    * separate data column. Returns the filled keys. */
+  def fillManyPartitioned(df: DataFrame, partCol: String,
+      keyFor: String => String): Seq[String] = {
+    val staging = Paths.get(dir("_staging"))
+    df.write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
+    val parts = Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .sortBy(_.getName)
+    val keys = parts.map { p =>
+      val value = p.getName.drop(partCol.length + 1)
+      val key = keyFor(value)
+      val target = Paths.get(dir(key))
+      if (Files.exists(target)) { // overwrite semantics, like getOrCompute
+        target.toFile.listFiles().foreach(_.delete())
+        Files.delete(target)
+      }
+      Files.move(p.toPath, target)
+      Files.createFile(target.resolve("_SUCCESS"))
+      queueMark(key)
+      key
+    }.toSeq
+    // clear the staging root (only the top-level _SUCCESS remains)
+    Option(staging.toFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    Files.deleteIfExists(staging)
+    keys
+  }
+
   /** Read MANY materialized plain-layout keys as ONE multi-path parquet
     * scan — the combine step of incremental view maintenance reads every
     * partial; N separate scans unioned cost N plan nodes + N directory

@@ -27,15 +27,22 @@ object Extracts {
     "percentile", "var", "mode",
     // [EXT] robust/ratio statistics beyond the reference catalog — the
     // screens a training-data pipeline layers on top of zonal stats
-    "mad", "geomean", "harmonic")
+    "mad", "geomean", "harmonic",
+    // [EXT] the 100 TB percentile: a mergeable sketch with bounded
+    // reducer memory, where exact `percentile`/`median` buffer the whole
+    // per-zone value set on one reducer (SCALE.md's holistic-aggregate
+    // caveat, made an operator)
+    "percentile_sketch")
 
   /** Zonal aggregate of `value` (weighted by `weight` where applicable),
     * grouped by `zone`. Output column is named `method` (aliased by callers
     * via [[Naming]]). Deterministic: no order-dependent aggregates.
     *
-    * @param classes explicit pivot class list for `categorical`
-    *                (determinism rule — FIXTURES.md).
-    * @param p       percentile fraction for `percentile`.
+    * @param classes  explicit pivot class list for `categorical`
+    *                 (determinism rule — FIXTURES.md).
+    * @param p        percentile fraction for `percentile`/`percentile_sketch`.
+    * @param accuracy sketch accuracy for `percentile_sketch`: rank error is
+    *                 bounded by n/accuracy per zone, state by O(accuracy).
     */
   def extract(
       pixels: DataFrame,
@@ -45,7 +52,8 @@ object Extracts {
       weight: String = "weight",
       cls: String = "cls",
       classes: Seq[String] = Nil,
-      p: Double = 0.95): DataFrame = {
+      p: Double = 0.95,
+      accuracy: Int = 10000): DataFrame = {
     val z = col(zone)
     val v = col(value)
     val w = col(weight)
@@ -63,6 +71,14 @@ object Extracts {
       case "var"            => agg1(var_samp(v))
       case "median"         => agg1(median(v))
       case "percentile"     => agg1(percentile(v, lit(p)))
+      case "percentile_sketch" =>
+        // [EXT] sketch percentile (Greenwald-Khanna via percentile_approx):
+        // partial sketches merge map-side, so a hot zone with 10⁹ values
+        // costs O(accuracy) reducer state instead of buffering the value
+        // set (what exact `percentile` does). Returns a VALUE FROM THE
+        // DATASET whose rank r satisfies |r − p·n| ≤ n/accuracy — the
+        // contract extract_percentile_sketch's oracle gate pins.
+        agg1(percentile_approx(v, lit(p), lit(accuracy)))
       case "unique"         => agg1(count_distinct(v))
       case "range"          => agg1(max(v) - min(v))
       case "categorical" =>

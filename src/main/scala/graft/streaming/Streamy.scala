@@ -249,7 +249,10 @@ object Streamy {
             if (streaming) {
               open.foreach { s =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60L * 1000L)
+                // ceiling division: truncating last_us/1000 would place the
+                // eviction boundary up to 999µs BEFORE last_event + gap,
+                // flushing a session marginally earlier than the gap rule
+                state.setTimeoutTimestamp((s.last_us + 999L) / 1000L + gapMinutes * 60L * 1000L)
               }
               out.iterator
             } else {
@@ -269,9 +272,17 @@ object Streamy {
     * dimension is explicitly broadcast: at any scale the event side
     * never shuffles for an enrichment. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
-      dimKey: String): DataFrame =
+      dimKey: String): DataFrame = {
+    // same contract as AsOf.join: a dim column shadowing an event column
+    // would surface later as an ambiguous-reference error at some distant
+    // select — fail here with the offending names instead
+    val clash = dim.columns.filter(_ != dimKey).toSet
+      .intersect(events.columns.toSet)
+    require(clash.isEmpty,
+      s"enrich: dim columns ${clash.mkString(", ")} clash with event columns; rename the dim side")
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
       .drop(dimKey)
+  }
 
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,

@@ -80,6 +80,30 @@ class CacheSpec extends AnyFunSuite {
     assert(c2.misses(Seq("k1").toDF("key")).count() == 0, "probe-hit healed the mark")
   }
 
+  test("fillManyPartitioned fills N keys with ONE Spark job (IVM batch fill)") {
+    val c = newCache()
+    val df = Seq((1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"), (4, "d", "d3"))
+      .toDF("id", "v", "pday")
+    // scope a job group around the fill: the whole N-key fill must be one
+    // distributed write, not a per-key sequential job loop
+    spark.sparkContext.setJobGroup("fillmany_test", "one-job fill", false)
+    val keys =
+      try c.fillManyPartitioned(df, "pday", v => s"daily_$v")
+      finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("fillmany_test")
+    assert(jobs.length == 1, s"expected ONE job for the batch fill, saw ${jobs.length}")
+    assert(keys.toSet == Set("daily_d1", "daily_d2", "daily_d3"))
+    assert(Seq("daily_d1", "daily_d2", "daily_d3").forall(c.probe))
+    assert(c.misses(keys.toDF("key")).count() == 0, "all filled keys marked done")
+    val back = c.readMany(keys)
+    assert(back.columns.toSet == Set("id", "v"), "partition col dropped by layout")
+    assert(back.count() == 4)
+    // refill overwrites (getOrCompute overwrite semantics)
+    val keys2 = c.fillManyPartitioned(
+      Seq((9, "z", "d1")).toDF("id", "v", "pday"), "pday", v => s"daily_$v")
+    assert(c.readMany(keys2).as[(Int, String)].collect().toSeq == Seq((9, "z")))
+  }
+
   test("invalidate removes the key from the done set") {
     val c = newCache()
     c.getOrCompute("k")(Seq((1, "a")).toDF("id", "v"))

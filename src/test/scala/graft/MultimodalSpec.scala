@@ -73,9 +73,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).getAs[Array[Byte]]("payload").length == 12)
   }
 
-  test("decode stub is deterministic") {
+  test("byte-histogram fallback featurizer is deterministic") {
     val b = "same bytes".getBytes("UTF-8")
-    assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
-    assert(Multimodal.decodeStub(null).toSeq == Seq.fill(8)(0.0))
+    assert(Multimodal.byteHistogram(b).toSeq == Multimodal.byteHistogram(b).toSeq)
+    assert(Multimodal.byteHistogram(null).toSeq == Seq.fill(8)(0.0))
+  }
+
+  test("BMP roundtrip: encode then REAL ImageIO decode recovers exact pixels") {
+    val id = 41L // w = 4 + 41%13 = 4+2 = 6, h = 3 + 41%7 = 3+6 = 9
+    val img = Multimodal.decodeImage(Multimodal.encodeBmp(id))
+      .getOrElse(fail("BMP did not decode"))
+    assert(img.getWidth == 6 && img.getHeight == 9)
+    // pixel (x,y): r = 41%200 + x, g = 41%180 + y, b = 41%120 + x + y
+    def rgb(x: Int, y: Int) = {
+      val p = img.getRGB(x, y)
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    assert(rgb(0, 0) == ((41, 41, 41)))
+    assert(rgb(5, 8) == ((46, 49, 54)))
+    assert(rgb(3, 2) == ((44, 43, 46)))
+  }
+
+  test("imageStats decodes real bytes and matches the closed-form sums") {
+    val media = Multimodal.bmpFromDocuments(
+      Seq((0L, "a"), (41L, "b"), (123456L, "c")).toDF("doc_id", "text"))
+    val rows = Multimodal.imageStats(media).orderBy("media_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    def expect(id: Long) = {
+      val w = 4 + (id % 13); val h = 3 + (id % 7)
+      val (br, bg, bb) = (id % 200, id % 180, id % 120)
+      (id, w, h, w * h,
+        h * (w * br + w * (w - 1) / 2),
+        w * (h * bg + h * (h - 1) / 2),
+        w * h * bb + h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2))
+    }
+    assert(rows.toSeq == Seq(expect(0L), expect(41L), expect(123456L)))
+  }
+
+  test("imageStats drops undecodable payloads instead of faking stats") {
+    val mixed = Multimodal.fromDocuments(docs) // text/plain payloads
+      .union(Multimodal.bmpFromDocuments(Seq((9L, "x")).toDF("doc_id", "text")))
+    val rows = Multimodal.imageStats(mixed).select("media_id").as[Long].collect()
+    assert(rows.toSeq == Seq(9L), "only the real image row survives")
+  }
+
+  test("extractFeatures: real decode for images, histogram fallback for opaque") {
+    val media = Multimodal.bmpFromDocuments(Seq((41L, "x")).toDF("doc_id", "text"))
+    val f = Multimodal.extractFeatures(media)
+      .as[(Long, Long, String, Seq[Double])].collect().head
+    assert(f._3 == "image/bmp")
+    assert(f._4.take(2) == Seq(6.0, 9.0)) // real decoded dimensions
+    // mean_r = (sum over x,y of 41+x) / 54 = 41 + (0+..+5)*9/54 = 43.5
+    assert(math.abs(f._4(2) - 43.5) < 1e-12)
+  }
+
+  test("resize on a real image: nearest-neighbor resample, re-encoded BMP") {
+    val media = Multimodal.bmpFromDocuments(Seq((41L, "x")).toDF("doc_id", "text"))
+    val out = Multimodal.resize(media, 3, 3).collect().head
+    val img = Multimodal.decodeImage(out.getAs[Array[Byte]]("payload"))
+      .getOrElse(fail("resized payload is not a decodable BMP"))
+    assert(img.getWidth == 3 && img.getHeight == 3)
+    // nearest-neighbor from 6x9: dst(1,1) samples src(2,3) = (43, 44, 46)
+    val p = img.getRGB(1, 1)
+    assert((((p >> 16) & 0xff), ((p >> 8) & 0xff), (p & 0xff)) == ((43, 44, 46)))
+    assert(out.getStruct(2).getInt(1) == 3 && out.getStruct(2).getInt(2) == 3)
   }
 }

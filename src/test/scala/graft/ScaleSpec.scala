@@ -64,6 +64,38 @@ class ScaleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Skew.extractSalted(px, "median") }
   }
 
+  test("percentile_sketch: rank error within n/accuracy on a synthetic hot zone") {
+    // 200k-value hot zone with a skewed (quadratic) distribution plus a
+    // tiny cold zone — the shape where an exact per-zone percentile
+    // buffers the whole value set on one reducer and the sketch must not.
+    val hot = (1 to 200000).map(i => (1, (i.toDouble / 1000) * (i.toDouble / 1000)))
+    val cold = Seq((2, 1.0), (2, 2.0), (2, 3.0))
+    val df = (hot ++ cold).toDF("asdf_id", "value")
+    for (p <- Seq(0.5, 0.95, 0.99); acc <- Seq(100, 1000)) {
+      val approx = Extracts.extract(df, "percentile_sketch", p = p, accuracy = acc)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val byZone = Seq(1 -> hot.map(_._2).sorted, 2 -> cold.map(_._2))
+      byZone.foreach { case (z, vs) =>
+        val n = vs.length.toDouble
+        val rank = vs.count(_ <= approx(z)).toDouble
+        assert(math.abs(rank - p * n) <= n / acc + 1,
+          s"zone $z p=$p acc=$acc: rank $rank vs target ${p * n}")
+      }
+    }
+  }
+
+  test("percentile_sketch partials merge map-side (partial agg in plan)") {
+    val plan = Extracts.extract(px, "percentile_sketch")
+      .queryExecution.executedPlan.toString
+    // two HashAggregate/ObjectHashAggregate/SortAggregate nodes around ONE
+    // exchange = partial sketches built per input partition and merged —
+    // the property that bounds reducer memory at scale
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"expected one key exchange:\n$plan")
+    val aggs = "(?i)aggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n$plan")
+  }
+
   test("bucketed cache: joining two cached extracts needs no shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     try {

@@ -238,6 +238,15 @@ class StreamySpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("enrich rejects dim columns that clash with event columns") {
+    val dim = Seq((7L, 1.0)).toDF("k", "value") // `value` exists on the event side
+    val evs = Seq((1L, 7L, 2.0)).toDF("event_id", "user_id", "value")
+    val e = intercept[IllegalArgumentException] {
+      Streamy.enrich(evs, dim, "user_id", "k")
+    }
+    assert(e.getMessage.contains("value"))
+  }
+
   test("funnelProgress: state carries across REAL micro-batches (T7)") {
     import org.apache.spark.sql.functions._
     // batch 1: user 7 views; batch 2 (later files): clicks then purchases.
