@@ -34,18 +34,6 @@ final class Engine(
 
   import spark.implicits._
 
-  private val requests: scala.collection.mutable.LinkedHashMap[String, Request] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Request]
-    // reload in submit order (stage[0] stamp, then id) so a restarted
-    // engine drains its backlog in the same sequence the original would
-    requestStore.read().foreach {
-      _.as[Request].collect()
-        .sortBy(r => (r.stage.headOption.map(_.time).getOrElse(0L), r.id))
-        .foreach(r => m.update(r.id, r))
-    }
-    m
-  }
-
   private def now(): Long = System.currentTimeMillis() / 1000
 
   /** Submit (status -1 "new", submit stage stamped —
@@ -62,7 +50,6 @@ final class Engine(
     val ts = now()
     val stamped = reqs.map(r =>
       r.copy(status = -1, stage = Seq(StageTime("submit", ts))))
-    stamped.foreach(r => requests.getOrElseUpdate(r.id, r))
     // MERGE sources must be key-unique: keep the first body per id
     val unique = stamped.groupBy(_.id).map(_._2.head).toSeq
     requestStore.upsert(unique.toDS().toDF())
@@ -72,8 +59,10 @@ final class Engine(
     reqs.map(_.id)
   }
 
+  /** Status lookup spans live + archived rows: a compacted (terminal)
+    * request still answers with its final status. */
   def status(id: String): Option[Int] =
-    states.read().flatMap(df =>
+    states.readAll().flatMap(df =>
       df.filter(col("id") === id).select("status")
         .collect().headOption.map(_.getInt(0)))
 
@@ -88,8 +77,10 @@ final class Engine(
     // heal submit-crash orphans first: a crash between the request-store
     // commit and the queue-row commit leaves a durable body with no queue
     // row — invisible to the pending filter forever. One queue-scale
-    // anti-join re-inserts the missing rows each tick.
-    (states.read(), requestStore.read()) match {
+    // anti-join re-inserts the missing rows each tick. The state side is
+    // the FULL history view: a body whose state row was compacted to the
+    // archive is finished work, not an orphan.
+    (states.readAll(), requestStore.read()) match {
       case (Some(st), Some(bodies)) =>
         val orphans = bodies.select(col("id")).join(st.select(col("id")), Seq("id"), "left_anti")
           .collect().map(_.getString(0))
@@ -103,17 +94,21 @@ final class Engine(
           .map(id => (id, -1, now())).toDF("id", "status", "submit_time"))
       case _ => ()
     }
-    // only pending rows reach the driver: the status predicate is pushed
-    // into the state scan, so the collect is bounded by the live queue
-    // depth, not the full (ever-growing) request history
-    val snapshot = states.read()
-    val pendingIds: Set[String] = snapshot
-      .map(_.filter(col("status").isin(-1, 0))
-        .select("id").collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty)
-    val pending = requests.values.toSeq.filter { r =>
-      if (snapshot.isDefined) pendingIds.contains(r.id)
-      else r.status == -1 || r.status == 0
+    // only pending work reaches the driver, and only per tick: the status
+    // predicate is pushed into the state scan and the request BODIES are
+    // loaded by a semi-join against those pending ids — the driver heap
+    // holds the live queue head, never the full (ever-growing) request
+    // history. Bodies are durable in the request store; holding them in a
+    // process-lifetime map would pin a multi-million-request backlog on
+    // the driver for no reason. Drain order (stage[0] stamp, then id)
+    // matches what a restarted engine reloads.
+    val pending: Seq[Request] = (states.read(), requestStore.read()) match {
+      case (Some(st), Some(bodies)) =>
+        val ids = st.filter(col("status").isin(-1, 0)).select("id")
+        bodies.join(ids, Seq("id"), "left_semi").as[Request].collect()
+          .sortBy(r => (r.stage.headOption.map(_.time).getOrElse(0L), r.id))
+          .toSeq
+      case _ => Seq.empty
     }
     val outcomes = pipeline.tick(pending, base, pixels, locations).map {
       case (id, 1, result) =>
@@ -145,6 +140,19 @@ final class Engine(
       // submit path does, or a submit-then-drain workload grows one full
       // snapshot per tick forever
       states.vacuum(keep = 4)
+    }
+    // terminal-state compaction: finished rows (1 complete / -2 error)
+    // leave the live queue table — and their bodies the live request
+    // store — for the append-only archive, so the per-tick pending scan
+    // and the orphan anti-join stay bounded by LIVE work even after
+    // millions of completed requests. vacuum bounds versions; this bounds
+    // rows. status()/history stay served via readAll().
+    states.compact(_.filter(col("status").isin(1, -2))).foreach { _ =>
+      states.vacuum(keep = 4)
+      states.archive().map(_.select("id")).foreach { terminalIds =>
+        requestStore.compact(_.join(terminalIds, Seq("id"), "left_semi"))
+        requestStore.vacuum(keep = 4)
+      }
     }
     // persist buffered done-set marks before the pass ends: a cron-driven
     // engine exits after each tick, and marks held only in memory would be

@@ -188,17 +188,18 @@ object LlmOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = emb.withColumn("__feat", array_to_vector(col(vCol)))
-    // Coarse cells don't need a converged clustering — any reasonable
-    // partition of the space works (search quality is governed by nprobe).
-    // Random init + few iterations, and the fit sees only a `fitFraction`
-    // sample: k-means|| init alone costs ~2k distributed passes, and every
-    // extra iteration is an MLlib job over the full corpus; at corpus
-    // scale the standard move is fitting the quantizer on a sample and
-    // assigning everything in one broadcast pass. The sample is seeded
-    // (deterministic); below 16·k sampled points the centroids get thin
-    // enough to cost measurable recall (IvfSpec's recall gate), so a small
-    // corpus falls back to a full fit — sampling only pays off at the
-    // scale where it matters anyway.
+    // The fit sees only a `fitFraction` sample: every KMeans iteration is
+    // an MLlib job over its input, and at corpus scale the standard move
+    // is fitting the quantizer on a sample and assigning everything in
+    // one broadcast pass — so iteration count and init quality are priced
+    // against the SAMPLE, not the corpus. That makes the better quantizer
+    // affordable: k-means|| init + enough iterations to settle (a poor
+    // random init measurably costs recall at fixed nprobe — the sf0.01
+    // gate in IvfSpec caught exactly that at 0.44 vs the 0.6 floor). The
+    // sample is seeded (deterministic); below 16·k sampled points the
+    // centroids get thin enough to cost recall, so a small corpus falls
+    // back to a full fit — sampling only pays off at the scale where it
+    // matters anyway.
     val sampled = feat.sample(withReplacement = false, fitFraction, seed)
     // the probe cap must exceed the threshold it feeds, or large k could
     // never pass the gate and every fit would silently run on the corpus
@@ -208,8 +209,8 @@ object LlmOps {
         case n if n >= k * 16 => sampled
         case _ => feat // fixture-scale corpus: sample too thin, fit on all
       }
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setInitMode("k-means||")
       .setFeaturesCol("__feat").setPredictionCol("cell").fit(fitOn)
     val assigned = model.transform(feat).drop("__feat")
     val spark = emb.sparkSession

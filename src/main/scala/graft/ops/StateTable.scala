@@ -53,6 +53,47 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * transition). No-op (and no new version) before the first commit. */
   def update(f: DataFrame => DataFrame): Option[Long] = read().map(f).map(commit)
 
+  private val archiveRoot = root.resolve("_archive")
+
+  /** Archived (terminal-history) rows, if any — one append-only batch per
+    * [[compact]] call, read back as ONE multi-path scan. */
+  def archive(): Option[DataFrame] = {
+    val batches = Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.toString).sorted
+    if (batches.isEmpty) None else Some(spark.read.parquet(batches.toSeq: _*))
+  }
+
+  /** Live ∪ archive — the full-history view ([[read]] is the live view). */
+  def readAll(): Option[DataFrame] = (read(), archive()) match {
+    case (Some(l), Some(a)) => Some(l.unionByName(a))
+    case (l, a) => l.orElse(a)
+  }
+
+  /** Terminal-state compaction: `doomed` selects rows that are finished
+    * (terminal status, aged out, …); they move from the live snapshot into
+    * an append-only archive batch. [[vacuum]] bounds VERSIONS — this
+    * bounds live ROWS, so a scan of the live table stays proportional to
+    * in-flight work even after millions of completed rows. History stays
+    * durable and queryable through [[archive]]/[[readAll]].
+    *
+    * Crash safety: the batch dir is named by the source version, so a
+    * compaction that died between the archive write and the commit re-runs
+    * idempotently (same batch dir overwritten; the transient duplicate
+    * resolves at the re-run's commit). Returns the new live version, or
+    * None when nothing matched. */
+  def compact(doomed: DataFrame => DataFrame): Option[Long] =
+    read().flatMap { df =>
+      val dead = doomed(df)
+      if (dead.isEmpty) None
+      else {
+        Files.createDirectories(archiveRoot)
+        dead.write.mode("overwrite")
+          .parquet(archiveRoot.resolve(s"b${currentVersion.get}").toString)
+        val keyCols = keys.map(org.apache.spark.sql.functions.col)
+        Some(commit(df.join(dead.select(keyCols: _*), keys, "left_anti")))
+      }
+    }
+
   def versions: Seq[Long] =
     if (!Files.exists(root)) Seq.empty
     else root.toFile.listFiles.toSeq

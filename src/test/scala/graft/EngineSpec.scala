@@ -156,6 +156,40 @@ class EngineSpec extends AnyFunSuite {
       "orphan reconcile must re-insert the queue row and process it")
   }
 
+  test("driver holds no process-lifetime request-body map (bounded heap)") {
+    // structural: the engine must not declare a mutable collection field —
+    // bodies are durable in the request store and loaded per tick by a
+    // pending-ids semi-join, so the driver heap is bounded by the live
+    // queue head, not the lifetime request history
+    val fields = classOf[Engine].getDeclaredFields.map(_.getType.getName)
+    assert(!fields.exists(_.contains("mutable")),
+      s"engine must not hold driver-side collections: ${fields.mkString(", ")}")
+    // behavioral: a 5k-request backlog submits, drains, and never
+    // reprocesses — purely from the durable store
+    val e = newEngine()
+    val reqs = (1 to 5000).map(i => Request(id = f"bulk-$i%05d",
+      boundary = Boundary("nga"), release_data = Seq.empty, raster_data = Seq.empty))
+    e.submitAll(reqs)
+    val out = e.tick(base, pixels, locations)
+    assert(out.size == 5000 && out.values.forall(_ == -2)) // invalid → error status
+    assert(e.tick(base, pixels, locations).isEmpty, "backlog fully drained")
+  }
+
+  test("terminal rows leave the live queue table after the tick (compaction)") {
+    val dir = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, dir)
+    e.submit(request)
+    assert(e.tick(base, pixels, locations) == Map("req-1" -> 1))
+    val st = new graft.ops.StateTable(spark, s"$dir/state", Seq("id"))
+    assert(st.read().get.count() == 0, "live queue drained of terminal rows")
+    assert(st.archive().get.count() == 1, "terminal row archived")
+    assert(e.status("req-1").contains(1), "status served from the archive")
+    val bodies = new graft.ops.StateTable(spark, s"$dir/requests", Seq("id"))
+    assert(bodies.read().get.count() == 0, "terminal bodies archived too")
+    assert(e.results("req-1").get.count() == 2, "results unaffected")
+    assert(e.tick(base, pixels, locations).isEmpty, "archive is not re-queued")
+  }
+
   test("golden bundle: CSV bytes match the recorded artifact exactly") {
     // locks the whole S5/S6/S9 edge in one assertion: merge column order,
     // the dotted display-name grammar (incl. the canonical-JSON hash_key

@@ -46,6 +46,78 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- nested / unicode canonical-JSON edge set (SURVEY §5.4) ----------
+
+  /** Strings over the FULL code-point range: controls, BMP, astral plane
+    * (surrogate pairs in UTF-16) — the inputs where ensure_ascii escaping
+    * and code-point key ordering actually differ from naive Java string
+    * handling. */
+  val uniStrGen: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      4 -> Gen.chooseNum(0x20, 0x7e),
+      2 -> Gen.chooseNum(0x00, 0x1f),
+      3 -> Gen.chooseNum(0x80, 0xd7ff),
+      1 -> Gen.chooseNum(0xe000, 0xffff),
+      2 -> Gen.chooseNum(0x10000, 0x10ffff)))
+      .map(cps => new String(cps.toArray, 0, cps.length)))
+
+  /** Doubles drawn from raw BITS — covers subnormals, extreme exponents,
+    * negative zero; the domain where shortest-round-trip repr is hard. */
+  val doubleBitsGen: Gen[Double] = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    .map(java.lang.Double.longBitsToDouble).suchThat(d => !d.isNaN)
+
+  val uniScalarGen: Gen[JVal] = Gen.oneOf(
+    uniStrGen.map(JStr(_)),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JInt(_)),
+    doubleBitsGen.suchThat(d => !d.isInfinity).map(JFloat(_)),
+    Gen.oneOf(JBool(true), JBool(false), JNull))
+
+  def jvalGen(depth: Int): Gen[JVal] =
+    if (depth <= 0) uniScalarGen
+    else Gen.frequency(
+      3 -> uniScalarGen,
+      1 -> Gen.chooseNum(0, 4).flatMap(n =>
+        Gen.listOfN(n, jvalGen(depth - 1)).map(JArr(_))),
+      2 -> (for {
+        n <- Gen.chooseNum(0, 5)
+        ks <- Gen.listOfN(n, uniStrGen)
+        vs <- Gen.listOfN(n, jvalGen(depth - 1))
+      } yield JObj(ks.distinct.zip(vs))))
+
+  def deepShuffle(v: JVal): JVal = v match {
+    case JObj(kvs) =>
+      JObj(scala.util.Random.shuffle(kvs.map { case (k, x) => k -> deepShuffle(x) }))
+    case JArr(xs) => JArr(xs.map(deepShuffle)) // array order is semantic: keep
+    case x => x
+  }
+
+  test("hash is stable under DEEP key permutation of nested unicode objects") {
+    holds(Prop.forAll(jvalGen(3)) { v =>
+      HashKey.keyOf(deepShuffle(v)) == HashKey.keyOf(v)
+    })
+  }
+
+  test("canonical render is pure ASCII for any nested value (ensure_ascii)") {
+    holds(Prop.forAll(jvalGen(3)) { v =>
+      render(v).forall(c => c >= ' ' && c <= '~')
+    })
+  }
+
+  test("two renders of a deep-shuffled object are byte-identical") {
+    // byte equality, not just hash equality: a hash collision can't
+    // mask a serializer divergence here
+    holds(Prop.forAll(jvalGen(3)) { v =>
+      render(deepShuffle(v)).getBytes("UTF-8")
+        .sameElements(render(v).getBytes("UTF-8"))
+    })
+  }
+
+  test("float repr round-trips over the FULL double domain (bit-pattern gen)") {
+    holds(Prop.forAll(doubleBitsGen) { d =>
+      d.isInfinity || java.lang.Double.parseDouble(pyFloatRepr(d)) == d
+    })
+  }
+
   test("filter normalization is idempotent, shrinking, value-preserving (P1)") {
     val filtersGen = Gen.mapOf(Gen.zip(Gen.identifier,
       Gen.listOf(Gen.oneOf(Gen.alphaStr, Gen.const("All"), Gen.const("None")))))

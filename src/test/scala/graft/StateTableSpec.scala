@@ -45,4 +45,26 @@ class StateTableSpec extends AnyFunSuite {
     assert(t.versions.size == 2)
     assert(t.read().get.as[(Long, Int)].collect().head == ((3L, 3)))
   }
+
+  test("compact moves terminal rows to the archive; live stays bounded") {
+    val t = fresh()
+    t.commit(Seq((1L, 1), (2L, 0), (3L, -2), (4L, -1)).toDF("id", "status"))
+    assert(t.compact(_.filter(col("status").isin(1, -2))).isDefined)
+    // live = in-flight only
+    assert(t.read().get.as[(Long, Int)].collect().toMap == Map(2L -> 0, 4L -> -1))
+    // archive holds the terminal history; readAll is the union
+    assert(t.archive().get.as[(Long, Int)].collect().toMap == Map(1L -> 1, 3L -> -2))
+    assert(t.readAll().get.count() == 4)
+    // nothing terminal left: no new version, no empty archive batch
+    val vBefore = t.versions.size
+    assert(t.compact(_.filter(col("status").isin(1, -2))).isEmpty)
+    assert(t.versions.size == vBefore)
+    // later completions append a second batch; both batches stay readable
+    t.update(df => df.withColumn("status",
+      when(col("id") === 2L, 1).otherwise(col("status"))))
+    t.compact(_.filter(col("status").isin(1, -2)))
+    assert(t.read().get.as[(Long, Int)].collect().toMap == Map(4L -> -1))
+    assert(t.archive().get.count() == 3)
+    assert(t.readAll().get.count() == 4)
+  }
 }
