@@ -141,6 +141,31 @@ object QueriesCore {
         SELECT asdf_id, CAST(count(*) AS BIGINT) AS n,
           round(quantile_cont(value, 0.95), 6) AS p95_r,
           TRUE AS within_bound
+        FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")),
+    "extract_unique_sketch" -> Q(
+      // The 100 TB distinct count (HyperLogLog++), contract-oracled like
+      // extract_percentile_sketch: the exact distinct count is
+      // value-oracled, and `within_bound` — Spark's own check that the
+      // HLL estimate sits inside the 3·rsd error band — is asserted TRUE
+      // by the oracle. The estimate is deterministic (register-wise max
+      // merge is order-independent) but not DuckDB-reproducible, so the
+      // CONTRACT is what's pinned, never the estimate value.
+      (s, d) => {
+        val rsd = 0.05
+        val px = Tables.pixels(s, d)
+        val sk = Extracts.extract(px, "unique_sketch", rsd = rsd)
+          .withColumnRenamed("unique_sketch", "approx")
+        val exact = px.groupBy(col("asdf_id"))
+          .agg(count_distinct(col("value")).as("unique"))
+        exact.join(sk, "asdf_id")
+          .select(col("asdf_id"), col("unique"),
+            (abs(col("approx") - col("unique")) <= lit(3 * rsd) * col("unique"))
+              .as("within_bound"))
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS ($pixelsSql)
+        SELECT asdf_id, CAST(count(DISTINCT value) AS BIGINT) AS "unique",
+          TRUE AS within_bound
         FROM pixels GROUP BY asdf_id ORDER BY asdf_id""")))
 
   // ---- §2.3 joins ------------------------------------------------------

@@ -32,7 +32,11 @@ object Extracts {
     // reducer memory, where exact `percentile`/`median` buffer the whole
     // per-zone value set on one reducer (SCALE.md's holistic-aggregate
     // caveat, made an operator)
-    "percentile_sketch")
+    "percentile_sketch",
+    // [EXT] the 100 TB distinct count: HyperLogLog++ — O(registers) state
+    // per zone where exact `unique` keeps the full per-zone value set in
+    // the distinct aggregate's hash map
+    "unique_sketch")
 
   /** Zonal aggregate of `value` (weighted by `weight` where applicable),
     * grouped by `zone`. Output column is named `method` (aliased by callers
@@ -43,6 +47,8 @@ object Extracts {
     * @param p        percentile fraction for `percentile`/`percentile_sketch`.
     * @param accuracy sketch accuracy for `percentile_sketch`: rank error is
     *                 bounded by n/accuracy per zone, state by O(accuracy).
+    * @param rsd      relative standard deviation for `unique_sketch`
+    *                 (HyperLogLog++ register budget).
     */
   def extract(
       pixels: DataFrame,
@@ -53,7 +59,8 @@ object Extracts {
       cls: String = "cls",
       classes: Seq[String] = Nil,
       p: Double = 0.95,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      rsd: Double = 0.05): DataFrame = {
     val z = col(zone)
     val v = col(value)
     val w = col(weight)
@@ -80,6 +87,14 @@ object Extracts {
         // contract extract_percentile_sketch's oracle gate pins.
         agg1(percentile_approx(v, lit(p), lit(accuracy)))
       case "unique"         => agg1(count_distinct(v))
+      case "unique_sketch"  =>
+        // [EXT] HLL++ distinct (approx_count_distinct): register-array
+        // partials merge map-side (register-wise max — order-independent,
+        // so the estimate is DETERMINISTIC for a given multiset); a zone
+        // with 10⁹ distinct values costs O(1/rsd²) state instead of a
+        // distinct hash map. Standard error ≤ rsd·n; the
+        // extract_unique_sketch oracle gate pins a 3·rsd band.
+        agg1(approx_count_distinct(v, rsd))
       case "range"          => agg1(max(v) - min(v))
       case "categorical" =>
         // one column per class: <cls>-count pivot with an explicit class

@@ -56,8 +56,49 @@ object Multimodal {
   def fixtureWidth(id: Long): Int = (4 + Math.floorMod(id, 13L)).toInt
   def fixtureHeight(id: Long): Int = (3 + Math.floorMod(id, 7L)).toInt
 
-  /** Encode the fixture image for `id` as a real 24-bit BMP. */
+  /** Encode the fixture image for `id` as a real 24-bit BMP — written
+    * directly as BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded
+    * BGR rows (the standard uncompressed BMP layout). Direct byte
+    * construction is ~an order of magnitude cheaper than a
+    * BufferedImage + ImageIO.write round trip, and makes the decode test
+    * stronger: the bytes the ImageIO DECODER parses were produced by an
+    * independent writer, not by its own sibling encoder.
+    * (MultimodalSpec cross-checks these bytes decode identically to an
+    * ImageIO-encoded reference image.) */
   def encodeBmp(id: Long): Array[Byte] = {
+    val w = fixtureWidth(id)
+    val h = fixtureHeight(id)
+    val br = Math.floorMod(id, 200L).toInt
+    val bg = Math.floorMod(id, 180L).toInt
+    val bb = Math.floorMod(id, 120L).toInt
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)          // magic
+    b.putInt(54 + dataSize).putInt(0).putInt(54) // file size, reserved, data offset
+    b.putInt(40).putInt(w).putInt(h)           // info header, dims (positive h = bottom-up)
+    b.putShort(1).putShort(24)                 // planes, 24 bpp
+    b.putInt(0).putInt(dataSize)               // BI_RGB uncompressed, image size
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette unused
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order, BGR byte order
+      var x = 0
+      while (x < w) {
+        b.put((bb + x + y).toByte).put((bg + y).toByte).put((br + x).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { b.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** The same fixture image through the JVM's own encoder — the reference
+    * bytes MultimodalSpec cross-checks [[encodeBmp]] against. */
+  def encodeBmpViaImageIO(id: Long): Array[Byte] = {
     val w = fixtureWidth(id)
     val h = fixtureHeight(id)
     val br = Math.floorMod(id, 200L).toInt

@@ -94,6 +94,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rgb(3, 2) == ((44, 43, 46)))
   }
 
+  test("direct BMP writer decodes pixel-identically to the ImageIO encoder") {
+    // the fixture writer builds BMP bytes directly; this pins it against
+    // the JVM's own encoder for a spread of ids covering every (w, h)
+    // residue and the padding variants (w*3 % 4 = 0..3)
+    for (id <- Seq(0L, 1L, 2L, 3L, 41L, 77L, 123456L, 999999L)) {
+      val a = Multimodal.decodeImage(Multimodal.encodeBmp(id))
+        .getOrElse(fail(s"direct BMP for id=$id did not decode"))
+      val b = Multimodal.decodeImage(Multimodal.encodeBmpViaImageIO(id))
+        .getOrElse(fail(s"ImageIO BMP for id=$id did not decode"))
+      assert(a.getWidth == b.getWidth && a.getHeight == b.getHeight, s"id=$id dims")
+      for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+        assert((a.getRGB(x, y) & 0xffffff) == (b.getRGB(x, y) & 0xffffff),
+          s"id=$id pixel ($x,$y)")
+    }
+  }
+
   test("imageStats decodes real bytes and matches the closed-form sums") {
     val media = Multimodal.bmpFromDocuments(
       Seq((0L, "a"), (41L, "b"), (123456L, "c")).toDF("doc_id", "text"))

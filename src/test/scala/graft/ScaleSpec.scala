@@ -84,6 +84,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("unique_sketch: HLL error within 3*rsd on a high-cardinality hot zone") {
+    // 200k distinct values in one zone — the shape where the exact
+    // distinct aggregate keeps a 200k-entry hash map per zone and the
+    // HLL keeps O(1/rsd^2) registers
+    val hot = (1 to 200000).map(i => (1, i.toDouble))
+    val cold = Seq((2, 1.0), (2, 1.0), (2, 2.0))
+    val df = (hot ++ cold).toDF("asdf_id", "value")
+    val approx = Extracts.extract(df, "unique_sketch", rsd = 0.05)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for ((z, exact) <- Seq(1 -> 200000L, 2 -> 2L))
+      assert(math.abs(approx(z) - exact) <= 3 * 0.05 * exact + 1,
+        s"zone $z: HLL ${approx(z)} vs exact $exact")
+  }
+
   test("percentile_sketch partials merge map-side (partial agg in plan)") {
     val plan = Extracts.extract(px, "percentile_sketch")
       .queryExecution.executedPlan.toString
