@@ -166,7 +166,11 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     * separate data column. Returns the filled keys. */
   def fillManyPartitioned(df: DataFrame, partCol: String,
       keyFor: String => String): Seq[String] = {
-    val staging = Paths.get(dir("_staging"))
+    // per-call staging dir: two concurrent fills against one cache must
+    // not interleave partition dirs in a shared staging root (the promote
+    // loop would move a sibling's half-written output)
+    val staging = Paths.get(dir(
+      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"))
     df.write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
     val parts = Option(staging.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))

@@ -342,4 +342,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       s"top-3 rank must be a group limit, not a full sort:\n$p")
   }
+
+  test("extract_percentile_sketch: sketch partials merge map-side and the " +
+    "|zones|-row sketch frame broadcasts back (no second fact shuffle)") {
+    val p = plan("extract_percentile_sketch")
+    assert(p.contains("partial_percentile_approx") ||
+      "(?i)partial.*percentile".r.findFirstIn(p).isDefined,
+      s"sketch must partial-aggregate before the exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the aggregate-output rank-check frame must broadcast back:\n$p")
+  }
+
+  test("extract_unique_sketch: HLL partials merge map-side " +
+    "(register merge before the exchange)") {
+    val p = plan("extract_unique_sketch")
+    assert(p.contains("partial_approx_count_distinct") ||
+      "(?i)partial.*approx_count_distinct".r.findFirstIn(p).isDefined,
+      s"HLL must partial-aggregate before the exchange:\n$p")
+  }
+
+  test("multimodal_decode: binary payloads never pass through a shuffle " +
+    "(stats extracted first; only the output sort exchanges)") {
+    val p = plan("multimodal_decode")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"payloads must not shuffle ($exchanges exchanges):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no join may move payloads:\n$p")
+  }
 }
