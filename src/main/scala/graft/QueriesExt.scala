@@ -214,6 +214,55 @@ object QueriesExt {
           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events LEFT JOIN nation ON user_id = n_nationkey
         GROUP BY n_name ORDER BY n_name NULLS FIRST""")),
+    "stream_drift" -> Q(
+      // T2-sketch: the drift monitor as a STREAMING operator — GK
+      // percentile + HLL distinct sketches inside tumbling 7-day windows
+      // (bounded per-window state; StreamySpec runs it on a real stream).
+      // Batch path contract-oracled like the other sketch queries: exact
+      // n / percentiles / distinct count are value-compared, and the
+      // oracle asserts TRUE for the sketches' error bounds, measured by
+      // Spark against the same stream. Window key is the epoch-aligned
+      // 7-day bucket index (integer — no timezone surface on either
+      // engine).
+      (s, d) => {
+        val acc = 1000; val rsd = 0.05
+        val ev = Tables.events(s, d)
+        val sk = Streamy.driftSketch(ev, accuracy = acc, rsd = rsd)
+          .withColumn("wk_idx",
+            (unix_timestamp(col("wstart")) / 604800L).cast("long"))
+        val base = ev.select(
+          floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("wk_idx"),
+          col("value"), col("user_id"))
+        val exact = base.groupBy(col("wk_idx"))
+          .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50_r"),
+            round(percentile(col("value"), lit(0.95)), 6).as("p95_r"),
+            count_distinct(col("user_id")).as("uniq_users"))
+        val ranks = base
+          .join(broadcast(sk.select("wk_idx", "p50_sk", "p95_sk")), "wk_idx")
+          .groupBy(col("wk_idx"))
+          .agg(sum(when(col("value") <= col("p50_sk"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("p50_sk"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("p95_sk"), 1L).otherwise(0L)).as("le95"),
+            sum(when(col("value") < col("p95_sk"), 1L).otherwise(0L)).as("lt95"))
+        val accD = lit(acc.toDouble)
+        sk.join(exact, "wk_idx").join(ranks, "wk_idx")
+          .select(col("wk_idx"), col("n"), col("p50_r"), col("p95_r"),
+            col("uniq_users"),
+            (col("le50") >= floor(lit(0.5) * col("n") - col("n") / accD) &&
+              col("lt50") <= ceil(lit(0.5) * col("n") + col("n") / accD) &&
+              col("le95") >= floor(lit(0.95) * col("n") - col("n") / accD) &&
+              col("lt95") <= ceil(lit(0.95) * col("n") + col("n") / accD) &&
+              abs(col("uniq_sk") - col("uniq_users")) <= lit(3 * rsd) * col("uniq_users"))
+              .as("within_bound"))
+          .orderBy("wk_idx")
+      },
+      Some("""SELECT CAST(floor(epoch(ts)/604800) AS BIGINT) AS wk_idx,
+          CAST(count(*) AS BIGINT) AS n,
+          round(quantile_cont(value, 0.5), 6) AS p50_r,
+          round(quantile_cont(value, 0.95), 6) AS p95_r,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+          TRUE AS within_bound
+        FROM events GROUP BY 1 ORDER BY wk_idx""")),
     "stream_interval_join" -> Q(
       // stream-stream interval join (same-user follow-on events within an
       // hour), verified through the shared batch path; the streaming path

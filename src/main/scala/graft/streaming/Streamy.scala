@@ -30,6 +30,26 @@ object Streamy {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
 
+  /** T2 sketch variant [EXT]: windowed distribution monitoring with
+    * BOUNDED per-window state — the GK percentile sketch and the HLL
+    * distinct sketch INSIDE a tumbling event-time window. Both are
+    * mergeable imperative aggregates, so a window's streaming state is
+    * O(accuracy + 1/rsd²) regardless of event volume, where an exact
+    * windowed percentile would buffer the window's entire value set in
+    * the state store — the difference between a drift monitor that runs
+    * forever and one that OOMs on the first hot week. Same call site
+    * serves batch frames (`stream_drift`'s contract oracle). */
+  def driftSketch(events: DataFrame, win: String = "7 days",
+      accuracy: Int = 1000, rsd: Double = 0.05): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), win))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50_sk"),
+        percentile_approx(col("value"), lit(0.95), lit(accuracy)).as("p95_sk"),
+        approx_count_distinct(col("user_id"), rsd).as("uniq_sk"))
+      .select(col("window.start").as("wstart"), col("n"),
+        col("p50_sk"), col("p95_sk"), col("uniq_sk"))
+
   /** T3: session windows per user with a 30-minute inactivity gap. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -112,6 +112,29 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"LSH banding recall collapsed to $recall%.3f")
   }
 
+  test("sign-LSH banding recall holds at verify scale (sf0.01) too") {
+    // same measurement as above at the scale the driver verifies at —
+    // banding recall is geometry-dependent, so the floor is pinned on
+    // BOTH fixtures (the KMeans-IVF gate's lesson: sf0.001 alone can
+    // flatter a construction that degrades on different data)
+    val d01 = "/root/testdata/sf0.01"
+    val e = embeddedAt(d01)
+    val exact = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("vec_id").as("vec_b"), col("label"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_r", round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_r") >= 0.3)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_embed_cosine")(spark, d01)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact join did not")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(f"sign-LSH banding recall on sf0.01: $recall%.3f (${lsh.size}/${exact.size} pairs)")
+    assert(recall >= 0.5, f"LSH banding recall at sf0.01 collapsed to $recall%.3f")
+  }
+
   test("assignment is deterministic under the fixed seed") {
     val e = embedded
     val a1 = LlmOps.ivfAssign(e, k = 4)._1.select("vec_id", "cell")

@@ -238,6 +238,46 @@ class StreamySpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("driftSketch on a REAL stream: sketches honor their error bounds vs exact") {
+    // two epoch-aligned weeks of synthetic events; sketch values from the
+    // STREAMING run are checked against exact Scala recomputes under the
+    // operators' own contracts (rank error <= n/accuracy; HLL within
+    // 3*rsd) — stream/batch sketch equality is NOT required (merge order
+    // differs), the contract is what must hold on both paths
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i.toLong * 5 * 60 * 1000),
+        (i % 97).toLong, "view", (i % 1000).toDouble)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_drift").toString
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Streamy.driftSketch(stream, accuracy = 1000, rsd = 0.05).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("drift").outputMode("complete").start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    val got = spark.table("drift")
+      .as[(Timestamp, Long, Double, Double, Long)].collect()
+      .map(r => (r._1.getTime / 1000 / 604800, r)).toMap
+    val byWeek = rows.groupBy(_._2.getTime / 1000 / 604800)
+    assert(got.keySet == byWeek.keySet, "every week window must emit")
+    for ((wk, es) <- byWeek) {
+      val (_, n, p50, p95, uniq) = got(wk)
+      val vs = es.map(_._5).sorted
+      assert(n == es.size)
+      for ((sk, p) <- Seq(p50 -> 0.5, p95 -> 0.95)) {
+        val rank = vs.count(_ <= sk).toDouble
+        assert(math.abs(rank - p * n) <= n / 1000.0 + 1,
+          s"week $wk p=$p: rank $rank vs ${p * n}")
+      }
+      val exactU = es.map(_._3).distinct.size
+      assert(math.abs(uniq - exactU) <= 3 * 0.05 * exactU + 1,
+        s"week $wk HLL $uniq vs $exactU")
+    }
+  }
+
   test("enrich rejects dim columns that clash with event columns") {
     val dim = Seq((7L, 1.0)).toDF("k", "value") // `value` exists on the event side
     val evs = Seq((1L, 7L, 2.0)).toDF("event_id", "user_id", "value")
