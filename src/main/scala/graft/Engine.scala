@@ -52,10 +52,26 @@ final class Engine(
       r.copy(status = -1, stage = Seq(StageTime("submit", ts))))
     // MERGE sources must be key-unique: keep the first body per id
     val unique = stamped.groupBy(_.id).map(_._2.head).toSeq
-    requestStore.upsert(unique.toDS().toDF())
-    requestStore.vacuum(keep = 4)
-    states.upsert(unique.map(r => (r.id, -1, ts)).toDF("id", "status", "submit_time"))
-    states.vacuum(keep = 4)
+    // idempotence must span the ARCHIVE too: the state MERGE's
+    // existing-wins rule only sees live rows, so without this anti-join a
+    // re-submitted id whose row was compacted to the archive would
+    // re-enter the queue as new and reprocess — the reference's
+    // find-then-insert runs against the full collection, which never
+    // forgets a completed id
+    val fresh = states.archive() match {
+      case Some(arch) =>
+        val archived = unique.map(_.id).toDF("id")
+          .join(arch.select(col("id")), Seq("id"), "left_semi")
+          .collect().map(_.getString(0)).toSet
+        unique.filterNot(r => archived.contains(r.id))
+      case None => unique
+    }
+    if (fresh.nonEmpty) {
+      requestStore.upsert(fresh.toDS().toDF())
+      requestStore.vacuum(keep = 4)
+      states.upsert(fresh.map(r => (r.id, -1, ts)).toDF("id", "status", "submit_time"))
+      states.vacuum(keep = 4)
+    }
     reqs.map(_.id)
   }
 

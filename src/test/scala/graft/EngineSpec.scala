@@ -190,6 +190,18 @@ class EngineSpec extends AnyFunSuite {
     assert(e.tick(base, pixels, locations).isEmpty, "archive is not re-queued")
   }
 
+  test("re-submitting a compacted (archived) id stays idempotent — no reprocess") {
+    val e = newEngine()
+    e.submit(request)
+    assert(e.tick(base, pixels, locations) == Map("req-1" -> 1))
+    // req-1's row now lives in the archive; a duplicate submission must
+    // NOT re-enter the queue as new (the reference's find-then-insert
+    // never forgets a completed id)
+    e.submit(request)
+    assert(e.status("req-1").contains(1), "completed status must survive re-submit")
+    assert(e.tick(base, pixels, locations).isEmpty, "no reprocessing")
+  }
+
   test("golden bundle: CSV bytes match the recorded artifact exactly") {
     // locks the whole S5/S6/S9 edge in one assertion: merge column order,
     // the dotted display-name grammar (incl. the canonical-JSON hash_key
