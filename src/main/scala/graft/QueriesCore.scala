@@ -766,14 +766,20 @@ object QueriesCore {
         // Reference CSV semantics (S1, `queue/request_tools.py:645-646`):
         // quotechar `"`, only the empty string is null. Round-trip a
         // snapshot through CSV with those options and read it back.
-        // tmp dir keyed by (pid, full input path hash), not the basename:
-        // two drivers — or two datasets sharing a basename — must never
-        // overwrite each other's round-trip dir mid-read
+        // tmp dir keyed by (pid, input path, CONTENT fingerprint of the
+        // source table): two drivers — or two datasets sharing a basename
+        // — must never overwrite each other's round-trip dir mid-read, and
+        // a fixture regenerated at the same path must version the memo
+        // rather than serve the previous dataset's CSV (same hazard class
+        // the incremental_daily cache root guards against)
+        val fp = Option(new java.io.File(s"$d/lineitem.parquet").listFiles())
+          .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_" +
-          s"${ProcessHandle.current().pid()}_${HashKey.sha1Hex(d).take(8)}"
+          s"${ProcessHandle.current().pid()}_${HashKey.sha1Hex(s"$d|$fp").take(12)}"
         // the operator under test is the CSV SCAN semantics; the setup
-        // write is memoized per (pid, dataset) — the snapshot is a pure
-        // function of the immutable input dir, and rewriting ~60 MB of
+        // write is memoized per (pid, dataset, content) — the snapshot is
+        // a pure function of the input files, and rewriting ~60 MB of
         // CSV per bench pass measured host I/O contention (a 0.6 s query
         // spiked to 14 s on a contended pass), not the scan
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {

@@ -166,6 +166,17 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     * separate data column. Returns the filled keys. */
   def fillManyPartitioned(df: DataFrame, partCol: String,
       keyFor: String => String): Seq[String] = {
+    // reap staging dirs orphaned by crashed fills (UUID-named, so a retry
+    // never reuses them) — but only stale ones, never a concurrent call's
+    // active staging
+    val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+    Option(Paths.get(dir("")).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_staging_")
+        && f.lastModified < cutoff)
+      .foreach { d =>
+        Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
     // per-call staging dir: two concurrent fills against one cache must
     // not interleave partition dirs in a shared staging root (the promote
     // loop would move a sibling's half-written output)
@@ -175,11 +186,25 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     val parts = Option(staging.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
       .sortBy(_.getName)
-    val keys = parts.map { p =>
-      val value = p.getName.drop(partCol.length + 1)
-      val key = keyFor(value)
+    val partKeys = parts.map(p => p -> keyFor(p.getName.drop(partCol.length + 1)))
+    // overwrite discipline (same ordering contract as [[invalidate]]):
+    // delete-then-move is not atomic, so any key about to be overwritten
+    // is UN-marked first — a crash mid-swap must leave "not done +
+    // artifact torn" (misses() re-queues, refill overwrites — safe),
+    // never "done + artifact gone" (readMany fails forever, because the
+    // batch path's miss detection trusts the done set, not an FS probe)
+    val overwrites = partKeys.collect {
+      case (_, k) if Files.exists(Paths.get(dir(k))) => k
+    }
+    if (overwrites.nonEmpty) {
+      pendingMarks.synchronized {
+        pendingMarks --= overwrites; flushedMarks --= overwrites
+      }
+      doneSet.update(_.filter(!col("key").isin(overwrites: _*)))
+    }
+    val keys = partKeys.map { case (p, key) =>
       val target = Paths.get(dir(key))
-      if (Files.exists(target)) { // overwrite semantics, like getOrCompute
+      if (Files.exists(target)) {
         target.toFile.listFiles().foreach(_.delete())
         Files.delete(target)
       }

@@ -63,9 +63,14 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     if (batches.isEmpty) None else Some(spark.read.parquet(batches.toSeq: _*))
   }
 
-  /** Live ∪ archive — the full-history view ([[read]] is the live view). */
+  /** Live ∪ archive — the full-history view ([[read]] is the live view).
+    * Live wins on key overlap: a compaction that archived rows but
+    * crashed before committing their removal leaves the same key on both
+    * sides until the retry — this view must not show it twice. */
   def readAll(): Option[DataFrame] = (read(), archive()) match {
-    case (Some(l), Some(a)) => Some(l.unionByName(a))
+    case (Some(l), Some(a)) =>
+      val keyCols = keys.map(org.apache.spark.sql.functions.col)
+      Some(l.unionByName(a.join(l.select(keyCols: _*), keys, "left_anti")))
     case (l, a) => l.orElse(a)
   }
 
@@ -76,20 +81,29 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * in-flight work even after millions of completed rows. History stays
     * durable and queryable through [[archive]]/[[readAll]].
     *
-    * Crash safety: the batch dir is named by the source version, so a
-    * compaction that died between the archive write and the commit re-runs
-    * idempotently (same batch dir overwritten; the transient duplicate
-    * resolves at the re-run's commit). Returns the new live version, or
-    * None when nothing matched. */
+    * Crash safety: rows already present in the archive are excluded from
+    * the new batch (one anti-join), so a compaction that died between the
+    * archive write and the commit cannot double-archive its rows on retry
+    * — even when unrelated commits bumped the version in between (batch
+    * dirs are never assumed re-runnable in place). If everything doomed
+    * was already archived by such a crashed attempt, the batch write is
+    * skipped but the live removal still commits. Returns the new live
+    * version, or None when nothing matched. */
   def compact(doomed: DataFrame => DataFrame): Option[Long] =
     read().flatMap { df =>
+      val keyCols = keys.map(org.apache.spark.sql.functions.col)
       val dead = doomed(df)
       if (dead.isEmpty) None
       else {
-        Files.createDirectories(archiveRoot)
-        dead.write.mode("overwrite")
-          .parquet(archiveRoot.resolve(s"b${currentVersion.get}").toString)
-        val keyCols = keys.map(org.apache.spark.sql.functions.col)
+        val unarchived = archive() match {
+          case Some(a) => dead.join(a.select(keyCols: _*), keys, "left_anti")
+          case None => dead
+        }
+        if (!unarchived.isEmpty) {
+          Files.createDirectories(archiveRoot)
+          unarchived.write.mode("overwrite")
+            .parquet(archiveRoot.resolve(s"b${currentVersion.get}").toString)
+        }
         Some(commit(df.join(dead.select(keyCols: _*), keys, "left_anti")))
       }
     }

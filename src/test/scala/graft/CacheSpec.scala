@@ -98,10 +98,31 @@ class CacheSpec extends AnyFunSuite {
     val back = c.readMany(keys)
     assert(back.columns.toSet == Set("id", "v"), "partition col dropped by layout")
     assert(back.count() == 4)
-    // refill overwrites (getOrCompute overwrite semantics)
+    // refill overwrites (getOrCompute overwrite semantics); the done set
+    // is UN-marked before the swap then re-marked, so it ends consistent
     val keys2 = c.fillManyPartitioned(
       Seq((9, "z", "d1")).toDF("id", "v", "pday"), "pday", v => s"daily_$v")
     assert(c.readMany(keys2).as[(Int, String)].collect().toSeq == Seq((9, "z")))
+    assert(c.misses(keys2.toDF("key")).count() == 0, "overwritten key re-marked done")
+  }
+
+  test("stale orphaned staging dirs are reaped; fresh ones survive") {
+    val root = Files.createTempDirectory("graft_cache").toString
+    val c = new Cache(spark, root)
+    val base = java.nio.file.Paths.get(s"$root/v1")
+    Files.createDirectories(base)
+    // a fill that crashed mid-write two hours ago left its staging dir
+    val dead = base.resolve("_staging_dead1234")
+    Files.createDirectories(dead)
+    Files.writeString(dead.resolve("part-0.parquet"), "torn")
+    dead.toFile.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    // a concurrent fill's ACTIVE staging dir (fresh mtime) must survive
+    val live = base.resolve("_staging_live5678")
+    Files.createDirectories(live)
+    c.fillManyPartitioned(Seq((1, "d1")).toDF("v", "pday"), "pday", v => s"k_$v")
+    assert(!Files.exists(dead), "stale crashed staging reaped")
+    assert(Files.exists(live), "fresh concurrent staging preserved")
+    assert(c.probe("k_d1"))
   }
 
   test("invalidate removes the key from the done set") {

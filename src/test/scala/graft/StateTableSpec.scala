@@ -67,4 +67,24 @@ class StateTableSpec extends AnyFunSuite {
     assert(t.archive().get.count() == 3)
     assert(t.readAll().get.count() == 4)
   }
+
+  test("compact retry after a crash between archive write and commit") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val t = new StateTable(spark, dir, Seq("id"))
+    t.commit(Seq((1L, 1), (2L, 0)).toDF("id", "status"))
+    // simulate the crashed first attempt: the archive batch landed (with
+    // the then-live status), but the live-removal commit was lost
+    Seq((1L, 99)).toDF("id", "status")
+      .write.parquet(s"$dir/_archive/b999")
+    // overlap window: key 1 is on both sides — readAll shows it ONCE,
+    // live value winning
+    assert(t.readAll().get.count() == 2)
+    assert(t.readAll().get.filter(col("id") === 1L)
+      .as[(Long, Int)].collect().toSeq == Seq((1L, 1)))
+    // retry: must not double-archive key 1, but must still remove it live
+    assert(t.compact(_.filter(col("status") === 1)).isDefined)
+    assert(t.read().get.as[(Long, Int)].collect().toMap == Map(2L -> 0))
+    assert(t.archive().get.filter(col("id") === 1L).count() == 1)
+    assert(t.readAll().get.count() == 2)
+  }
 }
