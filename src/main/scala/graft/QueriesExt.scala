@@ -312,6 +312,58 @@ object QueriesExt {
       Some(s"""SELECT sha256($normSql) AS h, min(doc_id) AS doc_id,
           count(*) AS n_copies
         FROM documents GROUP BY h ORDER BY doc_id""")),
+    "dedup_incremental" -> Q(
+      // Incremental line-level dedup (X15b) — the batch-over-batch shape
+      // a real ingest runs: yesterday's corpus is NOT re-deduped; its
+      // line-fingerprint set lives materialized in the content-addressed
+      // [[Cache]] (built once, probe-hit ever after — the X64 IVM
+      // machinery applied to the C4 line rule), and today's batch checks
+      // (a) the store with one join and (b) itself with one first-seen
+      // window over the non-store lines. Stand-in split: even doc_ids are
+      // "already ingested", odd are "today" (the fixture has line-grain
+      // cross-batch duplication; doc-grain exact dups don't exist in it).
+      // At 100 TB the store carries distinct lines (or their 16-byte
+      // digests) and the daily cost is |batch| work, not |corpus|; the
+      // oracle recomputes both counters from scratch, so what's pinned is
+      // incremental == full, same invariant as X64.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val fp = Option(new java.io.File(s"$d/documents.parquet").listFiles())
+          .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+        val root = s"${sys.props("java.io.tmpdir")}/graft_dstore_" +
+          graft.ops.HashKey.sha1Hex(s"$d|$fp").take(12)
+        val cache = new Cache(s, root)
+        val ls = LlmOps.lines(docs(s, d))
+        val store = cache.getOrCompute("line_store") {
+          ls.filter(col("doc_id") % 2 === 0).select(col("line")).distinct()
+        }
+        val w = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("idx"))
+        ls.filter(col("doc_id") % 2 === 1)
+          .join(store.withColumn("in_store", lit(1)), Seq("line"), "left")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("in_store") === 1, 1L).otherwise(0L)).as("n_dup_store"),
+            sum(when(col("in_store").isNull && col("rn") > 1, 1L).otherwise(0L))
+              .as("n_dup_batch"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          l AS (SELECT doc_id, CAST(i AS INT) AS idx,
+              array_to_string(w[i*12+1 : i*12+12], ' ') AS line
+            FROM n, unnest(range(CAST(ceil(len(w)/12.0) AS INT))) AS u(i)),
+          store AS (SELECT DISTINCT line FROM l WHERE doc_id % 2 = 0),
+          b AS (SELECT l.doc_id, l.idx, l.line, store.line IS NOT NULL AS hit
+            FROM l LEFT JOIN store USING (line) WHERE l.doc_id % 2 = 1),
+          r AS (SELECT doc_id, idx, hit,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+            FROM b)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_store,
+          CAST(sum(CASE WHEN NOT hit AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_batch
+        FROM r GROUP BY doc_id ORDER BY doc_id""")),
     "dedup_levenshtein" -> Q(
       // Edit-distance near-dup pairs (X2f): levenshtein(norm_a, norm_b)
       // <= 5 — the character-level complement to the token-level Jaccard
@@ -1004,6 +1056,51 @@ object QueriesExt {
                 CAST(sum(tfd) AS BIGINT) AS tf FROM per GROUP BY token)
         SELECT token, df, tf FROM v
         ORDER BY df DESC, tf DESC, token ASC LIMIT 50""")),
+    "vocab_heavy_sketch" -> Q(
+      // The 100 TB heavy-hitters path (count-min sketch), completing the
+      // sketch family: GK percentiles, HLL distinct counts, CMS
+      // frequencies. At 100 TB the exact token rollup's shuffle is
+      // vocabulary-sized (fine) but a STREAMING or multi-tenant counter
+      // can't afford it — CMS is the fixed-memory answer, and here it is
+      // built DECLARATIVELY: row i of the sketch is just
+      // groupBy(h_i(token) % w).count(), so the d×w counter table falls
+      // out of one partial-aggregated shuffle of at most d·w rows per
+      // partition, and estimates are a broadcast join + min over d rows.
+      // Merge is integer addition — order-independent, so the estimate is
+      // DETERMINISTIC (unlike GK) — but not DuckDB-expressible, so the
+      // contract-oracle pattern applies: the top-20 exact counts are
+      // value-oracled, and `within_bound` pins the CMS law
+      // (est ≥ true always; est ≤ true + N/256 — 16× the expected
+      // collision mass at w=4096 — measured, deterministic, and asserted
+      // TRUE by the oracle). The estimate value never feeds the compare.
+      (s, d) => {
+        val wBuckets = 4096; val dRows = 4
+        val toks = tokens(s, d).select(col("token"))
+        val rows = array((0 until dRows).map(lit): _*)
+        val bucket =
+          expr(s"cast(conv(substring(md5(concat(row, '|', token)), 1, 8), 16, 10) as bigint) % $wBuckets")
+        val sketch = toks.select(col("token"), explode(rows).as("row"))
+          .withColumn("bucket", bucket)
+          .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+        val totals = toks.agg(count(lit(1)).as("total"))
+        val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(20)
+        top.crossJoin(totals)
+          .select(col("token"), col("cnt"), col("total"), explode(rows).as("row"))
+          .withColumn("bucket", bucket)
+          .join(broadcast(sketch), Seq("row", "bucket"))
+          .groupBy(col("token"), col("cnt"), col("total"))
+          .agg(min(col("c")).as("est"))
+          .select(col("token"), col("cnt"),
+            (col("est") >= col("cnt") &&
+              col("est") <= col("cnt") + expr("total div 256")).as("within_bound"))
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        tok AS (SELECT token FROM n, unnest(w) AS u(token)),
+        c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+        SELECT token, cnt, TRUE AS within_bound
+        FROM c ORDER BY cnt DESC, token LIMIT 20""")),
     "quality_gate" -> Q(
       // C4-style rule-chain quality filter: word count, mean word length,
       // stopword ratio, digit ratio → hard pass/fail gate. Stateless
@@ -1089,6 +1186,22 @@ object QueriesExt {
             + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
         FROM p ORDER BY media_id""")))
 
+  /** Shared X7 decontamination oracle — `decontaminate` and its bloom
+    * variant must return the SAME rows (the bloom pre-filter is a pure
+    * shuffle-volume optimization; the confirm join restores exactness),
+    * so they verify against one SQL text. */
+  private val decontamOracle: String =
+    s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, g
+          FROM n, unnest(list_transform(range(greatest(len(w)-1, 0)),
+            i -> w[i+1] || ' ' || w[i+2])) AS u(g)),
+        ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0),
+        hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (g))
+        SELECT d.doc_id,
+          CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+        FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+        ORDER BY d.doc_id"""
+
   // ---- §2.11 training-data pipeline composites -------------------------
   private val pipelineQueries: Seq[(String, Q)] = Seq(
     "dedup_purge" -> Q(
@@ -1137,16 +1250,41 @@ object QueriesExt {
             coalesce(col("contaminated"), lit(0)).as("contaminated"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-        sh AS (SELECT doc_id, g
-          FROM n, unnest(list_transform(range(greatest(len(w)-1, 0)),
-            i -> w[i+1] || ' ' || w[i+2])) AS u(g)),
-        ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0),
-        hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (g))
-        SELECT d.doc_id,
-          CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
-        FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
-        ORDER BY d.doc_id""")),
+      Some(decontamOracle)),
+    "decontaminate_bloom" -> Q(
+      // X7 at the 100 TB shape: `decontaminate` broadcasts the eval
+      // shingle set as a hash relation — fine while the eval suite is
+      // thousands of docs, dead at 10^9 shingles × ~30 B of strings. The
+      // BITS of that set still fit: one aggregate builds a Bloom filter
+      // over the eval shingles (~1.2 GB at 10^9 keys / 1% fpp), it ships
+      // to every task once, and the corpus explode is pre-filtered BEFORE
+      // anything shuffles. The exact confirm semi-join then removes the
+      // false positives, so the result is bit-identical to X7 (shared
+      // oracle proves it) — the filter only bounds what reaches the
+      // shuffle: |true hits| + ~1% noise instead of every corpus shingle.
+      // The confirm join is deliberately NOT broadcast-hinted (the premise
+      // is an eval set too big for that); AQE keeps it broadcast at test
+      // scale, and at cluster scale it degrades to a shuffle join whose
+      // probe side the bloom already decimated.
+      (s, d) => {
+        def grams(df: DataFrame) = df
+          .withColumn("__norm", LlmOps.normText(col("text")))
+          .select(col("doc_id"), explode(LlmOps.bigramShingles("__norm")).as("g"))
+        val evalGrams = grams(docs(s, d).filter(col("doc_id") % 100 === 0))
+          .select(col("g")).distinct()
+        val bf = evalGrams.stat.bloomFilter("g", 100000L, 0.01)
+        val mightContain = udf((g: String) => g != null && bf.mightContain(g))
+        val contaminated = grams(docs(s, d))
+          .filter(mightContain(col("g")))
+          .join(evalGrams, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(1))
+        docs(s, d).join(contaminated, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("contaminated"), lit(0)).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(decontamOracle)),
     "contamination_frac" -> Q(
       // Graded decontamination (X59): not just the X7 boolean flag but the
       // OVERLAP FRACTION — matched distinct shingles / total distinct
@@ -2805,7 +2943,148 @@ object QueriesExt {
           alldocs AS (SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
             FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id)
         SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
-        FROM alldocs GROUP BY degree ORDER BY degree""")))
+        FROM alldocs GROUP BY degree ORDER BY degree""")),
+    "dup_pagerank" -> Q(
+      // PageRank over the duplicate graph (X57 companion): rank ≈ how
+      // central a doc is in its near-dup neighborhood — boilerplate hubs
+      // score high, incidental pairs stay near the floor. Same scale
+      // discipline as connected components: K fixed iterations, each ONE
+      // join + ONE aggregate over the (bounded) LSH edge list, no
+      // driver-side graph state; the shared pair memo feeds it. Ranks are
+      // integer MICRO-POINTS (mass 10^6, contributions by exact integer
+      // division `div`), so every engine sums the same integers in any
+      // order — cross-engine float drift is structurally impossible
+      // (doc_quality_composite's trick, applied to an iterative op).
+      (s, d) => {
+        val pairs = dupPairs(s, d)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val nodes = edges.select(col("src").as("doc_id")).distinct()
+        val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
+        val withDeg = edges.join(deg, Seq("src"))
+        var r = nodes.crossJoin(nDf)
+          .select(col("doc_id"), expr("1000000 div n_nodes").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = withDeg.join(r, col("src") === col("doc_id"))
+            .select(col("dst"), expr("r div deg").as("c"))
+          r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+            .crossJoin(nDf)
+            .select(col("dst").as("doc_id"),
+              (expr("150000 div n_nodes") + expr("(85 * sc) div 100")).as("r"))
+        }
+        r.select(col("doc_id"), col("r").cast("long").as("rank_upts"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $minhashPairCtes,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+          r0 AS (SELECT doc_id, 1000000 // n_nodes AS r FROM nodes, nn),
+          s1 AS (SELECT dst, sum(r0.r // deg.deg) AS sc
+            FROM edges e JOIN deg USING (src) JOIN r0 ON e.src = r0.doc_id
+            GROUP BY dst),
+          r1 AS (SELECT dst AS doc_id,
+            150000 // n_nodes + (85 * sc) // 100 AS r FROM s1, nn),
+          s2 AS (SELECT dst, sum(r1.r // deg.deg) AS sc
+            FROM edges e JOIN deg USING (src) JOIN r1 ON e.src = r1.doc_id
+            GROUP BY dst),
+          r2 AS (SELECT dst AS doc_id,
+            150000 // n_nodes + (85 * sc) // 100 AS r FROM s2, nn),
+          s3 AS (SELECT dst, sum(r2.r // deg.deg) AS sc
+            FROM edges e JOIN deg USING (src) JOIN r2 ON e.src = r2.doc_id
+            GROUP BY dst),
+          r3 AS (SELECT dst AS doc_id,
+            150000 // n_nodes + (85 * sc) // 100 AS r FROM s3, nn)
+        SELECT doc_id, CAST(r AS BIGINT) AS rank_upts
+        FROM r3 ORDER BY doc_id""")),
+    "range_join" -> Q(
+      // Interval-overlap join (point-in-interval), the operator Spark has
+      // no native form of: for every `error` event, how many sessions —
+      // ANY user's — were active at that instant (concurrency under
+      // incident). The naive form is a cross join with a BETWEEN filter
+      // (O(points × intervals), a BroadcastNestedLoopJoin Spark would
+      // happily produce); this plans it as an EQUI-join by time-bin
+      // blocking: each session explodes to the hour-bins it covers, each
+      // point maps to its single bin, the join key is the bin, and the
+      // exact BETWEEN runs post-join. A point lives in exactly one bin,
+      // so each (session, point) pair meets at most once — no dedup pass.
+      // Bin fan-out is bounded by interval length (30-min-gap sessions
+      // span few hours); PlanSpec pins the no-nested-loop shape. Exact
+      // epoch-micro arithmetic uses `div`, never double division.
+      (s, d) => {
+        val sess = sessionizedEvents(s, d)
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        val binned = sess.withColumn("bin",
+          explode(sequence(expr("s_us div 3600000000"), expr("e_us div 3600000000"))))
+        val pts = eventsUs(s, d).filter(col("event_type") === "error")
+          .withColumn("bin", expr("us div 3600000000"))
+        pts.join(binned,
+            Seq("bin").map(k => pts(k) === binned(k)).reduce(_ && _)
+              && col("us").between(col("s_us"), col("e_us")), "left")
+          .groupBy(col("event_id"))
+          .agg(count(col("s_us")).as("n_active"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH $sessionCtes,
+          sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+            FROM g GROUP BY 1, 2),
+          pts AS (SELECT event_id, us FROM e WHERE event_type = 'error')
+        SELECT p.event_id, CAST(count(s.s_us) AS BIGINT) AS n_active
+        FROM pts p LEFT JOIN sess s ON p.us BETWEEN s.s_us AND s.e_us
+        GROUP BY p.event_id ORDER BY p.event_id""")),
+    "gap_fill_locf" -> Q(
+      // Forward-fill (last-observation-carried-forward) over an HOURLY
+      // spine (X41 companion): per event_type, hours with no observations
+      // inherit the most recent observed hourly mean — the imputation
+      // step a model feed needs where daily_spine's zero-fill would lie
+      // (a missing sensor hour is not a zero reading). Hour grain is
+      // deliberate: the fixture's daily series has no gaps at any SF, so
+      // only the hourly series actually exercises the fill. Spine =
+      // |types|×|hours| rows (calendar-bounded, same argument as
+      // daily_spine); the fill is one per-type window, partitioned so no
+      // single-task global sort exists. Observed means round to 6dp
+      // BEFORE the fill, so the carried value is the same literal both
+      // engines propagate; hours before a type's first observation stay
+      // NULL by LOCF law.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+        val byHour = ev.groupBy(col("event_type"), col("h"))
+          .agg(round(avg(col("value")), 6).as("v_obs"))
+        val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("h"))
+        val types = ev.select(col("event_type")).distinct()
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        types.crossJoin(hours)
+          .join(byHour, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            last(col("v_obs"), ignoreNulls = true).over(w).as("v_filled"),
+            when(col("v_obs").isNotNull, 1).otherwise(0).as("observed"))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value
+            FROM events),
+          byhour AS (SELECT event_type, h, round(avg(value), 6) AS v_obs
+            FROM ev GROUP BY 1, 2),
+          b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+          hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM b),
+          types AS (SELECT DISTINCT event_type FROM ev),
+          spine AS (SELECT event_type, h FROM types, hours)
+        SELECT s.event_type, s.h,
+          last_value(v_obs IGNORE NULLS) OVER (PARTITION BY s.event_type
+            ORDER BY s.h ROWS UNBOUNDED PRECEDING) AS v_filled,
+          CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM spine s LEFT JOIN byhour USING (event_type, h)
+        ORDER BY event_type, h""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

@@ -277,16 +277,26 @@ object LlmOps {
     * amplification), ONE shuffle on the line content for the first-owner
     * window (partitioned by line — parallel, never global), one regroup on
     * the doc id. Nothing corpus-squared, no driver state. */
-  def lineDedup(docs: DataFrame, wordsPerLine: Int = 12, id: String = "doc_id",
+  /** Deterministic line explode shared by [[lineDedup]] and the
+    * incremental line-dedup query: one row per `wordsPerLine`-word chunk
+    * of the normalized text, positioned by `idx`. Bounded
+    * ~len/wordsPerLine row amplification; empty docs yield no rows. */
+  def lines(docs: DataFrame, wordsPerLine: Int = 12, id: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = lit(wordsPerLine)
-    val lines = docs.repartition(spreadWidth(docs))
+    docs.repartition(spreadWidth(docs))
       .withColumn("__w", split(normText(col(textCol)), " "))
       .withColumn("__nl", ceil(size(col("__w")) / w.cast("double")).cast("int"))
       .withColumn("idx", explode(expr(
         "CASE WHEN __nl > 0 THEN sequence(0, __nl - 1) ELSE array() END")))
       .withColumn("line", array_join(slice(col("__w"), col("idx") * w + 1, w), " "))
+      .select(col(id), col("idx"), col("line"))
+  }
+
+  def lineDedup(docs: DataFrame, wordsPerLine: Int = 12, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = this.lines(docs, wordsPerLine, id, textCol)
       // first occurrence in (doc, position) order owns the line; every
       // other occurrence corpus-wide (including a repeat INSIDE the same
       // doc) is dropped — exactly the C4 rule

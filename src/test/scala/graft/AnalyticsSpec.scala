@@ -728,4 +728,106 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(p - 1.0) < 1e-4, s"per-source probabilities sum to $p")
     }
   }
+
+  test("range_join: bin-blocked equi-join equals brute-force interval overlap") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("range_join")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    // brute force: sessionize per user by the 30-min gap rule in Scala,
+    // then count containing sessions per error event with a full scan
+    val ev = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val ivs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = -1L; var prev = -1L
+      sorted.foreach { r =>
+        if (start < 0 || r._4 - prev >= 1800000000L) {
+          if (start >= 0) ivs += ((start, prev))
+          start = r._4
+        }
+        prev = r._4
+      }
+      if (start >= 0) ivs += ((start, prev))
+      ivs
+    }.toArray
+    val brute = ev.filter(_._3 == "error").map { p =>
+      p._2 -> sessions.count(iv => iv._1 <= p._4 && p._4 <= iv._2).toLong
+    }.toMap
+    assert(out == brute && out.nonEmpty)
+    // every error event is inside its own user's session
+    assert(out.values.forall(_ >= 1))
+  }
+
+  test("dup_pagerank: integer-micropoint iteration equals a Scala recompute; mass never exceeds 10^6") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dup_pagerank")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    val pairs = graft.ops.LlmOps.minhashPairs(graft.ops.Tables.documents(spark, d))
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must yield LSH candidate pairs")
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val n = adj.size.toLong
+    var r: Map[Long, Long] = adj.keys.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 3) {
+      r = adj.map { case (v, _) =>
+        val sc = adj(v).map(u => r(u) / adj(u).length).sum
+        v -> (150000L / n + 85L * sc / 100L)
+      }
+    }
+    assert(out == r)
+    // floor division only sheds mass — total rank stays under the budget
+    assert(out.values.sum <= 1000000L && out.values.forall(_ > 0))
+  }
+
+  test("vocab_heavy_sketch: top-20 equals brute force; CMS law holds for EVERY corpus token in a Scala rebuild") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("vocab_heavy_sketch")(spark, d)
+      .as[(String, Long, Boolean)].collect()
+    assert(out.length == 20 && out.forall(_._3), "every sketch estimate within bound")
+    // brute-force token counts
+    val toks = graft.ops.Tables.documents(spark, d)
+      .select(explode(split(graft.ops.LlmOps.normText($"text"), " ")).as("t"))
+      .as[String].collect()
+    val cnt = toks.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val expectTop = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(out.map(r => (r._1, r._2)).toSeq == expectTop)
+    // rebuild the CMS in Scala with the query's exact hash (md5 hex window
+    // → bucket) and check the law for EVERY token, not just the top 20:
+    // min-row estimate never undercounts, and overshoot stays under the
+    // N/256 margin the query pins
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def bucket(row: Int, t: String): Int = {
+      val hex = mdig.digest(s"$row|$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 4096).toInt
+    }
+    val sketch = Array.fill(4, 4096)(0L)
+    toks.foreach(t => (0 until 4).foreach(r => sketch(r)(bucket(r, t)) += 1))
+    val n = toks.length.toLong
+    cnt.foreach { case (t, c) =>
+      val est = (0 until 4).map(r => sketch(r)(bucket(r, t))).min
+      assert(est >= c, s"CMS undercounted '$t': $est < $c")
+      assert(est <= c + n / 256, s"CMS overshot '$t': $est > $c + ${n / 256}")
+    }
+  }
+
+  test("gap_fill_locf: LOCF law holds — filled equals most recent observed, leading gap stays null, spine is dense") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("gap_fill_locf")(spark, d)
+      .select($"event_type", $"h".cast("string"), $"v_filled", $"observed")
+      .as[(String, String, Option[Double], Int)].collect()
+    assert(rows.exists(_._4 == 0), "fixture must have unobserved hours at hour grain")
+    val nHours = rows.map(_._2).distinct.length
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length == nHours, "every type covers the full hourly spine")
+      var lastObs: Option[Double] = None
+      g.sortBy(_._2).foreach { case (_, _, v, obs) =>
+        if (obs == 1) { assert(v.isDefined, "observed hour must carry its value"); lastObs = v }
+        else assert(v == lastObs, "gap hour must carry the last observed value")
+      }
+    }
+  }
 }

@@ -137,6 +137,14 @@ class CurationSpec extends AnyFunSuite {
       "fixture should contain partial overlap (else the fraction adds nothing over X7)")
   }
 
+  test("decontaminate_bloom: bit-identical to the exact broadcast path (fpp only costs work, never rows)") {
+    val exact = run("decontaminate").as[(Long, Int)].collect().toSeq
+    val bloom = run("decontaminate_bloom").as[(Long, Int)].collect().toSeq
+    assert(bloom == exact && exact.nonEmpty)
+    assert(exact.exists(_._2 == 1) && exact.exists(_._2 == 0),
+      "fixture must exercise both outcomes or the equivalence is vacuous")
+  }
+
   test("doc_quality_composite: micro-point scores bounded in [0, 1e6], every doc scored (X58)") {
     val out = run("doc_quality_composite")
       .as[(Long, Long, Long, Long, Long)].collect()

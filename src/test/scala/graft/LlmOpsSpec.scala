@@ -131,6 +131,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 9L -> 1L))
   }
 
+  test("dedup_incremental: counters match a brute-force replay; the line store materializes once and probe-hits after") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_incremental")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // brute force: replay the store/batch split over the same line explode
+    val ls = LlmOps.lines(graft.ops.Tables.documents(spark, d))
+      .as[(Long, Int, String)].collect()
+    val store = ls.filter(_._1 % 2 == 0).map(_._3).toSet
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = ls.filter(_._1 % 2 == 1).sortBy(r => (r._1, r._2))
+      .map { case (id, _, line) =>
+        val hit = store.contains(line)
+        val inBatch = !hit && seen.contains(line)
+        if (!hit) seen += line
+        (id, hit, inBatch)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (id, rows) =>
+        (id, rows.length.toLong, rows.count(_._2).toLong, rows.count(_._3).toLong)
+      }
+    assert(out == expect && out.nonEmpty)
+    assert(out.exists(_._3 > 0),
+      "fixture must contain cross-batch line duplication or the store check is vacuous")
+    // the store is a materialized cache artifact: the same root probe-hits
+    val fp = Option(new java.io.File(s"$d/documents.parquet").listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_dstore_" +
+      graft.ops.HashKey.sha1Hex(s"$d|$fp").take(12)
+    assert(new graft.ops.Cache(spark, root).probe("line_store"),
+      "second run must find the line store already materialized")
+  }
+
   test("bigram shingles: n-1 shingles in order; one-token and empty text yield NONE") {
     val df = Seq("a b c d", "solo", "").toDF("norm")
       .select(LlmOps.bigramShingles("norm").as("sh"))

@@ -368,4 +368,24 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"payloads must not shuffle ($exchanges exchanges):\n$p")
     assert(!p.contains("SortMergeJoin"), s"no join may move payloads:\n$p")
   }
+
+  test("range_join: interval overlap plans as an EQUI-join on the time bin " +
+    "— never a nested-loop/cartesian over points × intervals") {
+    val p = plan("range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bin-block to an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join:\n$p")
+  }
+
+  test("decontaminate_bloom: the bloom pre-filter sits on the corpus side " +
+    "below the exact confirm join (shuffle sees candidates, not the corpus)") {
+    val p = plan("decontaminate_bloom")
+    val joinAt = p.indexOf("LeftSemi")
+    // the scala closure filter renders as a non-codegen UDF Filter
+    val udfAt = "(?i)filter .*udf".r.findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(joinAt >= 0 && udfAt >= 0, s"expected semi join + UDF filter:\n$p")
+    assert(udfAt > joinAt,
+      s"bloom filter must be a child of (below) the confirm join:\n$p")
+  }
 }

@@ -241,4 +241,31 @@ class PropertySpec extends AnyFunSuite {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
     assert(r.passed, r.status.toString)
   }
+
+  test("interval bin blocking is lossless and collision-free for ANY bin width (X66)") {
+    // the range_join construction: an interval explodes to the bins it
+    // covers, a point maps to its single bin, pairs meet on bin equality
+    // + the exact BETWEEN. For EVERY bin width: no qualifying pair is
+    // missed (an interval containing a point always covers the point's
+    // bin), and no pair meets twice (a point has one bin) — so the
+    // blocked join needs no dedup pass and equals the brute force.
+    val ivGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, for {
+      s <- Gen.chooseNum(0L, 10000L); len <- Gen.chooseNum(0L, 500L)
+    } yield (s, s + len)))
+    val ptGen = Gen.chooseNum(0, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 11000L)))
+    val binGen = Gen.chooseNum(1L, 700L)
+    holds(Prop.forAll(ivGen, ptGen, binGen) { (ivs, pts, b) =>
+      pts.forall { p =>
+        val brute = ivs.count(iv => iv._1 <= p && p <= iv._2)
+        val meets = ivs.map(iv =>
+          (((iv._1 / b) to (iv._2 / b)).count(_ == p / b), iv))
+        val atMostOnce = meets.forall(_._1 <= 1)
+        val blocked = meets.map { case (m, iv) =>
+          if (m == 1 && iv._1 <= p && p <= iv._2) 1 else 0
+        }.sum
+        atMostOnce && blocked == brute
+      }
+    })
+  }
 }
