@@ -27,16 +27,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Drive each query by aggregating a hash of EVERY output column — NOT
+    // df.count(): under a count() action Catalyst legitimately eliminates
+    // work the query declares (an aggregated-right left join prunes to a
+    // scan of the left table, since multiplicity is provably 1), so a
+    // count-driven bench reports the scan, not the operator
+    // (repeated_ngrams measured 0.08 s that way — the join and the whole
+    // gram pipeline were optimized out). Hashing all columns forces every
+    // declared value to be computed, while still letting the optimizer
+    // drop the final ORDER BY, which exists for the Verify determinism
+    // contract, not operator semantics (raw toRdd would pay a global
+    // range-sort per query: measured +130% total, all of it sort).
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, xxhash64, expr}
+      val df = fn(spark, sfDir)
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).head(): Unit
+    }
     // warm-up: run everything once, unmeasured (JIT, codegen cache, shuffle
     // service, parquet footer cache all get primed); failures surface in
     // the measured passes
     queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { run(fn) } catch { case _: Throwable => }
     }
     def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be visible as -1, not masquerade as a fast pass
-      val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val v = try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }

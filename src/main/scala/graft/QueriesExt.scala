@@ -716,16 +716,69 @@ object QueriesExt {
           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY idx), '')
             AS kept_text
-        FROM k GROUP BY doc_id ORDER BY doc_id""")))
+        FROM k GROUP BY doc_id ORDER BY doc_id""")),
+    "repeated_ngrams" -> Q(
+      // Sliding-window repeated-substring signal (X15c, the Spark-shaped
+      // stand-in for suffix-array substring dedup): fraction of a doc's
+      // DISTINCT 5-word grams that occur in ≥2 docs corpus-wide. The
+      // sliding window catches duplication the fixed 12-word line
+      // chunking (X15) misses when repeats don't align to chunk
+      // boundaries. Scale shape: one distinct (doc, gram) explode
+      // (bounded ~len row amplification), one gram-frequency aggregate
+      // (map-side combinable, gram-vocabulary-sized shuffle), one join
+      // back — nothing corpus-squared; doc-frequency ≥ 2 is computed on
+      // the DISTINCT pairs so a within-doc repeat never self-counts.
+      (s, d) => {
+        val base = docs(s, d)
+        val g = base.repartition(LlmOps.spreadWidth(base))
+          .withColumn("__w", split(LlmOps.normText(col("text")), " "))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(__w) >= 5
+               THEN transform(sequence(0, size(__w) - 5),
+                 i -> array_join(slice(__w, i + 1, 5), ' '))
+               ELSE array() END""")).as("gram"))
+          .distinct()
+        val dfc = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        val per = g.join(dfc, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_rep"))
+        base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_rep"), lit(0L)).as("n_rep"))
+          .withColumn("rep_frac",
+            when(col("n_grams") === 0, lit(0.0))
+              .otherwise(round(col("n_rep").cast("double") / col("n_grams"), 6)))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+5], ' ') AS gram
+            FROM n, unnest(range(greatest(len(w) - 4, 0))) AS u(i)),
+          dfc AS (SELECT gram, count(*) AS df FROM sh GROUP BY 1),
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep
+            FROM sh JOIN dfc USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+          coalesce(n_rep, 0) AS n_rep,
+          CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+            ELSE round(CAST(n_rep AS DOUBLE) / n_grams, 6) END AS rep_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""")))
 
   // ---- §2.11 similarity search ----------------------------------------
-  private def topkDf(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
+  /** Candidate scope: "all" = brute force over the corpus, "same" = the
+    * query's own IVF cell (same label), "diff" = OTHER labels only (the
+    * hard-negative mining scope — nearest vectors that are NOT the
+    * query's class). */
+  private def topkDf(s: SparkSession, d: String, scope: String): DataFrame = {
     val e = emb(s, d)
     val q = e.filter(col("vec_id") % 50 === 0).toDF("qid", "qlabel", "qv", "qn")
-    val joined =
-      if (sameCellOnly)
-        q.join(e, col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-      else q.join(e, col("vec_id") =!= col("qid"))
+    val joined = scope match {
+      case "same" => q.join(e, col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      case "diff" => q.join(e, col("label") =!= col("qlabel"))
+      case _ => q.join(e, col("vec_id") =!= col("qid"))
+    }
     import org.apache.spark.sql.expressions.Window
     joined
       .withColumn("cos_r",
@@ -808,11 +861,21 @@ object QueriesExt {
               ORDER BY rrf_r DESC, cand ASC) AS BIGINT) AS rk FROM f) t
         WHERE rk <= 5 ORDER BY qid, rk""")),
     "sim_topk" -> Q(
-      (s, d) => topkDf(s, d, sameCellOnly = false),
+      (s, d) => topkDf(s, d, "all"),
       Some(topkSql("c.vec_id != q.qid"))),
     "sim_topk_ivf" -> Q(
-      (s, d) => topkDf(s, d, sameCellOnly = true),
+      (s, d) => topkDf(s, d, "same"),
       Some(topkSql("c.label = q.qlabel AND c.vec_id != q.qid"))),
+    "hard_negatives" -> Q(
+      // Hard-negative mining (X3e) — contrastive-training data prep: for
+      // each query vector, the top-5 MOST similar vectors of a DIFFERENT
+      // class. Same declared-O(Q·N) baseline shape as sim_topk (native
+      // codegen'd dot product, WindowGroupLimit rank); at scale the IVF
+      // family applies unchanged — probe the nearest cells, drop same-
+      // label candidates at the cell list (the label filter composes with
+      // any candidate generator because it's a per-pair predicate).
+      (s, d) => topkDf(s, d, "diff"),
+      Some(topkSql("c.label != q.qlabel"))),
     "sim_topk_ivf_walsh" -> Q(
       // Full IVF mechanics with a DETERMINISTIC, SQL-expressible coarse
       // quantizer: cells = 3 Walsh sign bits (8 cells), centroids = the
@@ -2944,6 +3007,49 @@ object QueriesExt {
             FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id)
         SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
         FROM alldocs GROUP BY degree ORDER BY degree""")),
+    "zorder_key" -> Q(
+      // Z-order (Morton) clustering key (X70) — the data-LAYOUT operator
+      // (Delta/Iceberg ZORDER analog): interleave the bits of two scan
+      // dimensions so one sort co-locates BOTH, and parquet row-group
+      // min/max pruning works for filters on either dimension. Here:
+      // x = length bucket (floor(n_chars/4), 8 bits), y = language
+      // ordinal (3 bits, repeated into the interleave). Pure codegen'd
+      // integer bit algebra — no UDF, no shuffle beyond the final
+      // deterministic sort; at 100 TB this runs as the projection feeding
+      // a sortWithinPartitions/write, and the key (not this query's
+      // ORDER BY) is what clusters the files. PropertySpec pins the
+      // bit-exact Scala mirror and the quadrant-recursive locality law.
+      (s, d) => {
+        val langOrd = when(col("lang") === "de", 0).when(col("lang") === "en", 1)
+          .when(col("lang") === "es", 2).when(col("lang") === "fr", 3)
+          .otherwise(4)
+        val zx = least(floor(col("n_chars") / 4).cast("int"), lit(255))
+        // interleave: bit i of x → bit 2i+1, bit (i mod 3) of y → bit 2i
+        val zkey = (0 until 8).map { i =>
+          (shiftleft(shiftright(col("zx"), i).bitwiseAND(lit(1)), 2 * i + 1)
+            .bitwiseOR(shiftleft(shiftright(col("zy"), i % 3).bitwiseAND(lit(1)), 2 * i)))
+        }.reduce(_ bitwiseOR _)
+        docs(s, d)
+          .select(col("doc_id"), zx.as("zx"), langOrd.as("zy"))
+          .withColumn("zkey", zkey.cast("long"))
+          .orderBy("zkey", "doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+            CAST(least(floor(n_chars / 4), 255) AS INT) AS zx,
+            CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+              WHEN 'fr' THEN 3 ELSE 4 END AS zy
+          FROM documents)
+        SELECT doc_id, zx, zy, CAST(
+          ((zx >> 0) & 1) * 2 + ((zy >> 0) & 1) * 1 +
+          ((zx >> 1) & 1) * 8 + ((zy >> 1) & 1) * 4 +
+          ((zx >> 2) & 1) * 32 + ((zy >> 2) & 1) * 16 +
+          ((zx >> 3) & 1) * 128 + ((zy >> 0) & 1) * 64 +
+          ((zx >> 4) & 1) * 512 + ((zy >> 1) & 1) * 256 +
+          ((zx >> 5) & 1) * 2048 + ((zy >> 2) & 1) * 1024 +
+          ((zx >> 6) & 1) * 8192 + ((zy >> 0) & 1) * 4096 +
+          ((zx >> 7) & 1) * 32768 + ((zy >> 1) & 1) * 16384
+          AS BIGINT) AS zkey
+        FROM b ORDER BY zkey, doc_id""")),
     "dup_pagerank" -> Q(
       // PageRank over the duplicate graph (X57 companion): rank ≈ how
       // central a doc is in its near-dup neighborhood — boilerplate hubs

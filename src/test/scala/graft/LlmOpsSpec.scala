@@ -256,6 +256,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == brute)
   }
 
+  test("hard_negatives: top-5 other-label equals a Scala brute force; no same-label candidate survives (X3e)") {
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.ops.Tables.embeddings(spark, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val labels = vecs.map(v => v._1 -> v._2).toMap
+    val brute = vecs.filter(_._1 % 50 == 0).flatMap { case (qid, ql, qv) =>
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      vecs.filter(_._2 != ql).map { case (cid, _, cv) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        (cid, r6(dot / (qn * math.sqrt(cv.map(x => x * x).sum))))
+      }.sortBy { case (c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((c, s), i) => (qid, (i + 1).toLong, c, s) }
+    }.toSet
+    val out = SparkEntry.queries("hard_negatives")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == brute && out.nonEmpty)
+    out.foreach { case (qid, _, cand, _) =>
+      assert(labels(cand) != labels(qid), s"same-label candidate $cand for query $qid")
+    }
+  }
+
+  test("repeated_ngrams: per-doc counters equal a Scala brute force; sliding grams catch cross-chunk repeats (X15c)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("repeated_ngrams")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val docs = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", LlmOps.normText($"text").as("n"))
+      .as[(Long, String)].collect()
+    val grams = docs.map { case (id, n) =>
+      val w = n.split(" ")
+      id -> (if (w.length >= 5) w.sliding(5).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }
+    val df = grams.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.length }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val expect = grams.sortBy(_._1).map { case (id, gs) =>
+      val rep = gs.count(g => df(g) >= 2).toLong
+      (id, gs.size.toLong, rep,
+        if (gs.isEmpty) 0.0 else r6(rep.toDouble / gs.size))
+    }.toSeq
+    assert(out == expect && out.nonEmpty)
+    assert(out.exists(r => r._4 > 0.0),
+      "fixture must contain cross-doc 5-gram repetition or the signal is vacuous")
+  }
+
   test("sim_rrf: fusion equals a Scala brute-force RRF over both rankings (X46)") {
     val d = "/root/testdata/sf0.001"
     val vecs = graft.ops.Tables.embeddings(spark, d)

@@ -268,4 +268,21 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("zorder interleave is injective, and aligned key blocks pin the length octile (X70)") {
+    // Scala mirror of zorder_key's bit algebra: bit i of x -> 2i+1,
+    // bit (i mod 3) of y -> 2i. Injective over the full (0..255, 0..4)
+    // domain, and any aligned 64-key block fixes x's high bits — the
+    // row-group min/max pruning claim: a file of consecutive keys covers
+    // ONE length octile, so a length filter can skip it.
+    def z(zx: Int, zy: Int): Long =
+      (0 until 8).map(i => (((zx >> i) & 1).toLong << (2 * i + 1)) |
+        (((zy >> (i % 3)) & 1).toLong << (2 * i))).reduce(_ | _)
+    val xg = Gen.chooseNum(0, 255); val yg = Gen.chooseNum(0, 4)
+    holds(Prop.forAll(xg, yg, xg, yg) { (x1, y1, x2, y2) =>
+      val injective = (z(x1, y1) == z(x2, y2)) == (x1 == x2 && y1 == y2)
+      val octilePinned = z(x1, y1) / 64 != z(x2, y2) / 64 || x1 / 8 == x2 / 8
+      injective && octilePinned
+    })
+  }
 }
