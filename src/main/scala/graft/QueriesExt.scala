@@ -598,7 +598,8 @@ object QueriesExt {
         // pairs). One side probes its band ±1; each qualifying pair meets
         // in exactly one (probe band = build band) bucket, so no distinct
         // is needed and the output is byte-identical to the unbanded join.
-        val withSh = docs(s, d)
+        val base = docs(s, d)
+        val withSh = base.repartition(LlmOps.spreadWidth(base))
           .withColumn("norm", LlmOps.normText(col("text")))
           .withColumn("sh", expr(
             """array_distinct(CASE WHEN length(norm) >= 3
@@ -1300,6 +1301,7 @@ object QueriesExt {
       // the X2 shingle machinery and keeps the oracle shared.)
       (s, d) => {
         def grams(df: DataFrame) = df
+          .repartition(LlmOps.spreadWidth(df))
           .withColumn("__norm", LlmOps.normText(col("text")))
           .select(col("doc_id"), explode(LlmOps.bigramShingles("__norm")).as("g"))
         val evalGrams = grams(docs(s, d).filter(col("doc_id") % 100 === 0))
@@ -1331,6 +1333,7 @@ object QueriesExt {
       // probe side the bloom already decimated.
       (s, d) => {
         def grams(df: DataFrame) = df
+          .repartition(LlmOps.spreadWidth(df))
           .withColumn("__norm", LlmOps.normText(col("text")))
           .select(col("doc_id"), explode(LlmOps.bigramShingles("__norm")).as("g"))
         val evalGrams = grams(docs(s, d).filter(col("doc_id") % 100 === 0))
@@ -1359,6 +1362,7 @@ object QueriesExt {
       // docs (no shingles) score 0 by definition in both engines.
       (s, d) => {
         def grams(df: DataFrame) = df
+          .repartition(LlmOps.spreadWidth(df))
           .withColumn("__norm", LlmOps.normText(col("text")))
           .select(col("doc_id"), explode(LlmOps.bigramShingles("__norm")).as("g"))
         val evalGrams = grams(docs(s, d).filter(col("doc_id") % 100 === 0))
