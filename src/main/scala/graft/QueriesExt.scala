@@ -3011,6 +3011,144 @@ object QueriesExt {
             FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id)
         SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
         FROM alldocs GROUP BY degree ORDER BY degree""")),
+    "bootstrap_ci" -> Q(
+      // Poisson bootstrap CI (X71) — THE scale-out resampling method
+      // (per-row independent Poisson(1) weights instead of multinomial
+      // draws, so a replicate never needs a global sample pass): 32
+      // deterministic replicates per event_type, each one partial-agg
+      // shuffle row; the 90% CI is the 2nd-smallest/2nd-largest replicate
+      // mean. Determinism discipline: weights come from md5(event_id, b)
+      // hex thresholds at the Poisson(1) CDF, and every mean is INTEGER
+      // MICRO-CENTS ((Σw·c)·10⁶ div Σw) — order-independent integer
+      // sums, so the result is bit-identical on any engine or partition
+      // count (long headroom: Σw·c ≲ 8·10⁷ here; a 100 TB run promotes
+      // the product to DECIMAL). The B× row explode partial-aggregates
+      // map-side to B rows per (type, partition) — B bounds state, not
+      // data.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 32
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("(sum(c) * 1000000) div count(1)").as("mean_ucents"))
+        val reps = ev
+          .select(col("event_type"), col("event_id"), col("c"),
+            explode(array((0 until B).map(lit): _*)).as("b"))
+          .withColumn("h", expr(
+            "cast(conv(substring(md5(concat(cast(event_id as string), '_', cast(b as string))), 1, 4), 16, 10) as int)"))
+          // Poisson(1) CDF over [0, 65536): 0.3679 / 0.7358 / 0.9197 / 0.9810
+          .withColumn("w",
+            when(col("h") < 24109, 0L).when(col("h") < 48218, 1L)
+              .when(col("h") < 60273, 2L).when(col("h") < 64291, 3L)
+              .otherwise(4L))
+          .groupBy(col("event_type"), col("b"))
+          .agg(sum(col("w") * col("c")).as("wc"), sum(col("w")).as("wn"))
+          .withColumn("mean_uc",
+            when(col("wn") === 0, lit(0L))
+              .otherwise(expr("(wc * 1000000) div wn")))
+        val rk = Window.partitionBy(col("event_type"))
+          .orderBy(col("mean_uc"), col("b"))
+        val ci = reps.withColumn("rn", row_number().over(rk))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("rn") === 2, col("mean_uc"))).as("ci_lo_ucents"),
+            max(when(col("rn") === B - 1, col("mean_uc"))).as("ci_hi_ucents"))
+        exact.join(ci, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("mean_ucents"),
+            col("ci_lo_ucents"), col("ci_hi_ucents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+          exact AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST((sum(c) * 1000000) // count(*) AS BIGINT) AS mean_ucents
+            FROM ev GROUP BY 1),
+          r AS (SELECT event_type, event_id, c, CAST(b AS INT) AS b,
+              md5(CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)) AS hx
+            FROM ev, unnest(range(32)) AS u(b)),
+          hw AS (SELECT event_type, b, c,
+              (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+              (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+              (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) AS h
+            FROM r),
+          w AS (SELECT event_type, b, c,
+              CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
+                WHEN h < 60273 THEN 2 WHEN h < 64291 THEN 3 ELSE 4 END AS w
+            FROM hw),
+          reps AS (SELECT event_type, b, sum(w * c) AS wc, sum(w) AS wn
+            FROM w GROUP BY 1, 2),
+          means AS (SELECT event_type, b,
+              CASE WHEN wn = 0 THEN 0
+                ELSE (wc * 1000000) // wn END AS mean_uc,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY CASE WHEN wn = 0 THEN 0
+                  ELSE (wc * 1000000) // wn END, b) AS rn
+            FROM reps),
+          ci AS (SELECT event_type,
+              CAST(max(CASE WHEN rn = 2 THEN mean_uc END) AS BIGINT) AS ci_lo_ucents,
+              CAST(max(CASE WHEN rn = 31 THEN mean_uc END) AS BIGINT) AS ci_hi_ucents
+            FROM means GROUP BY 1)
+        SELECT exact.event_type, n, mean_ucents, ci_lo_ucents, ci_hi_ucents
+        FROM exact JOIN ci USING (event_type)
+        ORDER BY event_type""")),
+    "triangle_count" -> Q(
+      // Distributed triangle count + global clustering coefficient over
+      // the duplicate graph (X57c) — near-clique boilerplate shows up as
+      // triangle density long before connected components walks it. The
+      // classic degree-ordered orientation: each undirected edge points
+      // from the lower (deg, id) endpoint to the higher, so every node's
+      // OUT-degree is O(√E) on any graph; wedges come from one
+      // self-join of the oriented edges on their source, and a wedge
+      // closes iff its (id-ordered) endpoint pair is an edge — one more
+      // equi-join against the canonical pair list. Each triangle is
+      // counted exactly once (its minimum-(deg,id) vertex owns it).
+      // Wedge total Σ C(deg,2) is an integer aggregate; the coefficient
+      // rounds at output.
+      (s, d) => {
+        val pairs = dupPairs(s, d) // doc_a < doc_b, canonical
+        val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val o = edges.join(deg, Seq("u"))
+          .join(deg.select(col("u").as("v"), col("deg").as("degv")), Seq("v"))
+          .filter(col("deg") < col("degv") ||
+            (col("deg") === col("degv") && col("u") < col("v")))
+          .select(col("u").as("src"), col("v").as("dst"))
+        val wedges = o.select(col("src"), col("dst").as("w1"))
+          .join(o.select(col("src"), col("dst").as("w2")), Seq("src"))
+          .filter(col("w1") < col("w2"))
+        val tri = wedges.join(pairs,
+            wedges("w1") === pairs("doc_a") && wedges("w2") === pairs("doc_b"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val stats = deg.agg(
+          (sum(col("deg")) / 2).cast("long").as("n_edges"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        stats.crossJoin(tri)
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            when(col("n_wedges") === 0, lit(0.0))
+              .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+              .as("global_clustering"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+          o AS (SELECT e.u AS src, e.v AS dst
+            FROM edges e JOIN deg a ON e.u = a.u JOIN deg b ON e.v = b.u
+            WHERE a.deg < b.deg OR (a.deg = b.deg AND e.u < e.v)),
+          w AS (SELECT e1.src, e1.dst AS w1, e2.dst AS w2
+            FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+          tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM w JOIN pairs p ON w.w1 = p.doc_a AND w.w2 = p.doc_b),
+          st AS (SELECT CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+              CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        SELECT n_edges, n_wedges, n_triangles,
+          CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_clustering
+        FROM st, tri""")),
     "zorder_key" -> Q(
       // Z-order (Morton) clustering key (X70) — the data-LAYOUT operator
       // (Delta/Iceberg ZORDER analog): interleave the bits of two scan

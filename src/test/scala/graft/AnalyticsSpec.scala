@@ -782,6 +782,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.values.sum <= 1000000L && out.values.forall(_ > 0))
   }
 
+  test("bootstrap_ci: equals a Scala replay of the Poisson bootstrap; CI brackets the exact mean (X71)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("bootstrap_ci")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val ev = graft.ops.Tables.events(spark, d)
+      .select($"event_type", $"event_id",
+        floor($"value" * 100 + lit(0.5)).cast("long").as("c"))
+      .as[(String, Long, Long)].collect()
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long, b: Int): Int = {
+      val hex = mdig.digest(s"${id}_$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16)
+    }
+    def w(v: Int): Long =
+      if (v < 24109) 0L else if (v < 48218) 1L else if (v < 60273) 2L
+      else if (v < 64291) 3L else 4L
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val n = rows.length.toLong
+      val mean = rows.map(_._3).sum * 1000000L / n
+      val means = (0 until 32).map { b =>
+        val ws = rows.map(r => (w(h(r._2, b)), r._3))
+        val wn = ws.map(_._1).sum
+        val uc = if (wn == 0) 0L else ws.map(x => x._1 * x._2).sum * 1000000L / wn
+        (uc, b)
+      }.sorted
+      (t, n, mean, means(1)._1, means(30)._1)
+    }
+    assert(out == expect && out.nonEmpty)
+    out.foreach { case (t, _, mean, lo, hi) =>
+      assert(lo <= mean && mean <= hi, s"$t: CI [$lo, $hi] misses mean $mean")
+      assert(lo < hi, s"$t: degenerate CI")
+    }
+  }
+
+  test("triangle_count: equals a brute-force enumeration; clustering is 3T/wedges (X57c)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("triangle_count")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().head
+    val pairs = graft.ops.LlmOps.minhashPairs(graft.ops.Tables.documents(spark, d))
+      .as[(Long, Long)].collect().toSet
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nEdges = pairs.size.toLong
+    val nWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    // brute force: enumerate id-ordered vertex triples over the edge set
+    val tri = pairs.toSeq.map { case (a, b) =>
+      adj(a).count(c => c > b && adj(b).contains(c)).toLong
+    }.sum
+    assert(out == ((nEdges, nWedges, tri,
+      if (nWedges == 0) 0.0 else math.rint(3.0 * tri / nWedges * 1e6) / 1e6)))
+    assert(3 * out._3 <= out._2, "closed wedges cannot exceed all wedges")
+    assert(out._3 > 0, "fixture must contain near-clique triangles")
+  }
+
   test("vocab_heavy_sketch: top-20 equals brute force; CMS law holds for EVERY corpus token in a Scala rebuild") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("vocab_heavy_sketch")(spark, d)

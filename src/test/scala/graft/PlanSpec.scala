@@ -388,4 +388,34 @@ class PlanSpec extends AnyFunSuite {
     assert(udfAt > joinAt,
       s"bloom filter must be a child of (below) the confirm join:\n$p")
   }
+
+  test("vocab_heavy_sketch: the CMS counter table partial-aggregates " +
+    "map-side and broadcasts back for the estimate join") {
+    val p = plan("vocab_heavy_sketch")
+    assert(p.contains("partial_count"),
+      s"sketch rows must partial-aggregate before the exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d*w-row sketch frame must broadcast for estimates:\n$p")
+  }
+
+  test("dup_pagerank: every iteration's contribution sum partial-aggregates; " +
+    "the only nested-loop is the 1-row scalar (n_nodes) broadcast attach") {
+    val p = plan("dup_pagerank")
+    assert(p.contains("partial_sum"),
+      s"contributions must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // crossJoin(1-row aggregate) plans as BroadcastNestedLoopJoin Cross —
+    // the standard scalar attach; any OTHER nested-loop is a regression
+    val badBnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+    assert(badBnlj.isEmpty, s"non-scalar nested-loop join:\n$p")
+  }
+
+  test("dedup_incremental: the store check is ONE join against the " +
+    "materialized line store (a plain parquet scan, prunable)") {
+    val p = plan("dedup_incremental")
+    assert("FileScan parquet".r.findAllIn(p).length >= 2,
+      s"store must read back as a parquet scan (cache read-back contract):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
