@@ -148,6 +148,21 @@ object QueriesExt {
           event_type, count(*) AS n, sum(value) AS total
         FROM events CROSS JOIN (VALUES (0),(1)) k(k)
         GROUP BY 1,2 ORDER BY wstart, event_type""")),
+    "stream_topk" -> Q(
+      // T10 [EXT]: windowed heavy hitters — hourly top-3 event types.
+      // Streaming half = windowCounts (bounded per-window state);
+      // finalize = windowTopk rank over the count table. Batch runs both
+      // in one plan; StreamySpec drives the count half on a REAL stream
+      // and applies the same finalize to the sink.
+      (s, d) => Streamy.windowTopk(Streamy.windowCounts(Tables.events(s, d)))
+        .orderBy("wstart", "rk"),
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS wstart, event_type,
+            CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+          r AS (SELECT wstart, event_type, n,
+            CAST(row_number() OVER (PARTITION BY wstart
+              ORDER BY n DESC, event_type) AS BIGINT) AS rk FROM c)
+        SELECT wstart, event_type, n, rk FROM r WHERE rk <= 3
+        ORDER BY wstart, rk""")),
     "stream_session" -> Q(
       (s, d) => Streamy.sessions(Tables.events(s, d)).orderBy("user_id", "sstart"),
       Some("""WITH o AS (SELECT user_id, ts, value,
@@ -2021,7 +2036,10 @@ object QueriesExt {
       // joined back on the zone key: the join reuses the aggregate's hash
       // partitioning and AQE broadcasts the |zones|-row percentile frame.
       (s, d) => {
+        // Percentile pass + clamp-and-average pass share one 2-column
+        // projection — persist it (same rationale as outlier_robust).
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val qs = px.groupBy("asdf_id").agg(
           percentile(col("value"), lit(0.05)).as("p05"),
           percentile(col("value"), lit(0.95)).as("p95"))
@@ -2956,7 +2974,12 @@ object QueriesExt {
       // decimals BEFORE the |rz| > 3.5 decision; degenerate zones
       // (MAD = 0) score 0 by definition in both engines.
       (s, d) => {
+        // Three passes (median → MAD → score) over the same 2-column
+        // projection: persist it so passes 2-3 read the columnar cache
+        // instead of re-running the scan+join. MEMORY_AND_DISK spills at
+        // scale; eviction falls back to recompute.
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val med = px.groupBy(col("asdf_id")).agg(median(col("value")).as("med"))
         val stats = px.join(broadcast(med), Seq("asdf_id"))
           .groupBy(col("asdf_id"))
@@ -3149,6 +3172,185 @@ object QueriesExt {
           CASE WHEN n_wedges = 0 THEN 0.0
             ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_clustering
         FROM st, tri""")),
+    "zone_trend" -> Q(
+      // Per-zone OLS trend (X72): slope/intercept of value-in-cents over
+      // the (centered) ship year — the drift DIRECTION companion to the
+      // drift-bands screens, computed the float-proof way: x is the year
+      // centered at 1998 (|x| ≤ 3 hides two overflow decades), y is
+      // integer cents, and ALL five co-moments (n, Σx, Σy, Σxy, Σx²) are
+      // exact integer sums — order-independent under any partitioning, so
+      // both engines divide the SAME two integers (closed-form normal
+      // equations) and round once. One map-side-combinable aggregate;
+      // headroom at sf0.1 is ~100× under Long (largest product
+      // Σy·Σx² ≈ 5·10¹⁶); a 100 TB run promotes the products to DECIMAL.
+      // Degenerate single-year zones (denominator 0) emit NULL in both.
+      (s, d) => {
+        val px = Tables.pixels(s, d).select(col("asdf_id"),
+          (col("temporal") - 1998).cast("long").as("x"), cents(col("value")).as("y"))
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        px.groupBy("asdf_id")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("asdf_id"), col("n"),
+            when(den === 0, lit(null)).otherwise(
+              round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / den.cast("double"), 6)).as("slope_cents"),
+            when(den === 0, lit(null)).otherwise(
+              round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+                / den.cast("double"), 6)).as("icept_cents"))
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          b AS (SELECT asdf_id, CAST(temporal - 1998 AS BIGINT) AS x,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM pixels),
+          a AS (SELECT asdf_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM b GROUP BY 1)
+        SELECT asdf_id, n,
+          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope_cents,
+          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS icept_cents
+        FROM a ORDER BY asdf_id""")),
+    "ks_drift" -> Q(
+      // Two-sample Kolmogorov-Smirnov drift test (X73): per zone, the KS
+      // D statistic between the 1996 and 2000 value distributions — the
+      // nonparametric drift detector that needs no binning choice (the
+      // drift-bands screens compare histograms; this compares whole
+      // CDFs). Shape: one (zone, value)-grain COUNT aggregate collapses
+      // the data to its distinct support, then ONE zone-partitioned
+      // window computes both running CDFs in a single sort — integer
+      // cumulative counts, so the only float is the final two divisions,
+      // rounded BEFORE the max (round-before-rank rule). Parallel across
+      // zones; per-zone state is the distinct-value support, never raw
+      // rows.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val px = Tables.pixels(s, d)
+          .filter(col("temporal").isin(1996, 2000))
+          .select(col("asdf_id"), col("value"),
+            when(col("temporal") === 1996, 1L).otherwise(0L).as("a"),
+            when(col("temporal") === 2000, 1L).otherwise(0L).as("b"))
+        val g = px.groupBy(col("asdf_id"), col("value"))
+          .agg(sum("a").as("ca"), sum("b").as("cb"))
+        val w = Window.partitionBy("asdf_id").orderBy("value")
+        val tot = Window.partitionBy("asdf_id")
+        g.withColumn("cuma", sum("ca").over(w))
+          .withColumn("cumb", sum("cb").over(w))
+          .withColumn("na", sum("ca").over(tot))
+          .withColumn("nb", sum("cb").over(tot))
+          .groupBy(col("asdf_id"))
+          .agg(max("na").as("n_a"), max("nb").as("n_b"),
+            max(round(abs(col("cuma").cast("double") / col("na")
+              - col("cumb").cast("double") / col("nb")), 6)).as("ks_d"))
+          .orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          f AS (SELECT asdf_id, value,
+              CASE WHEN temporal = 1996 THEN 1 ELSE 0 END AS a,
+              CASE WHEN temporal = 2000 THEN 1 ELSE 0 END AS b
+            FROM pixels WHERE temporal IN (1996, 2000)),
+          g AS (SELECT asdf_id, value, CAST(sum(a) AS BIGINT) AS ca,
+              CAST(sum(b) AS BIGINT) AS cb
+            FROM f GROUP BY 1, 2),
+          c AS (SELECT asdf_id,
+              sum(ca) OVER (PARTITION BY asdf_id ORDER BY value) AS cuma,
+              sum(cb) OVER (PARTITION BY asdf_id ORDER BY value) AS cumb,
+              sum(ca) OVER (PARTITION BY asdf_id) AS na,
+              sum(cb) OVER (PARTITION BY asdf_id) AS nb
+            FROM g)
+        SELECT asdf_id, CAST(max(na) AS BIGINT) AS n_a,
+          CAST(max(nb) AS BIGINT) AS n_b,
+          max(round(abs(CAST(cuma AS DOUBLE) / na
+            - CAST(cumb AS DOUBLE) / nb), 6)) AS ks_d
+        FROM c GROUP BY asdf_id ORDER BY asdf_id""")),
+    "benford_audit" -> Q(
+      // Benford first-digit audit (X74): leading-digit distribution of
+      // the monetary column vs Benford's law, with per-digit chi-square
+      // contributions — the fabricated-data screen auditors run. The
+      // leading digit comes from the INTEGER cents rendered as a string
+      // (same significand as the raw value; no float log10 whose last
+      // ulp could split engines), and the expected probabilities are
+      // 6-decimal LITERALS — identical constants on both sides, so the
+      // only arithmetic is exact-count minus literal-product. One
+      // stateless map + a 9-row aggregate + a broadcast 1-row total.
+      (s, d) => {
+        val pb = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+          4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+          8 -> 0.051153, 9 -> 0.045757)
+        val pExp = pb.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("digit") === k, lit(v)).otherwise(acc) }
+        val dg = Tables.pixels(s, d).select(cents(col("value")).as("c"))
+          .filter(col("c") > 0)
+          .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+        val counts = dg.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val total = dg.agg(count(lit(1)).as("n_total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") / col("n_total"), 6).as("p_obs_r"),
+            pExp.as("p_benford"),
+            round(pow(col("n_obs").cast("double") - col("n_total") * pExp, 2)
+              / (col("n_total") * pExp), 6).as("chi_r"))
+          .orderBy("digit")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          d AS (SELECT CAST(substring(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM pixels WHERE floor(value * 100 + 0.5) > 0),
+          c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+          e AS (SELECT digit, n_obs, n_total,
+              CASE digit WHEN 1 THEN CAST(0.301030 AS DOUBLE)
+                WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+                WHEN 3 THEN CAST(0.124939 AS DOUBLE)
+                WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+                WHEN 5 THEN CAST(0.079181 AS DOUBLE)
+                WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+                WHEN 7 THEN CAST(0.057992 AS DOUBLE)
+                WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+                ELSE CAST(0.045757 AS DOUBLE) END AS pe
+            FROM c CROSS JOIN t)
+        SELECT digit, n_obs,
+          round(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs_r,
+          pe AS p_benford,
+          round(pow(CAST(n_obs AS DOUBLE) - n_total * pe, 2)
+            / (n_total * pe), 6) AS chi_r
+        FROM e ORDER BY digit""")),
+    "hist_equidepth" -> Q(
+      // Equi-depth histogram (X75): 10 per-zone tiles with (within one
+      // row) equal population — the selectivity-estimation histogram,
+      // complementing the equal-WIDTH hist_values. ntile(10) over a
+      // fully-tiebroken per-zone sort (value, then the row's natural
+      // key, so both engines assign identical tiles even on duplicated
+      // values); tile bounds + counts are exact integer/min/max output.
+      // The window is PARTITIONED by zone — parallel across zones, one
+      // sort-shuffle, no global single-partition window; a zone too hot
+      // for one task would move to the sketch boundary path
+      // (percentile_approx), which this query's exact tiles oracle.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("asdf_id")
+          .orderBy(col("value"), col("l_orderkey"), col("l_linenumber"))
+        Tables.pixels(s, d)
+          .select(col("asdf_id"), col("value"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("tile", ntile(10).over(w).cast("long"))
+          .groupBy(col("asdf_id"), col("tile"))
+          .agg(count(lit(1)).as("n"), min("value").as("lo_v"), max("value").as("hi_v"))
+          .orderBy("asdf_id", "tile")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          t AS (SELECT asdf_id, value,
+              ntile(10) OVER (PARTITION BY asdf_id
+                ORDER BY value, l_orderkey, l_linenumber) AS tile
+            FROM pixels)
+        SELECT asdf_id, tile, CAST(count(*) AS BIGINT) AS n,
+          min(value) AS lo_v, max(value) AS hi_v
+        FROM t GROUP BY 1, 2 ORDER BY asdf_id, tile""")),
     "zorder_key" -> Q(
       // Z-order (Morton) clustering key (X70) — the data-LAYOUT operator
       // (Delta/Iceberg ZORDER analog): interleave the bits of two scan

@@ -132,9 +132,16 @@ object Extracts {
         // aggregate output — tiny at any scale — so the fact table never
         // shuffles for the join; the two median aggregates are the only
         // exchanges. Matches DuckDB's mad() (interpolated, DOUBLE input).
+        // Both median passes scan the same (zone, value) projection, so
+        // persist it once: the second pass reads the columnar cache
+        // instead of re-deriving the join/scan. MEMORY_AND_DISK spills
+        // rather than OOMs at scale, and eviction falls back to
+        // recompute, so no unpersist bookkeeping is needed.
         val medC = "__graft_mad_med"
-        val med = pixels.groupBy(z).agg(median(v).as(medC))
-        pixels.join(broadcast(med), zone)
+        val pv = pixels.select(z, v)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val med = pv.groupBy(z).agg(median(v).as(medC))
+        pv.join(broadcast(med), zone)
           .groupBy(z).agg(median(abs(v - col(medC))).as(method))
       case "geomean" =>
         // [EXT] geometric mean via exp(avg(ln v)) — identical formulation

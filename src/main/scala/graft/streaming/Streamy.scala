@@ -50,6 +50,31 @@ object Streamy {
       .select(col("window.start").as("wstart"), col("n"),
         col("p50_sk"), col("p95_sk"), col("uniq_sk"))
 
+  /** T2 top-k variant [EXT]: windowed heavy hitters, streaming half.
+    * The per-window state is one counter per (window, key) — bounded by
+    * the key cardinality and watermark-evicted, never by event volume.
+    * Ranking is deliberately NOT here: an append-mode stream cannot rank
+    * within a still-open window, so the contract is counts-on-the-stream,
+    * [[windowTopk]]-on-the-sink (each trigger re-ranks the tiny count
+    * table); a batch frame runs both halves in one plan, which is what
+    * the `stream_topk` oracle pins. */
+  def windowCounts(events: DataFrame, win: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Rank-and-filter finalize over [[windowCounts]] output (batch side of
+    * the top-k split). Deterministic tiebreak: (n desc, key asc). The
+    * window partitions by wstart — |windows| independent partitions, each
+    * |keys| rows tall. */
+  def windowTopk(counts: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** T3: session windows per user with a 30-minute inactivity gap. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -885,4 +885,98 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("zone_trend: integer co-moment OLS equals a Scala closed-form recompute (X72)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("zone_trend")(spark, d)
+      .as[(Int, Long, Option[Double], Option[Double])].collect().toSeq
+    val px = graft.ops.Tables.pixels(spark, d)
+      .select($"asdf_id", ($"temporal" - 1998).cast("long"),
+        floor($"value" * 100 + lit(0.5)).cast("long"))
+      .as[(Int, Long, Long)].collect()
+    val expect = px.groupBy(_._1).toSeq.sortBy(_._1).map { case (z, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val den = n * sxx - sx * sx
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      if (den == 0) (z, n, None, None)
+      else (z, n, Some(r6((n * sxy - sx * sy).toDouble / den)),
+        Some(r6((sy * sxx - sx * sxy).toDouble / den)))
+    }
+    assert(out == expect && out.nonEmpty)
+    // the fixture trends are finite and the intercept sits near the price
+    // scale (sanity against a swapped numerator)
+    out.foreach { case (z, n, sl, ic) =>
+      assert(n > 0 && sl.isDefined && ic.isDefined, s"zone $z degenerate")
+      assert(math.abs(ic.get) > 1e5, s"zone $z intercept not in cents scale")
+    }
+  }
+
+  test("ks_drift: windowed CDF distance equals a brute-force two-sample KS (X73)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ks_drift")(spark, d)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val px = graft.ops.Tables.pixels(spark, d)
+      .filter($"temporal".isin(1996, 2000))
+      .select($"asdf_id", $"value", $"temporal")
+      .as[(Int, Double, Int)].collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val expect = px.groupBy(_._1).toSeq.sortBy(_._1).map { case (z, rows) =>
+      val a = rows.filter(_._3 == 1996).map(_._2).sorted
+      val b = rows.filter(_._3 == 2000).map(_._2).sorted
+      val support = (a ++ b).distinct.sorted
+      val dMax = support.map { v =>
+        r6(math.abs(a.count(_ <= v).toDouble / a.length
+          - b.count(_ <= v).toDouble / b.length))
+      }.max
+      (z, a.length.toLong, b.length.toLong, dMax)
+    }
+    assert(out == expect && out.nonEmpty)
+    out.foreach { case (z, na, nb, ksd) =>
+      assert(na > 0 && nb > 0, s"zone $z missing a sample")
+      assert(ksd >= 0.0 && ksd <= 1.0, s"zone $z D out of [0,1]")
+    }
+  }
+
+  test("benford_audit: digit distribution equals a Scala recompute; probabilities conserve (X74)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("benford_audit")(spark, d)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    val cents = graft.ops.Tables.pixels(spark, d)
+      .select(floor($"value" * 100 + lit(0.5)).cast("long"))
+      .as[Long].collect().filter(_ > 0)
+    val total = cents.length.toLong
+    val counts = cents.groupBy(_.toString.head.asDigit).view.mapValues(_.length.toLong)
+    assert(out.map(_._1) == counts.keys.toSeq.sorted, "one row per observed digit")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    out.foreach { case (dg, nObs, pObs, pExp, chi) =>
+      assert(nObs == counts(dg))
+      assert(pObs == r6(nObs.toDouble / total))
+      assert(chi == r6(math.pow(nObs.toDouble - total * pExp, 2) / (total * pExp)))
+    }
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4, "Benford literals must sum to 1")
+    assert(out.map(_._2).sum == total, "digit counts conserve the row count")
+  }
+
+  test("hist_equidepth: tiles are depth-balanced within one row, ordered, and conserve counts (X75)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("hist_equidepth")(spark, d)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    val nPx = graft.ops.Tables.pixels(spark, d).count()
+    assert(out.map(_._3).sum == nPx, "tiles conserve the row count")
+    out.groupBy(_._1).foreach { case (z, tiles) =>
+      assert(tiles.map(_._2).sorted == (1L to 10L), s"zone $z must have tiles 1..10")
+      val ns = tiles.map(_._3)
+      assert(ns.max - ns.min <= 1, s"zone $z not depth-balanced: $ns")
+      val ordered = tiles.sortBy(_._2)
+      ordered.foreach { t => assert(t._4 <= t._5, s"zone $z tile ${t._2} lo>hi") }
+      ordered.sliding(2).foreach {
+        case Seq(p, q) => assert(p._5 <= q._4 + 1e-12,
+          s"zone $z tiles ${p._2}->${q._2} overlap beyond a boundary tie")
+        case _ =>
+      }
+    }
+  }
 }

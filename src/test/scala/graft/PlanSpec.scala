@@ -273,6 +273,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("outlier_zscore: the |zones|-row stats frame joins back as a " +
     "broadcast under AQE, never a sort-merge") {
+    // Cold-plan pin: the robust-stats family persists a shared (zone,
+    // value) projection, and at the 6k-row fixture scale that cache makes
+    // the FACT side broadcastable, flipping the AQE build side (a
+    // fixture-size artifact — at real scale only the stats side is
+    // broadcastable, which is the shape this test pins).
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("outlier_zscore")(spark, d)
     df.collect() // finalize THIS frame's adaptive plan
     val full = df.queryExecution.executedPlan.toString
@@ -417,5 +423,37 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).length >= 2,
       s"store must read back as a parquet scan (cache read-back contract):\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("zone_trend: the five integer co-moments partial-aggregate map-side " +
+    "in ONE aggregate (no join, no window)") {
+    val p = plan("zone_trend")
+    assert(p.contains("partial_sum"), s"co-moments must combine before the exchange:\n$p")
+    assert(!p.contains("Window"), s"closed-form OLS must not need a window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("ks_drift: both CDFs ride ONE zone-partitioned window over the " +
+    "distinct-value support (never a global sort)") {
+    val p = plan("ks_drift")
+    assert(p.contains("windowspecdefinition(asdf_id"),
+      s"the CDF window must partition by zone:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the support aggregate must partial-aggregate map-side:\n$p")
+  }
+
+  test("benford_audit: the 1-row total attaches as a broadcast nested-loop " +
+    "cross, never a cartesian") {
+    val p = plan("benford_audit")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the scalar total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"total join became a cartesian:\n$p")
+  }
+
+  test("hist_equidepth: the ntile window partitions by zone (parallel " +
+    "across zones, no single-partition global sort)") {
+    val p = plan("hist_equidepth")
+    assert(p.contains("windowspecdefinition(asdf_id"),
+      s"the tile window must partition by zone:\n$p")
   }
 }

@@ -238,6 +238,39 @@ class StreamySpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("windowTopk: REAL-stream counts + sink finalize equals the one-plan batch run (T10)") {
+    // enough volume that ranks are non-trivial per hour; three types with
+    // skewed frequencies and a tie pair to exercise the (n desc, key asc)
+    // tiebreak
+    val rows = (0 until 600).map { i =>
+      val typ = if (i % 6 < 3) "view" else if (i % 6 < 5) "click" else "buy"
+      (i.toLong, new Timestamp(1704067200000L + i.toLong * 30 * 1000),
+        (i % 7).toLong, typ, 1.0)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_topk").toString
+    val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Streamy.windowCounts(stream).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("topk_counts").outputMode("complete").start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    val streamed = Streamy.windowTopk(spark.table("topk_counts"))
+      .orderBy("wstart", "rk")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    val batch = Streamy.windowTopk(Streamy.windowCounts(df))
+      .orderBy("wstart", "rk")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    streamed.groupBy(_._1).foreach { case (w, g) =>
+      assert(g.map(_._4) == (1L to g.length), s"window $w ranks not dense")
+      assert(g.sortBy(r => (-r._3, r._2)).map(_._4) == g.map(_._4),
+        s"window $w tiebreak violated")
+    }
+  }
+
   test("driftSketch on a REAL stream: sketches honor their error bounds vs exact") {
     // two epoch-aligned weeks of synthetic events; sketch values from the
     // STREAMING run are checked against exact Scala recomputes under the
