@@ -3351,6 +3351,250 @@ object QueriesExt {
         SELECT asdf_id, tile, CAST(count(*) AS BIGINT) AS n,
           min(value) AS lo_v, max(value) AS hi_v
         FROM t GROUP BY 1, 2 ORDER BY asdf_id, tile""")),
+    "survival_km" -> Q(
+      // Kaplan-Meier user-retention curve (X76): the product-limit
+      // survival estimator over user lifetimes (duration = last−first
+      // active day; churned if silent for >7 days before the corpus
+      // end, else right-censored). Scale shape: one user-grain aggregate
+      // (the only data-sized shuffle), then everything is
+      // |durations|-bounded — the at-risk counts come from ONE running
+      // window over the duration frame (the daily_spine argument), and
+      // the product limit is exp(Σ ln(1−d/n)) so both engines sum the
+      // SAME logs in the SAME order (no product aggregate dependency);
+      // a d = n_risk step (everyone at risk dies) zeroes the curve via
+      // an integer flag rather than ln(0), which Spark nulls and DuckDB
+      // -infs — the one cross-engine split this formulation forbids.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d).select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+        val u = e.groupBy("user_id").agg(min("day").as("f"), max("day").as("l"))
+        val g = u.agg(max("l").as("m"), count(lit(1)).as("n_users"))
+        val lab = u.crossJoin(broadcast(g))
+          .select((col("l") - col("f")).as("t"),
+            when(col("l") < col("m") - 7, 1L).otherwise(0L).as("churn"),
+            col("n_users"))
+        val byT = lab.groupBy("t").agg(count(lit(1)).as("a"),
+          sum("churn").as("dd"), max("n_users").as("n_users"))
+        val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT
+          .withColumn("n_risk",
+            col("n_users") - coalesce(sum("a").over(wPrev), lit(0L)))
+          .withColumn("lnf", when(col("dd") === 0 || col("dd") === col("n_risk"), lit(0.0))
+            .otherwise(log(lit(1.0) - col("dd").cast("double") / col("n_risk"))))
+          .withColumn("z", when(col("dd") === col("n_risk"), 1L).otherwise(0L))
+          .withColumn("surv_r", when(sum("z").over(wRun) > 0, lit(0.0))
+            .otherwise(round(exp(sum("lnf").over(wRun)), 6)))
+          .select(col("t"), col("n_risk"), col("dd").as("n_deaths"),
+            (col("a") - col("dd")).as("n_censored"), col("surv_r"))
+          .orderBy("t")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+          FROM events),
+          u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM e GROUP BY 1),
+          g AS (SELECT max(l) AS m, CAST(count(*) AS BIGINT) AS n_users FROM u),
+          lab AS (SELECT l - f AS t,
+              CASE WHEN l < m - 7 THEN 1 ELSE 0 END AS churn, n_users
+            FROM u CROSS JOIN g),
+          bt AS (SELECT t, CAST(count(*) AS BIGINT) AS a,
+              CAST(sum(churn) AS BIGINT) AS dd, max(n_users) AS n_users
+            FROM lab GROUP BY 1),
+          r AS (SELECT t, a, dd, CAST(n_users - COALESCE(sum(a) OVER
+              (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+            FROM bt),
+          sfr AS (SELECT t, n_risk, dd, a,
+              CASE WHEN dd = 0 OR dd = n_risk THEN 0.0
+                ELSE ln(1.0 - CAST(dd AS DOUBLE) / n_risk) END AS lnf,
+              CASE WHEN dd = n_risk THEN 1 ELSE 0 END AS z
+            FROM r)
+        SELECT t, n_risk, dd AS n_deaths, a - dd AS n_censored,
+          CASE WHEN sum(z) OVER w > 0 THEN 0.0
+            ELSE round(exp(sum(lnf) OVER w), 6) END AS surv_r
+        FROM sfr
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t""")),
+    "gini_spend" -> Q(
+      // Spend-concentration audit (X77): Gini coefficient + top-10% share
+      // of per-user spend — the inequality screen for "is this corpus/
+      // revenue dominated by a few whales". Float-proof: spend is integer
+      // cents, the Gini comes from the ranked-sum identity
+      // G = 2·Σ(i·sᵢ)/(n·Σs) − (n+1)/n whose every sum is an exact
+      // integer, and ranks are GLOBAL without a global sort — the
+      // queue_rank two-phase trick (rank within a $10k spend band via a
+      // band-partitioned window, plus per-band offsets from a
+      // |bands|-row running sum, broadcast back). Largest product
+      // Σi·sᵢ ≈ 10¹⁵ at sf0.1 — Long headroom ~10⁴; all the integer
+      // products stay under 2⁵³ so the final double arithmetic is exact
+      // on both engines.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sp = Tables.events(s, d)
+          .select(col("user_id"), cents(col("value")).as("c"))
+          .groupBy("user_id").agg(sum("c").as("sc"))
+        val banded = sp.withColumn("band", floor(col("sc") / 1000000L).cast("long"))
+        val wIn = Window.partitionBy("band").orderBy(col("sc"), col("user_id"))
+        val within = banded.withColumn("wi", row_number().over(wIn).cast("long"))
+        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("band"), col("off"))
+        val nt = sp.agg(count(lit(1)).as("n"), sum("sc").as("tot"))
+        within.join(broadcast(offs), Seq("band"))
+          .withColumn("i", col("off") + col("wi"))
+          .crossJoin(broadcast(nt))
+          .agg(max("n").as("n_users"), max("tot").as("total_cents"),
+            sum(col("i") * col("sc")).as("t1"),
+            sum(when(col("i") > col("n") - expr("n div 10"), col("sc"))
+              .otherwise(0L)).as("topsum"))
+          .select(col("n_users"), col("total_cents"),
+            when(col("total_cents") === 0, lit(0.0)).otherwise(
+              round(lit(2.0) * col("t1").cast("double")
+                / (col("n_users") * col("total_cents")).cast("double")
+                - (col("n_users") + lit(1.0)) / col("n_users"), 6)).as("gini_r"),
+            when(col("total_cents") === 0, lit(0.0)).otherwise(
+              round(col("topsum").cast("double") / col("total_cents"), 6))
+              .as("top10_share_r"))
+      },
+      Some("""WITH sp AS (SELECT user_id,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+          FROM events GROUP BY 1),
+          r AS (SELECT sc, CAST(row_number() OVER (ORDER BY sc, user_id)
+            AS BIGINT) AS i FROM sp),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(sc) AS BIGINT) AS tot FROM sp)
+        SELECT n AS n_users, tot AS total_cents,
+          CASE WHEN tot = 0 THEN 0.0 ELSE
+            round(2.0 * CAST(sum(i * sc) AS DOUBLE) / CAST(n * tot AS DOUBLE)
+              - (n + 1.0) / n, 6) END AS gini_r,
+          CASE WHEN tot = 0 THEN 0.0 ELSE
+            round(CAST(sum(CASE WHEN i > n - n // 10 THEN sc ELSE 0 END)
+              AS DOUBLE) / tot, 6) END AS top10_share_r
+        FROM r CROSS JOIN nt GROUP BY n, tot""")),
+    "ab_test" -> Q(
+      // Welch's t-test on revenue per user (X79): the A/B readout —
+      // deterministic arms (user_id parity), metric = per-user total
+      // spend in INTEGER cents, unequal-variance t statistic. (A
+      // two-proportion test on "ever purchased" is degenerate here:
+      // every fixture user converts, zeroing the pooled variance.)
+      // Each arm reduces to three exact longs (n, Σs, Σs²) via one
+      // user-grain aggregate + a 2-row rollup; the closing float
+      // arithmetic applies the SAME IEEE op sequence to the SAME exact
+      // integers on both engines, and se = 0 (an all-identical arm) is
+      // guarded to t = 0 rather than dividing by zero under ANSI mode.
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .select(col("user_id"), cents(col("value")).as("c"))
+          .groupBy("user_id").agg(sum("c").as("sc"))
+          .withColumn("arm", (col("user_id") % 2).cast("long"))
+        val a = u.groupBy("arm").agg(count(lit(1)).as("n"),
+          sum("sc").as("s1"), sum(col("sc") * col("sc")).as("s2"))
+        def pick(k: String, arm: Int) =
+          max(when(col("arm") === arm, col(k))).as(s"$k$arm")
+        val w = a.agg(pick("n", 0), pick("s1", 0), pick("s2", 0),
+          pick("n", 1), pick("s1", 1), pick("s2", 1))
+        def mean(i: Int) =
+          col(s"s1$i").cast("double") / col(s"n$i").cast("double")
+        def varr(i: Int) =
+          (col(s"s2$i").cast("double") - col(s"s1$i").cast("double")
+            * col(s"s1$i").cast("double") / col(s"n$i").cast("double")) /
+            (col(s"n$i").cast("double") - lit(1.0))
+        val se = sqrt(varr(0) / col("n0").cast("double")
+          + varr(1) / col("n1").cast("double"))
+        w.select(col("n0"), col("n1"),
+          round(mean(0), 6).as("mean0_r"), round(mean(1), 6).as("mean1_r"),
+          round(mean(1) - mean(0), 6).as("lift_r"),
+          when(se === 0.0, lit(0.0))
+            .otherwise(round((mean(1) - mean(0)) / se, 6)).as("t_r"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+          FROM events GROUP BY 1),
+          a AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(sc) AS BIGINT) AS s1, CAST(sum(sc * sc) AS BIGINT) AS s2
+          FROM u GROUP BY 1),
+          w AS (SELECT
+            max(CASE WHEN arm = 0 THEN n END) AS n0,
+            max(CASE WHEN arm = 0 THEN s1 END) AS s10,
+            max(CASE WHEN arm = 0 THEN s2 END) AS s20,
+            max(CASE WHEN arm = 1 THEN n END) AS n1,
+            max(CASE WHEN arm = 1 THEN s1 END) AS s11,
+            max(CASE WHEN arm = 1 THEN s2 END) AS s21 FROM a)
+        SELECT n0, n1,
+          round(CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS mean0_r,
+          round(CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean1_r,
+          round(CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS lift_r,
+          CASE WHEN sqrt(
+              ((CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE)
+                / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))
+                / CAST(n0 AS DOUBLE)
+              + ((CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                / CAST(n1 AS DOUBLE)) = 0.0 THEN 0.0
+            ELSE round((CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt(
+              ((CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE)
+                / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))
+                / CAST(n0 AS DOUBLE)
+              + ((CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                / CAST(n1 AS DOUBLE)), 6) END AS t_r
+        FROM w""")),
+    "centroid_confusion" -> Q(
+      // Nearest-centroid classifier eval (X78): train/test split by
+      // vec_id parity, per-label centroids from the train half, test
+      // half assigned to the nearest centroid, output = the confusion
+      // matrix — the eval harness for "are these embedding labels even
+      // separable". INTEGER end to end: coordinates quantize to POSITIVE
+      // micro-units (the +10⁶ shift keeps every integer division in the
+      // positive domain, where truncating and flooring engines agree),
+      // centroids are exact integer-mean micro-units, distances are
+      // exact Σ(Δ²) longs — argmin and matrix are engine-independent by
+      // construction. Scale: the centroid frame is labels × dims rows
+      // (broadcast); the distance join fans test rows out ×|labels| then
+      // partial-aggregates back — never a pairwise test×train join.
+      (s, d) => {
+        val e = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .withColumn("xq",
+            (floor(col("x") * 1000000 + lit(0.5)) + 1000000L).cast("long"))
+        val cent = e.filter(col("vec_id") % 2 === 0)
+          .groupBy(col("label").as("clabel"), col("dim"))
+          .agg(expr("sum(xq) div count(1)").as("muq"))
+        val test = e.filter(col("vec_id") % 2 =!= 0)
+        val d2 = test.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum((col("xq") - col("muq")) * (col("xq") - col("muq"))).as("d2"))
+        d2.groupBy(col("vec_id"), col("label"))
+          .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+          .select(col("label").as("true_label"), col("m.clabel").as("pred_label"))
+          .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+          .orderBy("true_label", "pred_label")
+      },
+      Some(s"""WITH emb AS ($embSql),
+          e AS (SELECT vec_id, label,
+              CAST(unnest(range(len(v))) AS INT) AS dim,
+              CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) + 1000000 AS xq
+            FROM emb),
+          cent AS (SELECT label AS clabel, dim,
+              CAST(CAST(sum(xq) AS BIGINT) // count(*) AS BIGINT) AS muq
+            FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+          t AS (SELECT * FROM e WHERE vec_id % 2 <> 0),
+          d2 AS (SELECT t.vec_id, t.label, c.clabel,
+              CAST(sum((t.xq - c.muq) * (t.xq - c.muq)) AS BIGINT) AS d2
+            FROM t JOIN cent c ON t.dim = c.dim GROUP BY 1, 2, 3),
+          pick AS (SELECT vec_id, label AS true_label, clabel AS pred_label,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            FROM d2)
+        SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+        FROM pick WHERE rn = 1 GROUP BY 1, 2
+        ORDER BY true_label, pred_label""")),
     "zorder_key" -> Q(
       // Z-order (Morton) clustering key (X70) — the data-LAYOUT operator
       // (Delta/Iceberg ZORDER analog): interleave the bits of two scan

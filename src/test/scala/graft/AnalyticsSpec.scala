@@ -960,6 +960,115 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == total, "digit counts conserve the row count")
   }
 
+  test("survival_km: product-limit curve equals a Scala KM recompute; survival laws hold (X76)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("survival_km")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val days = graft.ops.Tables.events(spark, d)
+      .select($"user_id", datediff(to_date($"ts"), lit("1970-01-01")).cast("long"))
+      .as[(Long, Long)].collect()
+    val users = days.groupBy(_._1).toSeq.map { case (_, g) =>
+      (g.map(_._2).min, g.map(_._2).max) }
+    val m = users.map(_._2).max
+    val lifet = users.map { case (f, l) => (l - f, if (l < m - 7) 1L else 0L) }
+    val n = lifet.size.toLong
+    var atRisk = n; var surv = 1.0
+    val expect = lifet.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val a = g.size.toLong; val dd = g.map(_._2).sum
+      val row = {
+        if (dd > 0 && dd < atRisk) surv *= 1.0 - dd.toDouble / atRisk
+        else if (dd == atRisk) surv = 0.0
+        (t, atRisk, dd, a - dd, math.rint(surv * 1e6) / 1e6)
+      }
+      atRisk -= a
+      row
+    }
+    assert(out == expect && out.nonEmpty)
+    // survival laws: monotone non-increasing, in [0,1], risk set conserves
+    assert(out.map(_._5) == out.map(_._5).sorted.reverse, "S(t) must not increase")
+    assert(out.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    assert(out.head._2 == n, "first risk set is every user")
+    assert(out.map(r => r._3 + r._4).sum == n, "deaths+censored conserve users")
+  }
+
+  test("gini_spend: two-phase banded rank equals a direct global-sort Gini (X77)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("gini_spend")(spark, d)
+      .as[(Long, Long, Double, Double)].collect().head
+    val sp = graft.ops.Tables.events(spark, d)
+      .select($"user_id", floor($"value" * 100 + lit(0.5)).cast("long").as("c"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (u, g) => (u, g.map(_._2).sum) }.toSeq
+    val ranked = sp.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((_, s), i) => (i + 1L, s) }
+    val n = ranked.size.toLong; val tot = ranked.map(_._2).sum
+    val t1 = ranked.map { case (i, s) => i * s }.sum
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val gini = r6(2.0 * t1 / (n.toDouble * tot) - (n + 1.0) / n)
+    val topSum = ranked.filter(_._1 > n - n / 10).map(_._2).sum
+    assert(out == ((n, tot, gini, r6(topSum.toDouble / tot))))
+    assert(out._3 >= 0.0 && out._3 < 1.0, "Gini must sit in [0, 1)")
+    assert(out._4 >= (n / 10).toDouble / n - 1e-9,
+      "the top spenders cannot hold less than their head count's uniform share")
+  }
+
+  test("ab_test: Welch t equals a direct Scala recompute; arms partition users (X79)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ab_test")(spark, d)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    val sp = graft.ops.Tables.events(spark, d)
+      .select($"user_id", floor($"value" * 100 + lit(0.5)).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (u, g) => (u % 2, g.map(_._2).sum) }
+    def stats(arm: Long) = {
+      val xs = sp.filter(_._1 == arm).map(_._2)
+      (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (n0, s10, s20) = stats(0); val (n1, s11, s21) = stats(1)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def mean(s1: Long, n: Long) = s1.toDouble / n.toDouble
+    def varr(s2: Long, s1: Long, n: Long) =
+      (s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) / (n.toDouble - 1.0)
+    val se = math.sqrt(
+      varr(s20, s10, n0) / n0.toDouble + varr(s21, s11, n1) / n1.toDouble)
+    val t = if (se == 0.0) 0.0 else r6((mean(s11, n1) - mean(s10, n0)) / se)
+    assert(out == ((n0, n1, r6(mean(s10, n0)), r6(mean(s11, n1)),
+      r6(mean(s11, n1) - mean(s10, n0)), t)))
+    assert(n0 + n1 == sp.size, "arms partition the user population")
+    assert(varr(s20, s10, n0) > 0 && varr(s21, s11, n1) > 0,
+      "the metric must be non-degenerate (why this is spend, not conversion)")
+  }
+
+  test("centroid_confusion: matrix equals a Scala nearest-centroid recompute " +
+    "and conserves the test half (X78)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("centroid_confusion")(spark, d)
+      .as[(String, String, Long)].collect().toSeq
+    val vecs = graft.ops.Tables.embeddings(spark, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>"))
+      .as[(Long, String, Seq[Double])].collect()
+    def q(x: Double) = math.floor(x * 1000000 + 0.5).toLong + 1000000L
+    val train = vecs.filter(_._1 % 2 == 0)
+    val test = vecs.filter(_._1 % 2 != 0)
+    val cents = train.groupBy(_._2).map { case (lab, g) =>
+      lab -> g.head._3.indices.map { i =>
+        val xs = g.map(v => q(v._3(i))); xs.sum / xs.size // positive: / == div
+      }
+    }
+    val expect = test.map { case (_, lab, v) =>
+      val pred = cents.map { case (cl, mu) =>
+        (v.indices.map(i => { val dd = q(v(i)) - mu(i); dd * dd }).sum, cl)
+      }.min._2
+      (lab, pred)
+    }.groupBy(identity).map { case ((t, p), g) => (t, p, g.size.toLong) }
+      .toSeq.sorted
+    assert(out.sorted == expect && out.nonEmpty)
+    assert(out.map(_._3).sum == test.size, "every test vector lands in one cell")
+    val trainLabels = cents.keySet
+    assert(out.forall(r => trainLabels.contains(r._2)),
+      "predictions only ever name train-half centroids")
+  }
+
   test("hist_equidepth: tiles are depth-balanced within one row, ordered, and conserve counts (X75)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("hist_equidepth")(spark, d)

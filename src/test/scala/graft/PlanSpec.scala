@@ -456,4 +456,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(asdf_id"),
       s"the tile window must partition by zone:\n$p")
   }
+
+  test("survival_km: the user-grain aggregate partial-aggregates and the " +
+    "global constants attach broadcast, never cartesian") {
+    val p = plan("survival_km")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"lifetime bounds must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalar attach became cartesian:\n$p")
+  }
+
+  test("gini_spend: global ranks come from a band-partitioned window " +
+    "plus broadcast offsets — never a single-partition global sort") {
+    val p = plan("gini_spend")
+    assert(p.contains("windowspecdefinition(band"),
+      s"the rank window must partition by spend band:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |bands|-row offset frame must broadcast:\n$p")
+  }
+
+  test("ab_test: arm moments partial-aggregate map-side (three longs per arm)") {
+    val p = plan("ab_test")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-arm moments must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"a 2-row rollup must not join or go cartesian:\n$p")
+  }
+
+  test("centroid_confusion: the labels×dims centroid frame broadcasts and the " +
+    "distance reduction partial-aggregates — never a pairwise test×train join") {
+    val p = plan("centroid_confusion")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the centroid frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the dim join must not shuffle the exploded test side:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the Σ(Δ²) reduction must combine map-side:\n$p")
+  }
 }
