@@ -32,6 +32,53 @@ object QueriesExt {
       .withColumn("nrm", LlmOps.norm(col("v"))) // once per vector, not per pair
   private val embSql =
     "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  /** Nearest-centroid confusion matrix (X78), shared by the matrix listing
+    * (`centroid_confusion`) and the derived per-label P/R/F1
+    * (`classifier_metrics`). Train/test split by vec_id parity; integer
+    * micro-unit coordinates (+10⁶ shift keeps `div` in the positive
+    * domain); centroids broadcast (labels×dims rows); the distance join
+    * fans test rows ×|labels| and partial-aggregates straight back — no
+    * test×train pairwise frame at any scale. */
+  private def confusionDf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("xq",
+        (floor(col("x") * 1000000 + lit(0.5)) + 1000000L).cast("long"))
+    val cent = e.filter(col("vec_id") % 2 === 0)
+      .groupBy(col("label").as("clabel"), col("dim"))
+      .agg(expr("sum(xq) div count(1)").as("muq"))
+    val test = e.filter(col("vec_id") % 2 =!= 0)
+    val d2 = test.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("xq") - col("muq")) * (col("xq") - col("muq"))).as("d2"))
+    d2.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+      .select(col("label").as("true_label"), col("m.clabel").as("pred_label"))
+      .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle mirror of [[confusionDf]] — CTE chain ending in
+    * `conf(true_label, pred_label, n)`. */
+  private val confusionCtes: String =
+    s"""cemb AS ($embSql),
+      ce AS (SELECT vec_id, label,
+          CAST(unnest(range(len(v))) AS INT) AS dim,
+          CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) + 1000000 AS xq
+        FROM cemb),
+      cent AS (SELECT label AS clabel, dim,
+          CAST(CAST(sum(xq) AS BIGINT) // count(*) AS BIGINT) AS muq
+        FROM ce WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      ctest AS (SELECT * FROM ce WHERE vec_id % 2 <> 0),
+      cd2 AS (SELECT t.vec_id, t.label, c.clabel,
+          CAST(sum((t.xq - c.muq) * (t.xq - c.muq)) AS BIGINT) AS d2
+        FROM ctest t JOIN cent c ON t.dim = c.dim GROUP BY 1, 2, 3),
+      cpick AS (SELECT vec_id, label AS true_label, clabel AS pred_label,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM cd2),
+      conf AS (SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+        FROM cpick WHERE rn = 1 GROUP BY 1, 2)"""
   private val normSql =
     """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -3558,43 +3605,223 @@ object QueriesExt {
       // construction. Scale: the centroid frame is labels × dims rows
       // (broadcast); the distance join fans test rows out ×|labels| then
       // partial-aggregates back — never a pairwise test×train join.
-      (s, d) => {
-        val e = emb(s, d)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("v")).as(Seq("dim", "x")))
-          .withColumn("xq",
-            (floor(col("x") * 1000000 + lit(0.5)) + 1000000L).cast("long"))
-        val cent = e.filter(col("vec_id") % 2 === 0)
-          .groupBy(col("label").as("clabel"), col("dim"))
-          .agg(expr("sum(xq) div count(1)").as("muq"))
-        val test = e.filter(col("vec_id") % 2 =!= 0)
-        val d2 = test.join(broadcast(cent), Seq("dim"))
-          .groupBy(col("vec_id"), col("label"), col("clabel"))
-          .agg(sum((col("xq") - col("muq")) * (col("xq") - col("muq"))).as("d2"))
-        d2.groupBy(col("vec_id"), col("label"))
-          .agg(min(struct(col("d2"), col("clabel"))).as("m"))
-          .select(col("label").as("true_label"), col("m.clabel").as("pred_label"))
-          .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
-          .orderBy("true_label", "pred_label")
-      },
-      Some(s"""WITH emb AS ($embSql),
-          e AS (SELECT vec_id, label,
-              CAST(unnest(range(len(v))) AS INT) AS dim,
-              CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) + 1000000 AS xq
-            FROM emb),
-          cent AS (SELECT label AS clabel, dim,
-              CAST(CAST(sum(xq) AS BIGINT) // count(*) AS BIGINT) AS muq
-            FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
-          t AS (SELECT * FROM e WHERE vec_id % 2 <> 0),
-          d2 AS (SELECT t.vec_id, t.label, c.clabel,
-              CAST(sum((t.xq - c.muq) * (t.xq - c.muq)) AS BIGINT) AS d2
-            FROM t JOIN cent c ON t.dim = c.dim GROUP BY 1, 2, 3),
-          pick AS (SELECT vec_id, label AS true_label, clabel AS pred_label,
-              row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
-            FROM d2)
-        SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
-        FROM pick WHERE rn = 1 GROUP BY 1, 2
+      (s, d) => confusionDf(s, d).orderBy("true_label", "pred_label"),
+      Some(s"""WITH $confusionCtes
+        SELECT true_label, pred_label, n FROM conf
         ORDER BY true_label, pred_label""")),
+    "classifier_metrics" -> Q(
+      // Per-label precision/recall/F1 (X80) derived from the X78
+      // confusion matrix — same pipeline, one extra |labels|-sized
+      // reshape. F1 closes as 2·tp/(support+predicted) — ONE division
+      // over three exact integers — rather than the harmonic mean of two
+      // already-divided doubles, so each metric rounds exactly once on
+      // both engines. Labels missing from either margin (never predicted
+      // / no support) guard their ratio to 0 instead of dividing by zero.
+      (s, d) => {
+        val cm = confusionDf(s, d)
+        val sup = cm.groupBy(col("true_label").as("label"))
+          .agg(sum("n").as("support"))
+        val prd = cm.groupBy(col("pred_label").as("label"))
+          .agg(sum("n").as("predicted"))
+        val diag = cm.filter(col("true_label") === col("pred_label"))
+          .select(col("true_label").as("label"), col("n").as("tp"))
+        sup.join(prd, Seq("label"), "full_outer")
+          .join(diag, Seq("label"), "left")
+          .select(col("label"),
+            coalesce(col("support"), lit(0L)).as("support"),
+            coalesce(col("predicted"), lit(0L)).as("predicted"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .withColumn("precision_r", when(col("predicted") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / col("predicted"), 6)))
+          .withColumn("recall_r", when(col("support") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / col("support"), 6)))
+          .withColumn("f1_r",
+            when(col("support") + col("predicted") === 0, lit(0.0))
+              .otherwise(round(lit(2.0) * col("tp").cast("double")
+                / (col("support") + col("predicted")).cast("double"), 6)))
+          .orderBy("label")
+      },
+      Some(s"""WITH $confusionCtes,
+          sup AS (SELECT true_label AS label, CAST(sum(n) AS BIGINT) AS support
+            FROM conf GROUP BY 1),
+          prd AS (SELECT pred_label AS label, CAST(sum(n) AS BIGINT) AS predicted
+            FROM conf GROUP BY 1),
+          diag AS (SELECT true_label AS label, n AS tp FROM conf
+            WHERE true_label = pred_label),
+          j AS (SELECT COALESCE(sup.label, prd.label) AS label,
+              COALESCE(support, 0) AS support,
+              COALESCE(predicted, 0) AS predicted
+            FROM sup FULL OUTER JOIN prd ON sup.label = prd.label)
+        SELECT j.label, support, predicted, COALESCE(tp, 0) AS tp,
+          CASE WHEN predicted = 0 THEN 0.0
+            ELSE round(CAST(COALESCE(tp, 0) AS DOUBLE) / predicted, 6)
+            END AS precision_r,
+          CASE WHEN support = 0 THEN 0.0
+            ELSE round(CAST(COALESCE(tp, 0) AS DOUBLE) / support, 6)
+            END AS recall_r,
+          CASE WHEN support + predicted = 0 THEN 0.0
+            ELSE round(2.0 * CAST(COALESCE(tp, 0) AS DOUBLE)
+              / (support + predicted), 6) END AS f1_r
+        FROM j LEFT JOIN diag ON j.label = diag.label
+        ORDER BY j.label""")),
+    "funnel_latency" -> Q(
+      // Time-to-convert distribution (X81): per-user latency from the
+      // first view to the first purchase at-or-after it, closed into
+      // exact order statistics — lower-rank p50/p90 selected by GLOBAL
+      // row index, computed with the gini_spend two-phase banded rank
+      // (10-minute latency bands sort independently; offsets are a
+      // |bands|-row broadcast) so no single-partition sort exists at any
+      // scale. Latency truncates to whole seconds (integer `div`), so
+      // every emitted value is an exact long.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = eventsUs(s, d)
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("fv"))
+        val lat = e.filter(col("event_type") === "purchase")
+          .join(fv, Seq("user_id"))
+          .filter(col("us") >= col("fv"))
+          .groupBy("user_id").agg(min(col("us") - col("fv")).as("lat_us"))
+          .select(col("user_id"), expr("lat_us div 1000000").as("lat_s"))
+        val banded = lat.withColumn("band", expr("lat_s div 600"))
+        val wIn = Window.partitionBy("band").orderBy(col("lat_s"), col("user_id"))
+        val within = banded.withColumn("wi", row_number().over(wIn).cast("long"))
+        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("band"), col("off"))
+        val tot = lat.agg(count(lit(1)).as("n_conv"),
+          min("lat_s").as("min_s"), max("lat_s").as("max_s"))
+        within.join(broadcast(offs), Seq("band"))
+          .withColumn("i", col("off") + col("wi"))
+          .crossJoin(broadcast(tot))
+          .agg(max("n_conv").as("n_conv"),
+            max("min_s").as("min_s"), max("max_s").as("max_s"),
+            max(when(col("i") === expr("(n_conv + 1) div 2"), col("lat_s")))
+              .as("p50_s"),
+            max(when(col("i") === expr("(9 * n_conv + 9) div 10"), col("lat_s")))
+              .as("p90_s"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+            FROM events),
+          fv AS (SELECT user_id, min(us) AS fv FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+          fp AS (SELECT e.user_id,
+              CAST(min(e.us - fv.fv) AS BIGINT) // 1000000 AS lat_s
+            FROM e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'purchase' AND e.us >= fv.fv GROUP BY 1),
+          r AS (SELECT lat_s,
+              CAST(row_number() OVER (ORDER BY lat_s, user_id) AS BIGINT) AS i
+            FROM fp),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_conv,
+              min(lat_s) AS min_s, max(lat_s) AS max_s FROM fp)
+        SELECT n_conv, min_s, max_s,
+          max(CASE WHEN i = (n_conv + 1) // 2 THEN lat_s END) AS p50_s,
+          max(CASE WHEN i = (9 * n_conv + 9) // 10 THEN lat_s END) AS p90_s
+        FROM r CROSS JOIN t GROUP BY n_conv, min_s, max_s""")),
+    "novelty_curve" -> Q(
+      // Corpus novelty decay (X82): the corpus in 10 monotone arrival
+      // batches (doc_id scaled against a broadcast max — no global
+      // window), per batch the distinct word-bigram shingles it contains
+      // and how many are NEW (this batch is the shingle's min batch).
+      // The LLM-data signal behind "is the crawl saturating" — novelty
+      // falling toward 0 means new batches re-state the corpus. One
+      // shingle-grain distinct + two bounded aggregates; the shingle
+      // explode spreads ahead of the shuffle like every doc pipeline.
+      (s, d) => {
+        val base = docs(s, d)
+        val mx = base.agg(max("doc_id").as("mx"))
+        val sh = base.repartition(LlmOps.spreadWidth(base))
+          .withColumn("w", split(LlmOps.normText(col("text")), " "))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(w) > 1
+               THEN transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))
+               ELSE array() END""")).as("sh"))
+        val bs = sh.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div (mx + 1)").as("batch"), col("sh"))
+          .distinct()
+        val totals = bs.groupBy("batch").agg(count(lit(1)).as("n_shingles"))
+        val news = bs.groupBy("sh").agg(min("batch").as("batch"))
+          .groupBy("batch").agg(count(lit(1)).as("n_new"))
+        totals.join(news, Seq("batch"), "left")
+          .select(col("batch"), col("n_shingles"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            round(coalesce(col("n_new"), lit(0L)).cast("double")
+              / col("n_shingles"), 6).as("novelty_r"))
+          .orderBy("batch")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w
+            FROM documents),
+          mx AS (SELECT max(doc_id) AS mx FROM documents),
+          s AS (SELECT DISTINCT
+              CAST((doc_id * 10) // (mx + 1) AS BIGINT) AS batch, sh
+            FROM n, mx, unnest(list_transform(range(greatest(len(w)-1, 0)),
+              i -> w[i+1] || ' ' || w[i+2])) AS u(sh)),
+          t AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM s GROUP BY 1),
+          nw AS (SELECT sh, min(batch) AS batch FROM s GROUP BY 1),
+          nn AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_new
+            FROM nw GROUP BY 1)
+        SELECT t.batch, n_shingles, COALESCE(n_new, 0) AS n_new,
+          round(CAST(COALESCE(n_new, 0) AS DOUBLE) / n_shingles, 6) AS novelty_r
+        FROM t LEFT JOIN nn ON t.batch = nn.batch ORDER BY t.batch""")),
+    "lang_mixture" -> Q(
+      // Language-mixture screen (X83): fraction of a document's 12-word
+      // lines whose marker-token language vote disagrees with the
+      // document's declared lang — the mixed-language detector that
+      // catches code-switched or mis-tagged crawl docs a doc-level
+      // langid (X4b) averages away. Reuses the ONE line split
+      // (LlmOps.lines ≡ the dedup_lines oracle CTE) and the X4b marker
+      // vote verbatim, so neither rule can fork. Stateless per line; one
+      // doc-grain aggregate.
+      (s, d) => {
+        val scored = LlmOps.lines(docs(s, d))
+          .withColumn("t", split(col("line"), " "))
+          .withColumn("sc_de", expr("size(filter(t, x -> x IN ('der','die','und')))"))
+          .withColumn("sc_en", expr("size(filter(t, x -> x IN ('the','and','of')))"))
+          .withColumn("sc_es", expr("size(filter(t, x -> x IN ('el','los','y')))"))
+          .withColumn("sc_fr", expr("size(filter(t, x -> x IN ('le','la','et')))"))
+          .withColumn("pred",
+            when(col("sc_de") >= col("sc_en") && col("sc_de") >= col("sc_es")
+              && col("sc_de") >= col("sc_fr"), "de")
+            .when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_fr"), "en")
+            .when(col("sc_es") >= col("sc_fr"), "es")
+            .otherwise("fr"))
+        scored.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("pred") =!= col("lang"), 1L).otherwise(0L))
+              .as("n_foreign"))
+          .withColumn("mix_r",
+            round(col("n_foreign").cast("double") / col("n_lines"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w
+            FROM documents),
+          l AS (SELECT doc_id, CAST(i AS INT) AS idx,
+              array_to_string(w[i*12+1 : i*12+12], ' ') AS line
+            FROM n, unnest(range(CAST(ceil(len(w)/12.0) AS INT))) AS u(i)),
+          sc AS (SELECT doc_id, string_split(line, ' ') AS t FROM l),
+          p AS (SELECT doc_id,
+              CAST(len(list_filter(t, x -> x IN ('der','die','und'))) AS INT) AS sc_de,
+              CAST(len(list_filter(t, x -> x IN ('the','and','of'))) AS INT) AS sc_en,
+              CAST(len(list_filter(t, x -> x IN ('el','los','y'))) AS INT) AS sc_es,
+              CAST(len(list_filter(t, x -> x IN ('le','la','et'))) AS INT) AS sc_fr
+            FROM sc),
+          v AS (SELECT doc_id,
+              CASE WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+                   WHEN sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+                   WHEN sc_es >= sc_fr THEN 'es'
+                   ELSE 'fr' END AS pred
+            FROM p)
+        SELECT d.doc_id, d.lang, CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN pred <> d.lang THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_foreign,
+          round(CAST(sum(CASE WHEN pred <> d.lang THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS mix_r
+        FROM v JOIN documents d ON v.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.lang ORDER BY d.doc_id""")),
     "zorder_key" -> Q(
       // Z-order (Morton) clustering key (X70) — the data-LAYOUT operator
       // (Delta/Iceberg ZORDER analog): interleave the bits of two scan

@@ -1069,6 +1069,118 @@ class AnalyticsSpec extends AnyFunSuite {
       "predictions only ever name train-half centroids")
   }
 
+  test("classifier_metrics: margins derive from the confusion matrix; F1 is " +
+    "the harmonic mean; micro-averages close (X80)") {
+    val d = "/root/testdata/sf0.001"
+    val cm = SparkEntry.queries("centroid_confusion")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    val out = SparkEntry.queries("classifier_metrics")(spark, d)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val labels = (cm.map(_._1) ++ cm.map(_._2)).distinct.sorted
+    val expect = labels.map { l =>
+      val support = cm.filter(_._1 == l).map(_._3).sum
+      val predicted = cm.filter(_._2 == l).map(_._3).sum
+      val tp = cm.filter(r => r._1 == l && r._2 == l).map(_._3).sum
+      (l, support, predicted, tp,
+        if (predicted == 0) 0.0 else r6(tp.toDouble / predicted),
+        if (support == 0) 0.0 else r6(tp.toDouble / support),
+        if (support + predicted == 0) 0.0
+        else r6(2.0 * tp / (support + predicted)))
+    }
+    assert(out == expect && out.nonEmpty)
+    // harmonic-mean identity (2tp/(s+p) == 2PR/(P+R)) up to double rounding
+    out.filter(r => r._5 > 0 && r._6 > 0).foreach { r =>
+      assert(math.abs(r._7 - 2 * r._5 * r._6 / (r._5 + r._6)) < 1e-5)
+    }
+    val n = cm.map(_._3).sum
+    assert(out.map(_._2).sum == n && out.map(_._3).sum == n,
+      "support and predicted margins both conserve the test population")
+  }
+
+  test("funnel_latency: banded-rank order statistics equal a direct Scala " +
+    "recompute and are monotone (X81)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("funnel_latency")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val ev = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect().toSeq
+    val lats = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val views = g.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val ps = g.filter(e => e._2 == "purchase" && e._3 >= fv).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - fv) / 1000000L)
+      }
+    }.sorted
+    val n = lats.size.toLong
+    def at(r: Long) = lats((r - 1).toInt)
+    assert(out == ((n, lats.min, lats.max, at((n + 1) / 2), at((9 * n + 9) / 10))))
+    assert(out._2 <= out._4 && out._4 <= out._5 && out._5 <= out._3,
+      "min <= p50 <= p90 <= max")
+  }
+
+  test("novelty_curve: per-batch new-shingle fractions equal a Scala " +
+    "recompute; the first batch is all-new and counts conserve (X82)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("novelty_curve")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val docsL = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mx = docsL.map(_._1).max
+    val bs = docsL.flatMap { case (id, text) =>
+      val w = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      val shs = if (w.length > 1) w.sliding(2).map(_.mkString(" ")).toSeq
+                else Seq.empty
+      shs.map(sh => ((id * 10) / (mx + 1), sh))
+    }.distinct
+    val totals = bs.groupBy(_._1).map { case (b, g) => (b, g.size.toLong) }
+    val news = bs.groupBy(_._2).toSeq.map { case (sh, g) => (g.map(_._1).min, sh) }
+      .groupBy(_._1).map { case (b, g) => (b, g.size.toLong) }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val expect = totals.toSeq.sortBy(_._1).map { case (b, t) =>
+      val nn = news.getOrElse(b, 0L)
+      (b, t, nn, r6(nn.toDouble / t))
+    }
+    assert(out == expect && out.nonEmpty)
+    assert(out.head._4 == 1.0, "every shingle in the first batch is new")
+    assert(out.map(_._3).sum == bs.map(_._2).distinct.size.toLong,
+      "new counts across batches conserve the distinct shingle universe")
+  }
+
+  test("lang_mixture: per-doc foreign-line fraction equals a Scala recompute " +
+    "of the X4b marker vote over the X15 line split (X83)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("lang_mixture")(spark, d)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    val docsL = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def vote(line: String): String = {
+      val t = line.split(" ")
+      def sc(m: Set[String]) = t.count(m)
+      val (de, en, es, fr) = (sc(Set("der", "die", "und")),
+        sc(Set("the", "and", "of")), sc(Set("el", "los", "y")),
+        sc(Set("le", "la", "et")))
+      if (de >= en && de >= es && de >= fr) "de"
+      else if (en >= es && en >= fr) "en"
+      else if (es >= fr) "es" else "fr"
+    }
+    val expect = docsL.toSeq.flatMap { case (id, lang, text) =>
+      val w = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      val lines = w.grouped(12).map(_.mkString(" ")).toSeq
+      if (lines.isEmpty) None
+      else {
+        val nf = lines.count(l => vote(l) != lang)
+        Some((id, lang, lines.size.toLong, nf.toLong,
+          math.rint(nf.toDouble / lines.size * 1e6) / 1e6))
+      }
+    }.sortBy(_._1)
+    assert(out == expect && out.nonEmpty)
+    assert(out.forall(r => r._4 <= r._3 && r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
   test("hist_equidepth: tiles are depth-balanced within one row, ordered, and conserve counts (X75)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("hist_equidepth")(spark, d)

@@ -482,6 +482,24 @@ class PlanSpec extends AnyFunSuite {
       s"a 2-row rollup must not join or go cartesian:\n$p")
   }
 
+  test("funnel_latency: order statistics come from the banded two-phase rank, " +
+    "never a single-partition global sort or cartesian") {
+    val p = plan("funnel_latency")
+    assert(p.contains("windowspecdefinition(band"),
+      s"the rank window must partition by latency band:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar attaches must broadcast, not go cartesian:\n$p")
+  }
+
+  test("novelty_curve: the max-id scalar broadcasts and the batch/shingle " +
+    "aggregates combine map-side") {
+    val p = plan("novelty_curve")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar max must broadcast, not go cartesian:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"the shingle-grain aggregates must partial-aggregate:\n$p")
+  }
+
   test("centroid_confusion: the labels×dims centroid frame broadcasts and the " +
     "distance reduction partial-aggregates — never a pairwise test×train join") {
     val p = plan("centroid_confusion")
