@@ -3822,6 +3822,260 @@ object QueriesExt {
             / count(*), 6) AS mix_r
         FROM v JOIN documents d ON v.doc_id = d.doc_id
         GROUP BY d.doc_id, d.lang ORDER BY d.doc_id""")),
+    "ewma_smooth" -> {
+      // Quantized EWMA weights (α = 0.25, 16 lags): W_j =
+      // round(250000·0.75^j). ONE Scala list generates BOTH the Column
+      // expression and the oracle SQL text, so the weights cannot fork.
+      val ws = Seq(250000L, 187500L, 140625L, 105469L, 79102L, 59326L,
+        44495L, 33371L, 25028L, 18771L, 14078L, 10559L, 7919L, 5939L,
+        4454L, 3341L)
+      val numSql = ws.zipWithIndex
+        .map { case (w, j) => s"COALESCE(lag(y, $j) OVER w, 0) * $w" }
+        .mkString(" + ")
+      val denSql = ws.zipWithIndex
+        .map { case (w, j) =>
+          s"CASE WHEN lag(y, $j) OVER w IS NOT NULL THEN $w ELSE 0 END" }
+        .mkString(" + ")
+      Q(
+        // EWMA-smoothed daily spend (X84): exponentially weighted moving
+        // average over the last 16 observed days — the trend line every
+        // monitoring feed draws. Float-proof by construction: the weights
+        // are INTEGER micro-units (quantized once, above), the daily
+        // series is integer cents, so numerator and denominator are exact
+        // long sums renormalized over the lags actually present (the
+        // series head uses fewer); ONE double division closes each row.
+        // The unpartitioned window is bounded by the CALENDAR (|days|
+        // rows after the day-grain aggregate) — the daily_spine argument.
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val byDay = Tables.events(s, d)
+            .select(to_date(col("ts")).as("day"), cents(col("value")).as("c"))
+            .groupBy("day").agg(sum("c").as("y"))
+          val w = Window.orderBy("day")
+          val num = ws.zipWithIndex.map { case (wj, j) =>
+            coalesce(lag(col("y"), j).over(w), lit(0L)) * wj
+          }.reduce(_ + _)
+          val den = ws.zipWithIndex.map { case (wj, j) =>
+            when(lag(col("y"), j).over(w).isNotNull, lit(wj)).otherwise(0L)
+          }.reduce(_ + _)
+          byDay
+            .withColumn("ewma_r",
+              round(num.cast("double") / den.cast("double"), 6))
+            .orderBy("day")
+        },
+        Some(s"""WITH byday AS (SELECT CAST(ts AS DATE) AS day,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1)
+          SELECT day, y,
+            round(CAST($numSql AS DOUBLE) / CAST($denSql AS DOUBLE), 6) AS ewma_r
+          FROM byday WINDOW w AS (ORDER BY day) ORDER BY day"""))
+    },
+    "seasonal_anomaly" -> Q(
+      // Seasonal anomaly screen (X85): daily spend vs its day-of-week
+      // baseline, flagged when the residual z-score clears 2 — the
+      // weekly-rhythm-aware outlier detector (a quiet Sunday is normal;
+      // the same total on a Tuesday is not). Day-of-week is (epoch-day
+      // mod 7) — pure integer, immune to the Sun=0/Sun=1 split between
+      // engines' dayofweek(). Each dow's baseline comes from exact
+      // integer moments (n, Σy, Σy²); the 7-row stats frame broadcasts
+      // back onto the |days| series. z rounds BEFORE the flag compare so
+      // both engines make the identical threshold decision.
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), cents(col("value")).as("c"))
+          .groupBy("day").agg(sum("c").as("y"))
+          .withColumn("dow",
+            datediff(col("day"), lit("1970-01-01")).cast("long") % 7)
+        val st = byDay.groupBy("dow").agg(count(lit(1)).as("n"),
+          sum("y").as("s1"), sum(col("y") * col("y")).as("s2"))
+        val nD = col("n").cast("double")
+        val varr = (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / nD) /
+          (nD - lit(1.0))
+        byDay.join(broadcast(st), Seq("dow"))
+          .withColumn("z_r",
+            when(col("n") === 1 || varr <= 0.0, lit(0.0))
+              .otherwise(round((col("y").cast("double")
+                - col("s1").cast("double") / nD) / sqrt(varr), 6)))
+          .select(col("day"), col("y"), col("dow"), col("z_r"),
+            (abs(col("z_r")) > 2.0).as("is_anom"))
+          .orderBy("day")
+      },
+      Some("""WITH byday AS (SELECT CAST(ts AS DATE) AS day,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+          dd AS (SELECT day, y,
+              CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) % 7 AS dow
+            FROM byday),
+          st AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y * y) AS BIGINT) AS s2
+            FROM dd GROUP BY 1),
+          j AS (SELECT day, y, dd.dow AS dow, n, s1, s2,
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+            FROM dd JOIN st ON dd.dow = st.dow)
+        SELECT day, y, dow,
+          CASE WHEN n = 1 OR v <= 0.0 THEN 0.0
+            ELSE round((CAST(y AS DOUBLE) - CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / sqrt(v), 6) END AS z_r,
+          abs(CASE WHEN n = 1 OR v <= 0.0 THEN 0.0
+            ELSE round((CAST(y AS DOUBLE) - CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / sqrt(v), 6) END) > 2.0 AS is_anom
+        FROM j ORDER BY day""")),
+    "cluster_balanced_sample" -> Q(
+      // Duplicate-aware sampling (X86): keep each document with
+      // probability ~1/|its dup cluster| so a boilerplate megacluster
+      // contributes ~one representative — the dedup-aware sampler that
+      // flattens duplication without a hard purge. Deterministic and
+      // engine-portable: the keep decision is "value of the first two
+      // md5 hex digits of the doc id × cluster size < 256" (the X13
+      // strpos bucket primitive, two digits for 1/256 granularity).
+      // Reads the memoized CC labels; output is the per-size audit
+      // (clusters, docs, kept) that proves the flattening.
+      (s, d) => {
+        val sz = dupClusters(s, d)
+          .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+        val keep = dupClusters(s, d).join(sz, Seq("rep"))
+          .withColumn("h", md5(col("node").cast("string")))
+          .withColumn("b",
+            hexv(substring(col("h"), 1, 1)) * 16
+              + hexv(substring(col("h"), 2, 1)))
+          .withColumn("kept", col("b").cast("long") * col("sz") < 256)
+        keep.groupBy(col("sz"))
+          .agg(countDistinct(col("rep")).as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("sz")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          walk(node, rep) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, w.rep FROM edges e JOIN walk w ON e.dst = w.node),
+          lab AS (SELECT node, min(rep) AS rep FROM walk GROUP BY node),
+          cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM lab
+            GROUP BY rep),
+          k AS (SELECT lab.node, lab.rep, sz,
+              CAST((strpos('0123456789abcdef',
+                  substring(md5(CAST(node AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substring(md5(CAST(node AS VARCHAR)), 2, 1)) - 1)
+                AS BIGINT) AS b
+            FROM lab JOIN cl ON lab.rep = cl.rep)
+        SELECT sz, CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN b * sz < 256 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept
+        FROM k GROUP BY sz ORDER BY sz""")),
+    "shard_balance" -> Q(
+      // Token-balanced sharding (X87): snake-pack documents into 8
+      // training shards by token count — rank docs largest-first, deal
+      // ranks 1..16 boustrophedon (0..7 then 7..0), repeat — the greedy
+      // layout that bounds shard skew without a driver-side loop. The
+      // global rank uses the gini two-phase banded trick (64-token bands
+      // sort independently, offsets broadcast); the descending index is
+      // n+1−i so the banded ascending rank serves directly. Everything
+      // is integer; the output is the 8-row shard audit.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nt = docs(s, d).select(col("doc_id"),
+          size(split(LlmOps.normText(col("text")), " ")).cast("long").as("n_tok"))
+        val banded = nt.withColumn("band", expr("n_tok div 64"))
+        val wIn = Window.partitionBy("band").orderBy(col("n_tok"), col("doc_id"))
+        val within = banded.withColumn("wi", row_number().over(wIn).cast("long"))
+        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("band"), col("off"))
+        val tot = nt.agg(count(lit(1)).as("nn"))
+        within.join(broadcast(offs), Seq("band"))
+          .crossJoin(broadcast(tot))
+          .withColumn("idesc", col("nn") + 1 - (col("off") + col("wi")))
+          .withColumn("pos", (col("idesc") - 1) % 16)
+          .withColumn("shard",
+            when(col("pos") < 8, col("pos")).otherwise(lit(15L) - col("pos")))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH nt AS (SELECT doc_id,
+              CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+            FROM documents),
+          r AS (SELECT n_tok,
+              CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id DESC)
+                AS BIGINT) AS idesc
+            FROM nt),
+          p AS (SELECT n_tok, (idesc - 1) % 16 AS pos FROM r)
+        SELECT CASE WHEN pos < 8 THEN pos ELSE 15 - pos END AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM p GROUP BY 1 ORDER BY shard""")),
+    "chi2_tokens" -> Q(
+      // χ² feature selection (X88): the 5 most language-discriminative
+      // tokens per lang by the 2×2 chi-square statistic — the classical
+      // "which features identify this class" screen. Every margin
+      // (a, ta, la, N) is an exact integer count; the statistic applies
+      // one canonical IEEE op order to those integers on both engines
+      // and rounds to 6 BEFORE ranking (ties broken by token), so the
+      // top-5 cut is engine-independent. Degenerate margins (token or
+      // lang covering the whole corpus) guard to 0. Plan shape: the
+      // token-grain equi-join shuffles once; the 4-row lang margin and
+      // the 1-row total broadcast; the per-lang cut is a WindowGroupLimit.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tl = tokens(s, d)
+          .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("token"), col("lang")).agg(count(lit(1)).as("a"))
+        val ta = tl.groupBy("token").agg(sum("a").as("ta"))
+        val la = tl.groupBy("lang").agg(sum("a").as("la"))
+        val nn = tl.agg(sum("a").as("nn"))
+        val aD = col("a").cast("double")
+        val bD = (col("ta") - col("a")).cast("double")
+        val cD = (col("la") - col("a")).cast("double")
+        val dD = (col("nn") - col("ta") - col("la") + col("a")).cast("double")
+        val det = aD * dD - bD * cD
+        val den = col("ta").cast("double") * (col("nn") - col("ta")).cast("double") *
+          col("la").cast("double") * (col("nn") - col("la")).cast("double")
+        val scored = tl.join(ta, Seq("token"))
+          .join(broadcast(la), Seq("lang"))
+          .crossJoin(broadcast(nn))
+          .withColumn("chi2_r",
+            when(col("ta") === col("nn") || col("la") === col("nn"), lit(0.0))
+              .otherwise(round(col("nn").cast("double") * det * det / den, 6)))
+        val w = Window.partitionBy("lang").orderBy(col("chi2_r").desc, col("token"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("token"), col("a"),
+            col("chi2_r"), col("rn").cast("long").as("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' '))
+              AS token FROM documents),
+          tl AS (SELECT token, lang, CAST(count(*) AS BIGINT) AS a
+            FROM tok JOIN documents USING (doc_id) GROUP BY 1, 2),
+          ta AS (SELECT token, CAST(sum(a) AS BIGINT) AS ta FROM tl GROUP BY 1),
+          lm AS (SELECT lang, CAST(sum(a) AS BIGINT) AS la FROM tl GROUP BY 1),
+          nt AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM tl),
+          sc AS (SELECT tl.lang, tl.token, a,
+              CASE WHEN ta = nn OR la = nn THEN 0.0
+                ELSE round(CAST(nn AS DOUBLE)
+                  * (CAST(a AS DOUBLE) * CAST(nn - ta - la + a AS DOUBLE)
+                    - CAST(ta - a AS DOUBLE) * CAST(la - a AS DOUBLE))
+                  * (CAST(a AS DOUBLE) * CAST(nn - ta - la + a AS DOUBLE)
+                    - CAST(ta - a AS DOUBLE) * CAST(la - a AS DOUBLE))
+                  / (CAST(ta AS DOUBLE) * CAST(nn - ta AS DOUBLE)
+                    * CAST(la AS DOUBLE) * CAST(nn - la AS DOUBLE)), 6)
+                END AS chi2_r
+            FROM tl JOIN ta USING (token) JOIN lm USING (lang) CROSS JOIN nt),
+          rk AS (SELECT lang, token, a, chi2_r,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY chi2_r DESC, token) AS BIGINT) AS rn
+            FROM sc)
+        SELECT lang, token, a, chi2_r, rn FROM rk WHERE rn <= 5
+        ORDER BY lang, rn""")),
     "zorder_key" -> Q(
       // Z-order (Morton) clustering key (X70) — the data-LAYOUT operator
       // (Delta/Iceberg ZORDER analog): interleave the bits of two scan

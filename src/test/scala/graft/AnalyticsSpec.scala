@@ -1181,6 +1181,142 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.forall(r => r._4 <= r._3 && r._5 >= 0.0 && r._5 <= 1.0))
   }
 
+  test("ewma_smooth: quantized-weight EWMA equals an exact Scala long-arithmetic recompute (X84)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ewma_smooth")(spark, d)
+      .as[(java.sql.Date, Long, Double)].collect().toSeq
+    val byDay = graft.ops.Tables.events(spark, d)
+      .select(org.apache.spark.sql.functions.to_date($"ts").as("day"), $"value")
+      .as[(java.sql.Date, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (day, g) =>
+        (day, g.map(r => math.floor(r._2 * 100 + 0.5).toLong).sum)
+      }
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    val ws = Seq(250000L, 187500L, 140625L, 105469L, 79102L, 59326L,
+      44495L, 33371L, 25028L, 18771L, 14078L, 10559L, 7919L, 5939L,
+      4454L, 3341L)
+    val ys = byDay.map(_._2)
+    val expect = byDay.zipWithIndex.map { case ((day, y), i) =>
+      // exact long sums: numerator over present lags, denominator
+      // renormalizes over the same set — one double division closes
+      val num = ws.zipWithIndex.map { case (w, j) =>
+        if (i - j >= 0) ys(i - j) * w else 0L }.sum
+      val den = ws.zipWithIndex.map { case (w, j) =>
+        if (i - j >= 0) w else 0L }.sum
+      (day, y, math.rint(num.toDouble / den.toDouble * 1e6) / 1e6)
+    }
+    assert(out == expect && out.nonEmpty)
+    // the series head has no history: row 0's EWMA is exactly its own value
+    assert(out.head._3 == math.rint(out.head._2.toDouble * 1e6) / 1e6)
+  }
+
+  test("seasonal_anomaly: dow-baseline z equals a Scala recompute; the flag is the rounded z (X85)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("seasonal_anomaly")(spark, d)
+      .as[(java.sql.Date, Long, Long, Double, Boolean)].collect().toSeq
+    val byDay = graft.ops.Tables.events(spark, d)
+      .select(org.apache.spark.sql.functions.to_date($"ts").as("day"), $"value")
+      .as[(java.sql.Date, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (day, g) =>
+        (day, g.map(r => math.floor(r._2 * 100 + 0.5).toLong).sum) }
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    val withDow = byDay.map { case (day, y) =>
+      (day, y, ((day.toLocalDate.toEpochDay % 7) + 7) % 7) }
+    val st = withDow.groupBy(_._3).map { case (dow, g) =>
+      val n = g.size.toLong
+      val s1 = g.map(_._2).sum
+      val s2 = g.map(r => r._2 * r._2).sum
+      (dow, (n, s1, s2))
+    }
+    val expect = withDow.map { case (day, y, dow) =>
+      val (n, s1, s2) = st(dow)
+      val nD = n.toDouble
+      val v = (s2.toDouble - s1.toDouble * s1.toDouble / nD) / (nD - 1.0)
+      val z = if (n == 1 || v <= 0.0) 0.0
+        else math.rint((y.toDouble - s1.toDouble / nD) / math.sqrt(v) * 1e6) / 1e6
+      (day, y, dow, z, math.abs(z) > 2.0)
+    }
+    assert(out == expect && out.nonEmpty)
+    assert(out.exists(!_._5), "a typical day must not be anomalous")
+  }
+
+  test("cluster_balanced_sample: rows conserve the corpus; singletons always keep; kept <= docs (X86)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cluster_balanced_sample")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val nDocs = graft.ops.Tables.documents(spark, d).count()
+    assert(out.map(_._3).sum == nDocs, "per-size doc counts conserve the corpus")
+    out.foreach { case (sz, nc, nd, nk) =>
+      assert(nd == nc * sz, s"size-$sz row must hold exactly sz docs per cluster")
+      assert(nk <= nd, s"size-$sz kept exceeds docs")
+    }
+    // b in 0..255 so b*1 < 256 always: every singleton survives the sampler
+    out.find(_._1 == 1L).foreach { case (_, _, nd, nk) =>
+      assert(nk == nd, "singleton clusters must keep every doc")
+    }
+    assert(out.map(_._1) == out.map(_._1).sorted && out.nonEmpty)
+  }
+
+  test("shard_balance: snake-packed shards equal a direct Scala deal; tokens conserve (X87)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("shard_balance")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    val nt = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) =>
+        (id, text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").length.toLong) }
+    val dealt = nt.sortBy { case (id, n) => (-n, -id) }.zipWithIndex
+      .map { case ((_, n), i) =>
+        val pos = i % 16
+        val shard = if (pos < 8) pos.toLong else 15L - pos
+        (shard, n)
+      }
+    val expect = dealt.groupBy(_._1).toSeq.map { case (sh, g) =>
+      (sh, g.size.toLong, g.map(_._2).sum) }.sortBy(_._1)
+    assert(out == expect && out.map(_._1) == (0L to 7L))
+    assert(out.map(_._3).sum == nt.map(_._2).sum, "token mass conserves")
+    val totals = out.map(_._3)
+    assert(totals.max - totals.min <= 2 * nt.map(_._2).max,
+      s"snake deal must bound shard skew: $totals")
+  }
+
+  test("chi2_tokens: per-lang top-5 equals a brute-force chi-square recompute (X88)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("chi2_tokens")(spark, d)
+      .as[(String, String, Long, Double, Long)].collect().toSeq
+    val docsL = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val tl = docsL.toSeq.flatMap { case (_, lang, text) =>
+      text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        .map(tok => (tok, lang))
+    }.groupBy(identity).map { case ((tok, lang), g) => (tok, lang, g.size.toLong) }.toSeq
+    val ta = tl.groupBy(_._1).map { case (t, g) => (t, g.map(_._3).sum) }
+    val la = tl.groupBy(_._2).map { case (l, g) => (l, g.map(_._3).sum) }
+    val nn = tl.map(_._3).sum
+    val expect = tl.map { case (tok, lang, a) =>
+      val (taV, laV) = (ta(tok), la(lang))
+      val chi2 =
+        if (taV == nn || laV == nn) 0.0
+        else {
+          val det = a.toDouble * (nn - taV - laV + a).toDouble -
+            (taV - a).toDouble * (laV - a).toDouble
+          val den = taV.toDouble * (nn - taV).toDouble *
+            laV.toDouble * (nn - laV).toDouble
+          math.rint(nn.toDouble * det * det / den * 1e6) / 1e6
+        }
+      (lang, tok, a, chi2)
+    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+        .map { case ((l, t, a, c), i) => (l, t, a, c, i + 1L) }
+    }.sortBy(r => (r._1, r._5))
+    assert(out == expect && out.nonEmpty)
+    out.groupBy(_._1).foreach { case (l, g) =>
+      assert(g.map(_._5) == (1L to 5L), s"lang $l must carry ranks 1..5")
+    }
+  }
+
   test("hist_equidepth: tiles are depth-balanced within one row, ordered, and conserve counts (X75)") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("hist_equidepth")(spark, d)

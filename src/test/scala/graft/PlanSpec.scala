@@ -500,6 +500,37 @@ class PlanSpec extends AnyFunSuite {
       s"the shingle-grain aggregates must partial-aggregate:\n$p")
   }
 
+  test("seasonal_anomaly: the 7-row dow baseline broadcasts back onto the " +
+    "day series and the moments partial-aggregate map-side") {
+    val p = plan("seasonal_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dow stats frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 7-row baseline must never shuffle-join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the integer moments must combine map-side:\n$p")
+  }
+
+  test("shard_balance: the global descending rank comes from the banded " +
+    "two-phase window, never a single-partition global sort") {
+    val p = plan("shard_balance")
+    assert(p.contains("windowspecdefinition(band"),
+      s"the rank window must partition by token band:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the offsets and total must broadcast:\n$p")
+  }
+
+  test("chi2_tokens: the lang margin and corpus total broadcast; the per-lang " +
+    "top-5 cut runs as a window group limit, not a full sort+filter") {
+    val p = plan("chi2_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4-row lang margin must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar total must broadcast, not go cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rn<=5 cut must push into the window operator:\n$p")
+  }
+
   test("centroid_confusion: the labels×dims centroid frame broadcasts and the " +
     "distance reduction partial-aggregates — never a pairwise test×train join") {
     val p = plan("centroid_confusion")
