@@ -1096,7 +1096,11 @@ object QueriesExt {
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
         FROM documents ORDER BY doc_id""")),
     "text_fingerprint" -> Q(
+      // ~250 md5 calls per doc: spread the few source file-partitions
+      // across cores before the row-local hash storm (same fix as the
+      // shingle explodes — the source is 1-2 files, the work is ×250).
       (s, d) => docs(s, d)
+        .repartition(LlmOps.spreadWidth(docs(s, d)))
         .withColumn("norm", LlmOps.normText(col("text")))
         .withColumn("pre", expr("substring(norm, 1, 256)"))
         .select(col("doc_id"),
@@ -1585,8 +1589,11 @@ object QueriesExt {
     "text_repetition" -> Q(
       // Repetition signal (the Gopher/FineWeb-style duplicate-n-gram
       // fraction): 1 − distinct/total character trigrams. Pure per-row
-      // array work — no shuffle before the verify sort.
+      // array work — no shuffle before the verify sort, but the ~len-sized
+      // trigram array per row is heavy enough to spread off the 1-2
+      // source file-partitions first.
       (s, d) => docs(s, d)
+        .repartition(LlmOps.spreadWidth(docs(s, d)))
         .withColumn("norm", LlmOps.normText(col("text")))
         .withColumn("tris", expr(
           """CASE WHEN length(norm) >= 3
@@ -3104,6 +3111,9 @@ object QueriesExt {
           .agg(count(lit(1)).as("n"),
             expr("(sum(c) * 1000000) div count(1)").as("mean_ucents"))
         val reps = ev
+          // ×B row explode with an md5 per replicate row off a 1-file
+          // source: spread across cores before the hash storm
+          .repartition(LlmOps.spreadWidth(ev))
           .select(col("event_type"), col("event_id"), col("c"),
             explode(array((0 until B).map(lit): _*)).as("b"))
           .withColumn("h", expr(
