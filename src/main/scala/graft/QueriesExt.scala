@@ -2744,12 +2744,7 @@ object QueriesExt {
         // partials — silently combining them would break the operator's
         // own "incremental == full recompute" invariant. Two concurrent
         // runs over different data at one path separate the same way.
-        val fp = Option(new java.io.File(s"$d/events.parquet").listFiles())
-          .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-        val root = s"${sys.props("java.io.tmpdir")}/graft_incr_" +
-          graft.ops.HashKey.sha1Hex(s"$d|$fp").take(12)
-        val cache = new Cache(s, root)
+        val cache = new Cache(s, Cache.contentRoot("graft_incr", d, "events"))
         val e = Tables.events(s, d)
           .select(to_date(col("ts")).as("day"), col("event_type"),
             cents(col("value")).as("c"))

@@ -270,3 +270,24 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
       spark.sql(s"DROP TABLE `${bucketTable(key)}`")
   }
 }
+
+object Cache {
+  /** A content-fingerprinted cache root for memoizing derived partials of a
+    * source table: mixes the table's file listing (names, sizes, mtimes)
+    * into the key so a fixture regenerated AT THE SAME PATH versions the
+    * cache instead of probe-hitting stale partials. Shared by the
+    * incremental-maintenance query and its spec — the root derivation is a
+    * contract, not an implementation detail. */
+  def contentRoot(prefix: String, sfDir: String, table: String): String = {
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    // the fixture may be a single parquet FILE or a directory of parts —
+    // fingerprint whichever exists (listFiles() is null for a plain file)
+    val files =
+      if (src.isFile) Array(src)
+      else Option(src.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+    val fp = files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    s"${sys.props("java.io.tmpdir")}/${prefix}_" +
+      HashKey.sha1Hex(s"$sfDir|$fp").take(12)
+  }
+}

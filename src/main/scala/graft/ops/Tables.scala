@@ -76,17 +76,23 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; read nanos as long and convert to a
-    * microsecond timestamp with exact integer division (values carry no
-    * sub-microsecond precision — verified; DuckDB reads the same file as a
-    * plain µs TIMESTAMP, so both engines see identical instants). */
+  /** `events.parquet` has stored `ts` as TIMESTAMP(NANOS) (rejected by
+    * Spark's parquet reader unless read as long) and, after a fixture
+    * regeneration, as a naive µs timestamp (which Spark 4 reads as
+    * TIMESTAMP_NTZ). Normalize BOTH to a session-TZ µs TIMESTAMP here, at
+    * the one table entry point: the session timezone is pinned to UTC by
+    * every entry main, so the NTZ→TZ cast re-labels the same wall-clock
+    * instant DuckDB sees when it reads the naive value — neither path
+    * shifts the instant. Downstream operators can then assume plain
+    * TIMESTAMP (`unix_micros`, range frames, watermarks). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -655,9 +655,8 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(first == direct)
     // the per-day partials are now materialized: a re-run must return the
     // same view from the cache (and the cache must actually hold the days)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_incr_" +
-      graft.ops.HashKey.sha1Hex(d).take(8)
-    val cache = new graft.ops.Cache(spark, root)
+    val cache = new graft.ops.Cache(spark,
+      graft.ops.Cache.contentRoot("graft_incr", d, "events"))
     val day0 = first.head._1.toString.replace("-", "")
     assert(cache.probe(s"daily_$day0"), s"day partition daily_$day0 not materialized")
     assert(q(spark, d).as[(java.sql.Date, String, Long, Long)].collect().toSeq == direct)
