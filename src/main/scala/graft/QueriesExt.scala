@@ -82,6 +82,59 @@ object QueriesExt {
   private val normSql =
     """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
+  /** Shared PII regex family (X8/X8b): one Scala constant per pattern
+    * feeds both the Spark Column tree (via the String-typed `regexp_*`
+    * functions — no SQL-literal escaping layer) and the oracle SQL text,
+    * so the scrub (`text_clean`) and the audit (`pii_audit`) can never
+    * disagree on what counts as PII. All three are RE2-safe, so Java
+    * regex and DuckDB's RE2 compile them identically. */
+  private val urlRe = "https?://\\S+"
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numRe = "[0-9]{6,}"
+  /** Deterministic dirty stress prefix — the fixture documents are
+    * synthetic and clean, so PII-bearing input is constructed, not found. */
+  private val dirtyPrefix =
+    "contact bob.smith+x@example.org via https://eval.example.org/run?id=9 ref 123456789 "
+
+  /** Shared language-ID vote (X4b) as oracle CTEs: marker-token scores +
+    * argmax with the de>en>es>fr tie order. Consumed by `text_langid`
+    * (the per-doc listing) and `kappa_agreement` (the rater-agreement
+    * audit) — one definition on each engine side so the two surfaces can
+    * never validate against diverged rules. */
+  private val langidCtes: String =
+    s"""lid_t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS tokens
+        FROM documents),
+      lid_sc AS (SELECT doc_id, lang,
+        CAST(len(list_filter(tokens, x -> x IN ('der','die','und'))) AS INT) AS sc_de,
+        CAST(len(list_filter(tokens, x -> x IN ('the','and','of'))) AS INT) AS sc_en,
+        CAST(len(list_filter(tokens, x -> x IN ('el','los','y'))) AS INT) AS sc_es,
+        CAST(len(list_filter(tokens, x -> x IN ('le','la','et'))) AS INT) AS sc_fr
+      FROM lid_t),
+      lid_pred AS (SELECT doc_id, lang, sc_de, sc_en, sc_es, sc_fr,
+        CASE WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+             WHEN sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+             WHEN sc_es >= sc_fr THEN 'es'
+             ELSE 'fr' END AS pred
+      FROM lid_sc)"""
+
+  /** The Spark side of [[langidCtes]] — the same scores and argmax as a
+    * Column tree over the documents table. */
+  private def langidFrame(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("tokens", split(LlmOps.normText(col("text")), " "))
+      .withColumn("sc_de", expr("size(filter(tokens, t -> t IN ('der','die','und')))"))
+      .withColumn("sc_en", expr("size(filter(tokens, t -> t IN ('the','and','of')))"))
+      .withColumn("sc_es", expr("size(filter(tokens, t -> t IN ('el','los','y')))"))
+      .withColumn("sc_fr", expr("size(filter(tokens, t -> t IN ('le','la','et')))"))
+      .withColumn("pred",
+        when(col("sc_de") >= col("sc_en") && col("sc_de") >= col("sc_es")
+          && col("sc_de") >= col("sc_fr"), "de")
+        .when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_fr"), "en")
+        .when(col("sc_es") >= col("sc_fr"), "es")
+        .otherwise("fr"))
+      .select(col("doc_id"), col("lang"), col("sc_de"), col("sc_en"),
+        col("sc_es"), col("sc_fr"), col("pred"))
+
   /** Value of one md5 hex digit (0-15) — the engine-portable bucket
     * primitive shared by the deterministic sampling/split/budget ops
     * (DuckDB mirror: `strpos('0123456789abcdef', c) - 1`). */
@@ -1055,35 +1108,12 @@ object QueriesExt {
             / len(tokens) + least(len(tokens), 50) / 50.0, 6) AS quality
         FROM t ORDER BY doc_id""")),
     "text_langid" -> Q(
-      (s, d) => docs(s, d)
-        .withColumn("tokens", split(LlmOps.normText(col("text")), " "))
-        .withColumn("sc_de", expr("size(filter(tokens, t -> t IN ('der','die','und')))"))
-        .withColumn("sc_en", expr("size(filter(tokens, t -> t IN ('the','and','of')))"))
-        .withColumn("sc_es", expr("size(filter(tokens, t -> t IN ('el','los','y')))"))
-        .withColumn("sc_fr", expr("size(filter(tokens, t -> t IN ('le','la','et')))"))
-        .withColumn("pred",
-          when(col("sc_de") >= col("sc_en") && col("sc_de") >= col("sc_es")
-            && col("sc_de") >= col("sc_fr"), "de")
-          .when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_fr"), "en")
-          .when(col("sc_es") >= col("sc_fr"), "es")
-          .otherwise("fr"))
-        .select(col("doc_id"), col("lang"), col("sc_de"), col("sc_en"),
-          col("sc_es"), col("sc_fr"), col("pred"))
-        .orderBy("doc_id"),
-      Some(s"""WITH t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS tokens
-        FROM documents),
-        sc AS (SELECT doc_id, lang,
-          CAST(len(list_filter(tokens, x -> x IN ('der','die','und'))) AS INT) AS sc_de,
-          CAST(len(list_filter(tokens, x -> x IN ('the','and','of'))) AS INT) AS sc_en,
-          CAST(len(list_filter(tokens, x -> x IN ('el','los','y'))) AS INT) AS sc_es,
-          CAST(len(list_filter(tokens, x -> x IN ('le','la','et'))) AS INT) AS sc_fr
-        FROM t)
-        SELECT doc_id, lang, sc_de, sc_en, sc_es, sc_fr,
-          CASE WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
-               WHEN sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
-               WHEN sc_es >= sc_fr THEN 'es'
-               ELSE 'fr' END AS pred
-        FROM sc ORDER BY doc_id""")),
+      // Shared rule: [[langidFrame]] / [[langidCtes]] — also consumed by
+      // kappa_agreement, so listing and audit can't fork.
+      (s, d) => langidFrame(s, d).orderBy("doc_id"),
+      Some(s"""WITH $langidCtes
+        SELECT doc_id, lang, sc_de, sc_en, sc_es, sc_fr, pred
+        FROM lid_pred ORDER BY doc_id""")),
     "text_tokens" -> Q(
       (s, d) => docs(s, d)
         .select(col("doc_id"),
@@ -1531,15 +1561,13 @@ object QueriesExt {
       // with a deterministic dirty prefix; patterns are RE2-safe so both
       // engines compile them identically.
       (s, d) => {
-        val raw = concat(
-          lit("contact bob.smith+x@example.org via https://eval.example.org/run?id=9 ref 123456789 "),
-          expr("substring(text, 1, 60)"))
+        val raw = concat(lit(dirtyPrefix), expr("substring(text, 1, 60)"))
         val cleaned =
           regexp_replace(
             regexp_replace(
-              regexp_replace(raw, "https?://\\S+", "<URL>"),
-              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-            "[0-9]{6,}", "<NUM>")
+              regexp_replace(raw, urlRe, "<URL>"),
+              emailRe, "<EMAIL>"),
+            numRe, "<NUM>")
         docs(s, d).select(col("doc_id"), cleaned.as("cleaned"))
           .withColumn("n_url", size(split(col("cleaned"), "<URL>", -1)) - 1)
           .withColumn("n_email", size(split(col("cleaned"), "<EMAIL>", -1)) - 1)
@@ -1547,14 +1575,13 @@ object QueriesExt {
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id,
-          'contact bob.smith+x@example.org via https://eval.example.org/run?id=9 ref 123456789 '
-            || substring(text, 1, 60) AS raw FROM documents),
+          '$dirtyPrefix' || substring(text, 1, 60) AS raw FROM documents),
         c AS (SELECT doc_id,
           regexp_replace(
             regexp_replace(
-              regexp_replace(raw, 'https?://\\S+', '<URL>', 'g'),
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '[0-9]{6,}', '<NUM>', 'g') AS cleaned
+              regexp_replace(raw, '$urlRe', '<URL>', 'g'),
+              '$emailRe', '<EMAIL>', 'g'),
+            '$numRe', '<NUM>', 'g') AS cleaned
         FROM t)
         SELECT doc_id, cleaned,
           CAST(len(string_split(cleaned, '<URL>')) - 1 AS INT) AS n_url,
@@ -4266,7 +4293,366 @@ object QueriesExt {
         FROM spine s LEFT JOIN byhour USING (event_type, h)
         ORDER BY event_type, h""")))
 
+  // ---- §2.11 wave 3: corpus governance & audit ops ---------------------
+  private val governanceQueries: Seq[(String, Q)] = Seq(
+    "mix_waterfill" -> Q(
+      // Training-mix waterfill (X89): allocate a global character budget
+      // (40% of total supply) across languages with EQUAL target shares,
+      // capped by per-language supply — the data-mixing step that decides
+      // how much of each language a training run actually takes. Exact
+      // integer arithmetic throughout. The capped set is found closed-form,
+      // not iteratively: sorting languages by supply ascending,
+      // f(i) = B − cum_{i−1} − sup_i·(k−i+1) is non-increasing
+      // (f(i+1)−f(i) = (k−i)(sup_i − sup_{i+1}) ≤ 0), so "capped" is a
+      // PREFIX of the sort and one window pass decides it. The leftover
+      // budget splits evenly over uncapped languages, remainder dealt to
+      // the smallest-supply uncapped ones — fully deterministic. Every
+      // frame after the first aggregate is |langs|-sized, so the
+      // unpartitioned windows run over a handful of rows at any corpus
+      // scale; the only corpus-sized work is ONE map-side-combinable
+      // supply aggregate.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sup = docs(s, d).groupBy(col("lang"))
+          .agg(sum(col("n_chars")).as("sup"))
+        val tot = sup.agg(sum(col("sup")).as("tot"),
+          count(lit(1)).as("k"))
+        val w = Window.orderBy(col("sup").asc, col("lang").asc) // |langs| rows
+        val ranked = sup.crossJoin(broadcast(tot))
+          .withColumn("budget", expr("(tot * 2) div 5"))
+          .withColumn("idx", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(col("sup")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rem", col("budget") - (col("cum") - col("sup")))
+          .withColumn("capped",
+            col("sup") * (col("k") - col("idx") + 1) <= col("rem"))
+        val cagg = ranked.agg(
+          sum(when(col("capped"), col("sup")).otherwise(0L)).as("cap_sum"),
+          sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
+        ranked.crossJoin(broadcast(cagg))
+          .withColumn("alloc",
+            when(col("capped"), col("sup")).otherwise(
+              expr("(budget - cap_sum) div (k - n_capped)") +
+                when(col("idx") - col("n_capped") <=
+                  (col("budget") - col("cap_sum")) % (col("k") - col("n_capped")),
+                  1L).otherwise(0L)))
+          .select(col("lang"), col("sup"), col("budget"), col("capped"),
+            col("alloc"))
+          .orderBy("lang")
+      },
+      Some("""WITH sup AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sup
+            FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(sup) AS BIGINT) AS tot,
+            CAST(count(*) AS BIGINT) AS k FROM sup),
+          r AS (SELECT lang, sup, tot, k, (tot * 2) // 5 AS budget,
+            CAST(row_number() OVER (ORDER BY sup, lang) AS BIGINT) AS idx,
+            CAST(sum(sup) OVER (ORDER BY sup, lang ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+          FROM sup, t),
+          c AS (SELECT *, budget - (cum - sup) AS rem,
+            sup * (k - idx + 1) <= budget - (cum - sup) AS capped FROM r),
+          agg AS (SELECT
+            CAST(sum(CASE WHEN capped THEN sup ELSE 0 END) AS BIGINT) AS cap_sum,
+            CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+          FROM c)
+        SELECT lang, sup, CAST(budget AS BIGINT) AS budget, capped,
+          CAST(CASE WHEN capped THEN sup ELSE
+            (budget - cap_sum) // (k - n_capped) +
+              (CASE WHEN idx - n_capped <=
+                 (budget - cap_sum) % (k - n_capped) THEN 1 ELSE 0 END)
+          END AS BIGINT) AS alloc
+        FROM c, agg ORDER BY lang""")),
+    "dedup_containment" -> Q(
+      // Asymmetric containment dedup (X2h): C(A,B) = |sh(A)∩sh(B)| / |sh(A)|
+      // over distinct 8-char shingles — catches "doc A is an excerpt of
+      // doc B", which symmetric Jaccard structurally misses (a 120-char
+      // excerpt of a 3000-char doc has tiny Jaccard but containment 1).
+      // The fixture is synthetic with no real excerpts, so the query
+      // CONSTRUCTS them (text_clean's stress-input pattern): every
+      // doc_id % 7 == 0 document contributes a derived excerpt row
+      // (id + 1,000,000, chars 11..130 of the normalized text).
+      // Shingles come from a FIXED 512-char window of the normalized text
+      // — the same bounded-per-doc-state trade text_fingerprint makes
+      // (full-text containment is this plan with the window removed, at
+      // cost linear in corpus bytes). Candidates come from PREFIX
+      // FILTERING (PPJoin family): each doc probes with its 2 globally
+      // RAREST shingles (smallest document frequency, shingle tie-break)
+      // against the (doc, shingle) index — a shingle-keyed equi-join
+      // whose fan per probe IS the probed shingle's document frequency,
+      // which the rarest-first pick makes ~1-2, never a doc×doc cross.
+      // (A hash-min signature pick correlates across docs: one common
+      // shingle that hashes low becomes HALF the corpus's signature and
+      // its candidate fan goes quadratic — measured 40 s vs 2 s at
+      // sf0.1.) The df build and per-doc pick are one shingle-grain
+      // aggregate + a WindowGroupLimit top-2. Full containment (θ=1) has
+      // recall 1 by construction — EVERY shingle of A, including its 2
+      // rarest, is in B; partial containment is probabilistic (LSH-style
+      // trade, like X2/X2d).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).repartition(LlmOps.spreadWidth(docs(s, d)))
+          .withColumn("norm", substring(LlmOps.normText(col("text")), 1, 512))
+          .select(col("doc_id"), col("norm"))
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              expr("substring(norm, 11, 120)").as("norm")))
+        val shE =
+          "array_distinct(transform(sequence(1, length(norm)-7), i -> substring(norm, i, 8)))"
+        val fil = corpus.filter(length(col("norm")) >= 8)
+        // build each doc's shingle array ONCE and persist the (doc_id, s)
+        // frame MEMORY_AND_DISK (the robust-stats projection precedent:
+        // spill-safe, eviction falls back to recompute, LRU owns the
+        // lifetime). Every consumer — the exploded index with its df /
+        // signature / candidate / per-doc-count readers, and the two set
+        // sides of the final intersect — reads the cache. Without the
+        // cache each consumer re-runs the scan + array build, and worse:
+        // InferFiltersFromGenerate infers `size(s) > 0 AND isnotnull(s)`
+        // from `explode(s)` and pushes the WHOLE array construction into
+        // the parquet scan's row-level DataFilters, rebuilding every
+        // doc's array twice more per row in interpreted mode (measured
+        // 18 s vs 3 s for the explode alone at sf0.1). Over the cache the
+        // same inferred predicates are cheap size checks on materialized
+        // arrays.
+        val shArr = fil.withColumn("s", expr(shE))
+          .select(col("doc_id"), col("s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idx = shArr.select(col("doc_id").as("doc_b"),
+          explode(col("s")).as("w"))
+        val df = idx.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val wRare = Window.partitionBy(col("doc_b")).orderBy(col("df"), col("w"))
+        val sig = idx.join(df, Seq("w"))
+          .withColumn("rk", row_number().over(wRare))
+          .filter(col("rk") <= 2)
+          .select(col("doc_b").as("doc_a"), col("w"))
+        val cand = sig.join(idx, Seq("w"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // the intersection CO-LOCATES whole shingle sets: each candidate
+        // pair pulls both docs' cached arrays by id-keyed join and
+        // intersects them in one project — the payload that shuffles is
+        // |candidate docs| arrays, NOT the Σ n_a row expansion a
+        // relational intersect (pair × shingle × index join) shuffles
+        // (measured: the expansion form moves ~20 M rows through an extra
+        // exchange and runs 4 s slower at sf0.1). All predicates here are
+        // integer-only over cached columns, so nothing re-derives arrays.
+        cand
+          .join(shArr.select(col("doc_id").as("doc_a"), col("s").as("sa")),
+            Seq("doc_a"))
+          .join(shArr.select(col("doc_id").as("doc_b"), col("s").as("sb")),
+            Seq("doc_b"))
+          .withColumn("n_a", size(col("sa")).cast("long"))
+          .withColumn("n_inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          // 20-shingle floor and integer C >= 0.5 threshold: both engines
+          // make the identical cut with no float compare
+          .filter(col("n_a") >= 20 && col("n_inter") * 2 >= col("n_a"))
+          .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_inter"),
+            round(col("n_inter").cast("double") / col("n_a"), 6).as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+            substring($normSql, 1, 512) AS norm FROM documents),
+          corpus AS (SELECT doc_id, norm FROM base
+            UNION ALL
+            SELECT doc_id + 1000000, substring(norm, 11, 120) FROM base
+            WHERE doc_id % 7 = 0),
+          sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(length(norm)-7),
+              i -> substring(norm, i+1, 8))) AS s
+          FROM corpus WHERE length(norm) >= 8),
+          idx AS (SELECT doc_id AS doc_b, unnest(s) AS w FROM sh),
+          df AS (SELECT w, count(*) AS df FROM idx GROUP BY 1),
+          sig AS (SELECT doc_b AS doc_a, w FROM (
+            SELECT i.doc_b, i.w,
+              row_number() OVER (PARTITION BY i.doc_b ORDER BY df.df, i.w) AS rk
+            FROM idx i JOIN df ON i.w = df.w) WHERE rk <= 2),
+          cand AS (SELECT DISTINCT doc_a, doc_b
+            FROM sig JOIN idx USING (w) WHERE doc_a <> doc_b),
+          j AS (SELECT doc_a, doc_b,
+              CAST(len(sa.s) AS BIGINT) AS n_a,
+              CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.doc_a
+            JOIN sh sb ON sb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b, n_a, n_inter,
+          round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
+        FROM j WHERE n_a >= 20 AND n_inter * 2 >= n_a
+        ORDER BY doc_a, doc_b""")),
+    "pii_audit" -> Q(
+      // PII exposure audit (X8b): per-language counts of email / URL /
+      // long-digit-run matches — the governance report that decides
+      // whether a source needs scrubbing before release. Shares the exact
+      // regex family with text_clean ([[urlRe]]/[[emailRe]]/[[numRe]]),
+      // and stresses a deterministic THIRD of the corpus (doc_id % 3 == 0)
+      // with the dirty prefix so flagged/unflagged both occur. Stateless
+      // per-row extraction + ONE map-side-combinable |langs|-row
+      // aggregate — no join, no window, one shuffle at any corpus size.
+      (s, d) => {
+        val perDoc = docs(s, d)
+          .withColumn("raw",
+            when(col("doc_id") % 3 === 0,
+              concat(lit(dirtyPrefix), expr("substring(text, 1, 60)")))
+            .otherwise(expr("substring(text, 1, 60)")))
+          .select(col("lang"),
+            size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+              .cast("long").as("e"),
+            size(regexp_extract_all(col("raw"), lit(urlRe), lit(0)))
+              .cast("long").as("u"),
+            size(regexp_extract_all(col("raw"), lit(numRe), lit(0)))
+              .cast("long").as("m"))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("e") + col("u") + col("m") > 0, 1L).otherwise(0L))
+              .as("docs_flagged"),
+            sum(col("e")).as("n_email"),
+            sum(col("u")).as("n_url"),
+            sum(col("m")).as("n_num"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, CASE WHEN doc_id % 3 = 0
+            THEN '$dirtyPrefix' || substring(text, 1, 60)
+            ELSE substring(text, 1, 60) END AS raw FROM documents),
+          c AS (SELECT lang,
+            CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS e,
+            CAST(len(regexp_extract_all(raw, '$urlRe')) AS BIGINT) AS u,
+            CAST(len(regexp_extract_all(raw, '$numRe')) AS BIGINT) AS m
+          FROM t)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN e + u + m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_flagged,
+          CAST(sum(e) AS BIGINT) AS n_email,
+          CAST(sum(u) AS BIGINT) AS n_url,
+          CAST(sum(m) AS BIGINT) AS n_num
+        FROM c GROUP BY lang ORDER BY lang""")),
+    "kappa_agreement" -> Q(
+      // Cohen's kappa (X91): chance-corrected agreement between the
+      // DECLARED language label and the X4b language-ID vote — the
+      // inter-annotator-agreement readout for "how much do my labeler and
+      // my heuristic actually agree". Shares [[langidFrame]]/[[langidCtes]]
+      // with text_langid, so the rater rule cannot fork. Every margin is
+      // an exact integer (N, diagonal, per-label row/col counts);
+      // κ = (N·agree − Σ row_l·col_l) / (N² − Σ row_l·col_l) closes with
+      // ONE division of exact longs (N² at sf0.1 ≈ 10⁸ ≪ 2⁵³), rounded
+      // to 6; the all-one-class degenerate case (N² = Σ) guards to 0.
+      // Shapes: doc-grain scan → two |langs|-row margin aggregates +
+      // full-outer on the label set → 1-row closing select.
+      (s, d) => {
+        val p = langidFrame(s, d).select(col("lang"), col("pred"))
+        val t = p.agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("n_agree"))
+        val r = p.groupBy(col("lang").as("lbl")).agg(count(lit(1)).as("rc"))
+        val c = p.groupBy(col("pred").as("lbl")).agg(count(lit(1)).as("cc"))
+        val pe = r.join(c, Seq("lbl"), "full_outer")
+          .agg(sum(coalesce(col("rc"), lit(0L)) * coalesce(col("cc"), lit(0L)))
+            .as("pe_num"))
+        t.crossJoin(broadcast(pe))
+          .select(col("n"), col("n_agree"), col("pe_num"),
+            when(col("n") * col("n") === col("pe_num"), lit(0.0))
+              .otherwise(round(
+                (col("n") * col("n_agree") - col("pe_num")).cast("double") /
+                (col("n") * col("n") - col("pe_num")).cast("double"), 6))
+              .as("kappa_r"))
+      },
+      Some(s"""WITH $langidCtes,
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree
+          FROM lid_pred),
+          r AS (SELECT lang AS lbl, count(*) AS rc FROM lid_pred GROUP BY 1),
+          c AS (SELECT pred AS lbl, count(*) AS cc FROM lid_pred GROUP BY 1),
+          m AS (SELECT CAST(sum(COALESCE(rc, 0) * COALESCE(cc, 0)) AS BIGINT)
+              AS pe_num
+            FROM r FULL OUTER JOIN c USING (lbl))
+        SELECT n, n_agree, pe_num,
+          CASE WHEN n * n = pe_num THEN 0.0 ELSE
+            round(CAST(n * n_agree - pe_num AS DOUBLE) /
+              CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa_r
+        FROM t, m""")),
+    "rfm_scores" -> Q(
+      // RFM segmentation (X92): per-user Recency / Frequency / Monetary
+      // quintile scores — the classic CRM cut, all-integer. Recency is
+      // days from the user's last event to the global max day; frequency
+      // is the event count; monetary is exact cents. Each score is
+      // 5 − (5·(rank−1)) div n over the GLOBAL rank by (metric, user_id)
+      // — the cume-based tile (deterministic, engine-portable; ntile's
+      // remainder rule is NOT mirrored, the formula is, on both sides).
+      // Global ranks come from the gini_spend two-phase banded trick, one
+      // per metric: a band-partitioned row_number + |bands|-row broadcast
+      // offsets — never a single-task whole-population sort. Bands:
+      // recency by day (calendar-bounded), frequency by count value,
+      // monetary by $10k cents band.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            cents(col("value")).as("c"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("c").as("cents"),
+            max("day").as("last_day"))
+        val g = u.agg(max("last_day").as("gmax"), count(lit(1)).as("nu"))
+        val m = u.crossJoin(broadcast(g))
+          .withColumn("r_days", datediff(col("gmax"), col("last_day")).cast("long"))
+          .select("user_id", "r_days", "n_events", "cents", "nu")
+        def grank(df: DataFrame, key: String, div: Long, asc: Boolean,
+            out: String): DataFrame = {
+          val banded = df.withColumn("band", expr(s"$key div $div"))
+          val ord =
+            if (asc) Seq(col(key).asc, col("user_id").asc)
+            else Seq(col(key).desc, col("user_id").asc)
+          val wIn = Window.partitionBy("band").orderBy(ord: _*)
+          val bandOrd = if (asc) col("band").asc else col("band").desc
+          val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+            .withColumn("off", coalesce(sum("bn").over(
+              Window.orderBy(bandOrd)
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select("band", "off")
+          banded.withColumn("wi", row_number().over(wIn).cast("long"))
+            .join(broadcast(offs), Seq("band"))
+            .withColumn(out, col("off") + col("wi"))
+            .drop("band", "wi", "off")
+        }
+        val ranked = grank(grank(grank(m,
+          "r_days", 1L, asc = true, "rr"),
+          "n_events", 1L, asc = false, "rf"),
+          "cents", 1000000L, asc = false, "rm")
+        ranked
+          .withColumn("r_s", (lit(5) - expr("(5*(rr-1)) div nu")).cast("int"))
+          .withColumn("f_s", (lit(5) - expr("(5*(rf-1)) div nu")).cast("int"))
+          .withColumn("m_s", (lit(5) - expr("(5*(rm-1)) div nu")).cast("int"))
+          .withColumn("rfm",
+            (col("r_s") * 100 + col("f_s") * 10 + col("m_s")).cast("int"))
+          .select("user_id", "r_days", "n_events", "cents",
+            "r_s", "f_s", "m_s", "rfm")
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              AS cents,
+            max(CAST(ts AS DATE)) AS last_day
+          FROM events GROUP BY 1),
+          g AS (SELECT max(last_day) AS gmax,
+            CAST(count(*) AS BIGINT) AS nu FROM u),
+          m AS (SELECT user_id, n_events, cents,
+            CAST(date_diff('day', last_day, gmax) AS BIGINT) AS r_days, nu
+          FROM u, g),
+          rk AS (SELECT *,
+            CAST(row_number() OVER (ORDER BY r_days, user_id) AS BIGINT) AS rr,
+            CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+              AS BIGINT) AS rf,
+            CAST(row_number() OVER (ORDER BY cents DESC, user_id)
+              AS BIGINT) AS rm
+          FROM m)
+        SELECT user_id, r_days, n_events, cents,
+          CAST(5 - (5*(rr-1)) // nu AS INT) AS r_s,
+          CAST(5 - (5*(rf-1)) // nu AS INT) AS f_s,
+          CAST(5 - (5*(rm-1)) // nu AS INT) AS m_s,
+          CAST((5 - (5*(rr-1)) // nu) * 100 + (5 - (5*(rf-1)) // nu) * 10
+            + (5 - (5*(rm-1)) // nu) AS INT) AS rfm
+        FROM rk ORDER BY user_id""")))
+
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++
-      pipelineQueries ++ curationQueries ++ analyticsQueries
+      pipelineQueries ++ curationQueries ++ analyticsQueries ++
+      governanceQueries
 }

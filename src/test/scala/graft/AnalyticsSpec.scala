@@ -1335,4 +1335,143 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mix_waterfill: budget conserves exactly, caps respected, uncapped even (X89)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("mix_waterfill")(spark, d)
+      .as[(String, Long, Long, Boolean, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val budget = out.head._3
+    assert(out.forall(_._3 == budget), "budget is a single global scalar")
+    val tot = out.map(_._2).sum
+    assert(budget == tot * 2 / 5, "budget = 40% of supply, integer floor")
+    out.foreach { case (l, sup, _, capped, alloc) =>
+      assert(alloc <= sup, s"$l allocated beyond supply")
+      assert(alloc >= 0, s"$l negative allocation")
+      if (capped) assert(alloc == sup, s"$l capped but not at supply")
+    }
+    val uncapped = out.filter(!_._4).map(_._5)
+    if (uncapped.nonEmpty) {
+      assert(out.map(_._5).sum == budget,
+        "with any uncapped language the waterfill must spend the budget exactly")
+      assert(uncapped.max - uncapped.min <= 1,
+        s"uncapped allocations must be even within 1: $uncapped")
+      // water level: every uncapped share is >= every capped supply
+      val cappedSup = out.filter(_._4).map(_._2)
+      if (cappedSup.nonEmpty)
+        assert(uncapped.min >= cappedSup.max,
+          "a capped language cannot sit above the water level")
+    } else assert(out.map(_._5).sum == tot, "all capped -> allocate everything")
+  }
+
+  test("dedup_containment: constructed excerpts are all found at containment 1 (X2h)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_containment")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, na, ni, c) =>
+      assert(a != b && ni <= na && na >= 20, s"pair ($a,$b) malformed")
+      assert(c >= 0.5 && c <= 1.0, s"pair ($a,$b) containment $c out of range")
+    }
+    // recall-1 guarantee for full containment: every excerpt row that met
+    // the 20-shingle floor MUST be caught against its parent with C = 1
+    // (all its shingles, including its two signature minima, are in the
+    // parent's set by construction)
+    val expected = graft.ops.Tables.documents(spark, d)
+      .filter($"doc_id" % 7 === 0)
+      .withColumn("norm", graft.ops.LlmOps.normText($"text"))
+      .withColumn("ex", expr("substring(norm, 11, 120)"))
+      .filter(length($"ex") >= 8)
+      .withColumn("s", expr(
+        "array_distinct(transform(sequence(1, length(ex)-7), i -> substring(ex, i, 8)))"))
+      .filter(size($"s") >= 20)
+      .select(($"doc_id" + 1000000L).as("a"), $"doc_id".as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must yield at least one excerpt")
+    val got = out.map(t => (t._1, t._2)).toSet
+    expected.foreach { pr =>
+      assert(got.contains(pr), s"excerpt pair $pr missed (recall-1 violated)") }
+    out.filter(t => expected.contains((t._1, t._2))).foreach {
+      case (a, b, na, ni, c) =>
+        assert(ni == na && c == 1.0, s"excerpt ($a,$b) not fully contained")
+    }
+  }
+
+  test("pii_audit: rollup reconciles with the documents table (X8b)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("pii_audit")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val byLang = graft.ops.Tables.documents(spark, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"doc_id" % 3 === 0, 1L).otherwise(0L)).as("stressed"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out.map(_._1).toSet == byLang.keySet, "every language reported")
+    out.foreach { case (lang, nDocs, flagged, e, u, m) =>
+      val (n, stressed) = byLang(lang)
+      assert(nDocs == n, s"$lang doc count")
+      assert(flagged >= stressed && flagged <= nDocs,
+        s"$lang: each stressed doc carries an email+url+num, so flagged >= $stressed")
+      // the dirty prefix contributes exactly one of each per stressed doc
+      assert(e >= stressed && u >= stressed && m >= stressed,
+        s"$lang: per-type counts must cover the stressed docs")
+    }
+  }
+
+  test("kappa_agreement: kappa recomputes exactly from the shared langid vote (X91)") {
+    val d = "/root/testdata/sf0.001"
+    val Array((n, agree, peNum, kappaR)) =
+      SparkEntry.queries("kappa_agreement")(spark, d)
+        .as[(Long, Long, Long, Double)].collect()
+    // recompute from text_langid, which consumes the SAME shared rule
+    val votes = SparkEntry.queries("text_langid")(spark, d)
+      .select($"lang", $"pred").as[(String, String)].collect().toSeq
+    assert(n == votes.size)
+    assert(agree == votes.count(v => v._1 == v._2))
+    val rows = votes.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cols = votes.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pe = (rows.keySet ++ cols.keySet).toSeq
+      .map(l => rows.getOrElse(l, 0L) * cols.getOrElse(l, 0L)).sum
+    assert(peNum == pe, "chance-agreement numerator from exact margins")
+    val want =
+      if (n * n == pe) 0.0
+      else BigDecimal((n * agree - pe).toDouble / (n * n - pe).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kappaR == want, s"kappa $kappaR != recomputed $want")
+    assert(kappaR >= -1.0 && kappaR <= 1.0)
+  }
+
+  test("rfm_scores: scores recompute from a brute-force global rank (X92)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("rfm_scores")(spark, d)
+      .as[(Long, Long, Long, Long, Int, Int, Int, Int)].collect().toSeq
+    val ev = graft.ops.Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").as("day"),
+        floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .as[(Long, java.sql.Date, Long)].collect()
+    val users = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      (u, es.size.toLong, es.map(_._3).sum, es.map(_._2.toLocalDate).max(
+        Ordering.by((x: java.time.LocalDate) => x.toEpochDay)))
+    }
+    val gmax = users.map(_._4.toEpochDay).max
+    val nu = users.size.toLong
+    def score(rank: Long): Int = (5L - (5L * (rank - 1)) / nu).toInt
+    val m = users.map { case (u, ne, cents, last) =>
+      (u, gmax - last.toEpochDay, ne, cents) }
+    val rr = m.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rf = m.sortBy(t => (-t._3, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rm = m.sortBy(t => (-t._4, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val want = m.map { case (u, rd, ne, cents) =>
+      val (r, f, mo) = (score(rr(u)), score(rf(u)), score(rm(u)))
+      (u, rd, ne, cents, r, f, mo, r * 100 + f * 10 + mo)
+    }.sortBy(_._1)
+    assert(out == want && out.nonEmpty)
+    out.foreach { case (_, _, _, _, r, f, mo, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && mo >= 1 && mo <= 5)
+    }
+  }
 }

@@ -541,4 +541,51 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"),
       s"the Σ(Δ²) reduction must combine map-side:\n$p")
   }
+
+  test("mix_waterfill: corpus work is one partial supply aggregate; the " +
+    "|langs|-row tail never sort-merges or goes cartesian") {
+    val p = plan("mix_waterfill")
+    assert(p.contains("partial_sum"),
+      s"the per-language supply aggregate must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scalar/offset attaches must broadcast:\n$p")
+  }
+
+  test("dedup_containment: candidates come from the shingle-hash equi-join " +
+    "(prefix filter) — never a doc-cross") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must not cross docs:\n$p")
+    assert(p.contains("hashpartitioning(w#"),
+      s"the candidate join must key on the shingle value:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"consumers must read the persisted shingle-array frame:\n$p")
+  }
+
+  test("pii_audit: scan prunes to (doc_id, text, lang) and the rollup " +
+    "partial-aggregates map-side") {
+    val p = plan("pii_audit")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"documents scan not pruned to the three used columns:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the language rollup must combine map-side:\n$p")
+  }
+
+  test("kappa_agreement: margin aggregates partial-aggregate; the closing " +
+    "1-row attach never goes cartesian") {
+    val p = plan("kappa_agreement")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"margins must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row closing attach must broadcast:\n$p")
+  }
+
+  test("rfm_scores: all three global ranks ride band-partitioned windows " +
+    "plus broadcast offsets — never a single-partition population sort") {
+    val p = plan("rfm_scores")
+    assert(p.contains("windowspecdefinition(band"),
+      s"rank windows must partition by metric band:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"offset frames must broadcast:\n$p")
+  }
 }
