@@ -117,6 +117,49 @@ object QueriesExt {
              ELSE 'fr' END AS pred
       FROM lid_sc)"""
 
+  /** Shared C4-style quality gate (X17) as oracle CTEs — consumed by
+    * `quality_gate` (the per-doc listing) and `woe_bins` (the
+    * weight-of-evidence readout over the gate's label), one definition
+    * per engine side so the gate rule cannot fork. `qg_pass` exposes
+    * (doc_id, n_chars, wc, mean_wlen, stop_ratio, digit_ratio, pass). */
+  private val gateCtes: String =
+    s"""qg_t AS (SELECT doc_id, n_chars, $normSql AS norm,
+        string_split($normSql, ' ') AS w FROM documents),
+      qg_m AS (SELECT doc_id, n_chars,
+        CAST(len(w) AS BIGINT) AS wc,
+        CAST(length(norm) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wlen,
+        CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','on'))) AS DOUBLE)
+          / len(w) AS stop_ratio,
+        CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS DOUBLE)
+          / length(norm) AS digit_ratio
+      FROM qg_t),
+      qg_pass AS (SELECT doc_id, n_chars, wc, mean_wlen, stop_ratio, digit_ratio,
+        CASE WHEN wc >= 40 AND mean_wlen >= 3 AND mean_wlen <= 8
+          AND stop_ratio >= 0.01 AND digit_ratio <= 0.2 THEN 1 ELSE 0 END AS pass
+      FROM qg_m)"""
+
+  /** The Spark side of [[gateCtes]]: same ratios and gate decision as a
+    * Column tree (un-rounded — consumers round for display). */
+  private def gateFrame(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("__norm", LlmOps.normText(col("text")))
+      .withColumn("__w", split(col("__norm"), " "))
+      .withColumn("wc", size(col("__w")).cast("long"))
+      .withColumn("mean_wlen",
+        (length(col("__norm")) - (col("wc") - 1)).cast("double") / col("wc"))
+      .withColumn("stop_ratio", expr(
+        "size(filter(__w, x -> x IN ('the','a','of','to','and','in','is','on')))")
+        .cast("double") / col("wc"))
+      .withColumn("digit_ratio",
+        (length(col("__norm")) - length(regexp_replace(col("__norm"), "[0-9]", "")))
+          .cast("double") / length(col("__norm")))
+      .withColumn("pass",
+        when(col("wc") >= 40 && col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0
+          && col("stop_ratio") >= 0.01 && col("digit_ratio") <= 0.2, 1)
+        .otherwise(0))
+      .select(col("doc_id"), col("n_chars"), col("wc"), col("mean_wlen"),
+        col("stop_ratio"), col("digit_ratio"), col("pass"))
+
   /** The Spark side of [[langidCtes]] — the same scores and argmax as a
     * Column tree over the documents table. */
   private def langidFrame(s: SparkSession, d: String): DataFrame =
@@ -1266,45 +1309,20 @@ object QueriesExt {
       // stopword ratio, digit ratio → hard pass/fail gate. Stateless
       // per-row map (ratios are exact integer arithmetic divided once, so
       // both engines branch identically); thresholds chosen to split the
-      // synthetic corpus.
-      (s, d) => {
-        val gated = docs(s, d)
-          .withColumn("__norm", LlmOps.normText(col("text")))
-          .withColumn("__w", split(col("__norm"), " "))
-          .withColumn("wc", size(col("__w")).cast("long"))
-          .withColumn("mean_wlen",
-            (length(col("__norm")) - (col("wc") - 1)).cast("double") / col("wc"))
-          .withColumn("stop_ratio", expr(
-            "size(filter(__w, x -> x IN ('the','a','of','to','and','in','is','on')))")
-            .cast("double") / col("wc"))
-          .withColumn("digit_ratio",
-            (length(col("__norm")) - length(regexp_replace(col("__norm"), "[0-9]", "")))
-              .cast("double") / length(col("__norm")))
-        gated.select(col("doc_id"), col("wc"),
-            round(col("mean_wlen"), 6).as("mean_wlen_r"),
-            round(col("stop_ratio"), 6).as("stop_ratio_r"),
-            round(col("digit_ratio"), 6).as("digit_ratio_r"),
-            when(col("wc") >= 40 && col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0
-                && col("stop_ratio") >= 0.01 && col("digit_ratio") <= 0.2, 1)
-              .otherwise(0).as("pass"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH t AS (SELECT doc_id, $normSql AS norm,
-          string_split($normSql, ' ') AS w FROM documents),
-        m AS (SELECT doc_id,
-          CAST(len(w) AS BIGINT) AS wc,
-          CAST(length(norm) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wlen,
-          CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','on'))) AS DOUBLE)
-            / len(w) AS stop_ratio,
-          CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS DOUBLE)
-            / length(norm) AS digit_ratio
-        FROM t)
+      // synthetic corpus. Shared rule: [[gateFrame]]/[[gateCtes]] — also
+      // consumed by woe_bins, so listing and readout can't fork.
+      (s, d) => gateFrame(s, d)
+        .select(col("doc_id"), col("wc"),
+          round(col("mean_wlen"), 6).as("mean_wlen_r"),
+          round(col("stop_ratio"), 6).as("stop_ratio_r"),
+          round(col("digit_ratio"), 6).as("digit_ratio_r"),
+          col("pass"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $gateCtes
         SELECT doc_id, wc, round(mean_wlen, 6) AS mean_wlen_r,
           round(stop_ratio, 6) AS stop_ratio_r,
-          round(digit_ratio, 6) AS digit_ratio_r,
-          CASE WHEN wc >= 40 AND mean_wlen >= 3 AND mean_wlen <= 8
-            AND stop_ratio >= 0.01 AND digit_ratio <= 0.2 THEN 1 ELSE 0 END AS pass
-        FROM m ORDER BY doc_id""")),
+          round(digit_ratio, 6) AS digit_ratio_r, pass
+        FROM qg_pass ORDER BY doc_id""")),
     "multimodal_meta" -> Q(
       (s, d) => docs(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -4649,7 +4667,121 @@ object QueriesExt {
           CAST(5 - (5*(rm-1)) // nu AS INT) AS m_s,
           CAST((5 - (5*(rr-1)) // nu) * 100 + (5 - (5*(rf-1)) // nu) * 10
             + (5 - (5*(rm-1)) // nu) AS INT) AS rfm
-        FROM rk ORDER BY user_id""")))
+        FROM rk ORDER BY user_id""")),
+    "woe_bins" -> Q(
+      // Weight-of-evidence binning (X93): document-length deciles scored
+      // against the X17 quality-gate label — "which length bands survive
+      // curation", the feature-screening readout (WOE/IV) done the
+      // credit-scoring way. Shares [[gateFrame]]/[[gateCtes]] so the
+      // label rule cannot fork. Deciles come from the cume-tile formula
+      // over a GLOBAL (n_chars, doc_id) rank built with the banded
+      // two-phase window (200-char bands) — never a single-task corpus
+      // sort. Counts are exact integers; the closing WOE/IV floats apply
+      // Laplace smoothing (+0.5 per class, +0.5·10 per total — no
+      // ln(0)/÷0 anywhere, ANSI-safe) in the IDENTICAL IEEE op order on
+      // both engines, rounded to 6.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = gateFrame(s, d).select(col("doc_id"), col("n_chars"), col("pass"))
+        val nt = p.agg(count(lit(1)).as("n"), sum(col("pass")).cast("long").as("g"))
+        val banded = p.withColumn("band", expr("n_chars div 200"))
+        val wIn = Window.partitionBy("band").orderBy(col("n_chars"), col("doc_id"))
+        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("band", "off")
+        val gr = (col("n_good") + 0.5) / (col("g_tot") + 5.0)
+        val br = (col("n_bad") + 0.5) / (col("b_tot") + 5.0)
+        banded.withColumn("wi", row_number().over(wIn).cast("long"))
+          .join(broadcast(offs), Seq("band"))
+          .crossJoin(broadcast(nt))
+          .withColumn("bin", (expr("(10*(off+wi-1)) div n") + 1).cast("int"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pass")).cast("long").as("n_good"),
+            min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+            max(col("n")).as("n_tot"), max(col("g")).as("g_tot"))
+          .withColumn("n_bad", col("n_docs") - col("n_good"))
+          .withColumn("b_tot", col("n_tot") - col("g_tot"))
+          .select(col("bin"), col("n_docs"), col("n_good"), col("n_bad"),
+            col("lo"), col("hi"),
+            round(log(gr / br), 6).as("woe_r"),
+            round((gr - br) * log(gr / br), 6).as("iv_term_r"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH $gateCtes,
+          p AS (SELECT doc_id, n_chars, pass FROM qg_pass),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(pass) AS BIGINT) AS g FROM p),
+          r AS (SELECT n_chars, pass,
+            CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+          FROM p),
+          b AS (SELECT n_chars, pass, n, g,
+            CAST((10*(rk-1)) // n + 1 AS INT) AS bin FROM r, nt),
+          a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(pass) AS BIGINT) AS n_good,
+            CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi,
+            CAST(max(n) AS BIGINT) AS n_tot, CAST(max(g) AS BIGINT) AS g_tot
+          FROM b GROUP BY 1)
+        SELECT bin, n_docs, n_good, n_docs - n_good AS n_bad, lo, hi,
+          round(ln(((n_good + 0.5)/(g_tot + 5.0))
+            / ((n_docs - n_good + 0.5)/(n_tot - g_tot + 5.0))), 6) AS woe_r,
+          round((((n_good + 0.5)/(g_tot + 5.0))
+              - ((n_docs - n_good + 0.5)/(n_tot - g_tot + 5.0)))
+            * ln(((n_good + 0.5)/(g_tot + 5.0))
+              / ((n_docs - n_good + 0.5)/(n_tot - g_tot + 5.0))), 6) AS iv_term_r
+        FROM a ORDER BY bin""")),
+    "user_entropy" -> Q(
+      // Behavioral diversity (X94): Shannon entropy of each user's
+      // event-type mix — the engagement-breadth feature (0 = one-note
+      // user, ln(k) = uniform over k types). Two map-side-combinable
+      // aggregates: (user, type) counts collapse the event stream, then
+      // a |users|-row rollup closes the entropy from exact integer
+      // counts; ≤ |types| float terms per user rounded at 6 (the
+      // text_entropy precedent). `+ 0.0` normalizes the -0.0 a
+      // single-type user's -sum(0) yields (a -0.0/-0.0 hash split
+      // between engines otherwise).
+      (s, d) => {
+        val ct = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val tot = ct.groupBy(col("user_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+        ct.join(tot, Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"), max(col("k")).as("n_types"),
+            round(-sum((col("c").cast("double") / col("n"))
+              * log(col("c").cast("double") / col("n"))) + 0.0, 6).as("entropy_r"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ct AS (SELECT user_id, event_type,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+          tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS k FROM ct GROUP BY 1)
+        SELECT ct.user_id, n AS n_events, k AS n_types,
+          round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) + 0.0, 6)
+            AS entropy_r
+        FROM ct JOIN tot ON ct.user_id = tot.user_id
+        GROUP BY ct.user_id, n, k ORDER BY ct.user_id""")),
+    "stream_upsert" -> Q(
+      // T11 batch path: the newest event per user IS the table the
+      // streaming upsert sink converges to — [[Streamy.latestPerKey]] is
+      // the SHARED reduction (StreamySpec pins stream ≡ batch on a real
+      // AvailableNow run, including duplicate delivery and a full-stream
+      // replay, both no-ops by state convergence). One map-side
+      // combinable max-struct per user; no window, no join.
+      (s, d) => Streamy.latestPerKey(
+          Tables.events(s, d).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), cents(col("value")).as("cents")))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY us DESC, event_id DESC, cents DESC) AS rn FROM e)
+        SELECT user_id, us, event_id, cents FROM r WHERE rn = 1
+        ORDER BY user_id""")))
 
   val all: Seq[(String, Q)] =
     streamQueries ++ dedupQueries ++ simQueries ++ textQueries ++

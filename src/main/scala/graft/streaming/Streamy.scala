@@ -329,6 +329,47 @@ object Streamy {
       .drop(dimKey)
   }
 
+  /** Newest row per key — the reduction shared by the T11 upsert sink and
+    * its batch-path query (`stream_upsert`), so the streaming table and
+    * the batch oracle can never diverge on ordering: ONE map-side
+    * combinable max-struct per key, ordered (us, event_id, cents). */
+  def latestPerKey(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("cents"))).as("m"))
+      .select(col("user_id"), col("m.us").as("us"),
+        col("m.event_id").as("event_id"), col("m.cents").as("cents"))
+
+  /** T11: streaming keyed UPSERT into a versioned [[graft.ops.StateTable]]
+    * via foreachBatch — the "stream maintains a serving table" sink. Each
+    * micro-batch first reduces to its newest row per key
+    * ([[latestPerKey]]), then merges newest-wins against the committed
+    * snapshot (max over the union). That makes the whole sink
+    * STATE-CONVERGENT: foreachBatch is only at-least-once under
+    * checkpoint recovery, but replaying any batch — or redelivering the
+    * entire stream — re-applies a max that has already won, so the table
+    * converges to the same rows regardless of duplication or batch
+    * boundaries. No stream-side state store at all; the table IS the
+    * state, and each micro-batch costs one |batch-keys|-sized merge
+    * against the live snapshot. Caller sets the checkpoint and starts
+    * (queueDrain contract). */
+  def upsertLatest(events: DataFrame, tableDir: String): DataStreamWriter[Row] = {
+    val spark = events.sparkSession
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val st = new graft.ops.StateTable(spark, tableDir, Seq("user_id"))
+        val latest = latestPerKey(batch)
+        st.read() match {
+          case None => st.commit(latest)
+          case Some(cur) => st.commit(latestPerKey(cur.unionByName(latest)))
+        }
+        ()
+      }
+  }
+
   /** T1: the reference's cron queue drain as an AvailableNow micro-batch
     * stream over a Parquet queue directory — processes everything pending,
     * then stops, exactly like one cron tick.

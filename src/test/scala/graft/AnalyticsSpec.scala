@@ -1474,4 +1474,60 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && mo >= 1 && mo <= 5)
     }
   }
+
+  test("woe_bins: tiles balance and order; WOE recomputes exactly from the integer margins (X93)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("woe_bins")(spark, d)
+      .as[(Int, Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 10), "bins 1..10, each non-empty")
+    val nDocs = graft.ops.Tables.documents(spark, d).count()
+    assert(out.map(_._2).sum == nDocs, "bins conserve the corpus")
+    assert(out.map(_._2).max - out.map(_._2).min <= 1, "cume-tile balance within 1")
+    // label totals reconcile with the shared gate rule via quality_gate
+    val gTot = SparkEntry.queries("quality_gate")(spark, d)
+      .agg(sum($"pass")).as[Long].collect().head
+    assert(out.map(_._3).sum == gTot, "good counts conserve the gate passes")
+    out.foreach { case (_, n, good, bad, lo, hi, _, _) =>
+      assert(good + bad == n && lo <= hi)
+    }
+    // non-overlapping ordered length ranges (boundary ties impossible:
+    // the rank orders by n_chars first)
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._6 <= b._5, s"bins ${a._1}->${b._1} overlap")
+      case _ =>
+    }
+    // WOE/IV close exactly from the integer margins with the same IEEE ops
+    val (nTot, gAll) = (out.map(_._2).sum, out.map(_._3).sum)
+    val bAll = nTot - gAll
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (bin, _, good, bad, _, _, woeR, ivR) =>
+      val gr = (good + 0.5) / (gAll + 5.0)
+      val br = (bad + 0.5) / (bAll + 5.0)
+      assert(woeR == r6(math.log(gr / br)), s"bin $bin woe")
+      assert(ivR == r6((gr - br) * math.log(gr / br)), s"bin $bin iv term")
+    }
+    // the gate passes longer docs: WOE must not be flat across bins
+    assert(out.map(_._7).distinct.size > 1, "degenerate WOE profile")
+  }
+
+  test("user_entropy: entropy recomputes from per-user type counts and respects bounds (X94)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("user_entropy")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val ev = graft.ops.Tables.events(spark, d)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    assert(out.map(_._2).sum == ev.length, "per-user counts conserve events")
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    out.foreach { case (u, n, k, h) =>
+      val counts = byUser(u)
+      assert(k == counts.size && n == counts.values.sum)
+      val want = -counts.values.map { c =>
+        (c.toDouble / n) * math.log(c.toDouble / n) }.sum + 0.0
+      assert(math.abs(h - want) <= 2e-6, s"user $u entropy $h vs $want")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-9,
+        s"user $u entropy out of [0, ln(k)]")
+    }
+  }
 }

@@ -588,4 +588,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"offset frames must broadcast:\n$p")
   }
+
+  test("woe_bins: the decile rank rides a band-partitioned window + broadcast " +
+    "offsets; margins partial-aggregate") {
+    val p = plan("woe_bins")
+    assert(p.contains("windowspecdefinition(band"),
+      s"the length rank must partition by 200-char band:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"offset/total attaches must broadcast:\n$p")
+  }
+
+  test("user_entropy: two map-side-combinable aggregates, no window") {
+    val p = plan("user_entropy")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"type counts must combine map-side:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the rollup needs no window:\n$p")
+  }
+
+  test("stream_upsert: one max-struct aggregate — no join, no window") {
+    val p = plan("stream_upsert")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+      s"the latest-per-key reduction is a single aggregate:\n$p")
+    assert(p.contains("partial_max"),
+      s"the max-struct must combine map-side:\n$p")
+  }
 }

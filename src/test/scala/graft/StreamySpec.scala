@@ -370,4 +370,36 @@ class StreamySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.getInt(4))).toSet
     assert(fsm == decl)
   }
+
+  test("upsertLatest maintains a newest-wins StateTable on a REAL stream; " +
+    "duplicate delivery and full replay converge (T11)") {
+    val dir = Files.createTempDirectory("graft_ups").toString
+    val ckpt = Files.createTempDirectory("graft_ups_ckpt").toString
+    val tableDir = Files.createTempDirectory("graft_ups_tbl").toString
+    // at-least-once delivery: every event lands twice
+    events.write.mode("overwrite").parquet(dir)
+    events.write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = Streamy.upsertLatest(
+        spark.readStream.schema(schema).parquet(dir), tableDir)
+      .option("checkpointLocation", ckpt).start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    val st = new graft.ops.StateTable(spark, tableDir, Seq("user_id"))
+    def snap = st.read().get
+      .select($"user_id", $"us", $"event_id", $"cents")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Streamy.latestPerKey(events.select($"user_id", $"event_id",
+        unix_micros($"ts").as("us"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents")))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(snap == want && want.nonEmpty)
+    // full redelivery under a FRESH checkpoint (complete replay): state
+    // convergence means the committed rows do not change
+    val ckpt2 = Files.createTempDirectory("graft_ups_ckpt2").toString
+    val q2 = Streamy.upsertLatest(
+        spark.readStream.schema(schema).parquet(dir), tableDir)
+      .option("checkpointLocation", ckpt2).start()
+    assert(q2.awaitTermination(120000), "replay stream did not finish in time")
+    assert(snap == want, "full replay must be a no-op on the table rows")
+  }
 }
