@@ -285,4 +285,89 @@ class PropertySpec extends AnyFunSuite {
       injective && octilePinned
     })
   }
+
+  // ---- X89 waterfill: the closed-form prefix rule IS the fixpoint ------
+
+  /** Reference implementation: the textbook ITERATIVE waterfill — cap
+    * languages below the equal-share water level, re-split the leftover
+    * over the rest, repeat to fixpoint; then deal the integer remainder
+    * to the smallest-supply uncapped languages (the query's tie rule). */
+  private def iterativeWaterfill(sup: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    val sorted = sup.sortBy { case (l, v) => (v, l) }
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      val rest = sorted.filterNot(x => capped(x._1))
+      if (rest.nonEmpty) {
+        val remaining = budget - sorted.filter(x => capped(x._1)).map(_._2).sum
+        rest.foreach { case (l, v) =>
+          // capped iff supply <= its equal share of the remaining budget
+          if (!capped(l) && v * rest.size <= remaining) {
+            capped += l; changed = true
+          }
+        }
+      }
+    }
+    val rest = sorted.filterNot(x => capped(x._1))
+    if (rest.isEmpty) sorted.map { case (l, v) => l -> v }.toMap
+    else {
+      val remaining = budget - sorted.filter(x => capped(x._1)).map(_._2).sum
+      val q = remaining / rest.size
+      val extra = remaining % rest.size
+      val base = sorted.filter(x => capped(x._1)).map { case (l, v) => l -> v }
+      (base ++ rest.zipWithIndex.map { case ((l, _), i) =>
+        l -> (q + (if (i < extra) 1L else 0L)) }).toMap
+    }
+  }
+
+  /** The query's closed-form rule in pure Scala: capped = the sorted
+    * prefix where sup_i * (k - i) <= budget - cum_{i-1} (0-based i). */
+  private def closedFormWaterfill(sup: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    val sorted = sup.sortBy { case (l, v) => (v, l) }
+    val k = sorted.size
+    var cum = 0L
+    val capped = sorted.zipWithIndex.map { case ((l, v), i) =>
+      val rem = budget - cum
+      cum += v
+      (l, v, v * (k - i) <= rem)
+    }
+    val capSum = capped.filter(_._3).map(_._2).sum
+    val m = capped.count(!_._3)
+    if (m == 0) capped.map { case (l, v, _) => l -> v }.toMap
+    else {
+      val rstar = budget - capSum
+      val q = rstar / m
+      val extra = rstar % m
+      var seen = 0
+      capped.map { case (l, v, isCapped) =>
+        if (isCapped) l -> v
+        else { seen += 1; l -> (q + (if (seen <= extra) 1L else 0L)) }
+      }.toMap
+    }
+  }
+
+  val supplyGen: Gen[Seq[(String, Long)]] = for {
+    n <- Gen.chooseNum(1, 12)
+    sups <- Gen.listOfN(n, Gen.chooseNum(0L, 100000L))
+  } yield sups.zipWithIndex.map { case (v, i) => (s"l$i", v) }
+
+  test("waterfill: the closed-form prefix rule equals the iterative fixpoint (X89)") {
+    holds(Prop.forAll(supplyGen, Gen.chooseNum(0L, 500000L)) { (sup, budget) =>
+      closedFormWaterfill(sup, budget) == iterativeWaterfill(sup, budget)
+    })
+  }
+
+  test("waterfill: conservation, caps, and evenness hold for all inputs (X89)") {
+    holds(Prop.forAll(supplyGen, Gen.chooseNum(0L, 500000L)) { (sup, budget) =>
+      val alloc = closedFormWaterfill(sup, budget)
+      val bySup = sup.toMap
+      val total = sup.map(_._2).sum
+      val spendsAll = alloc.values.sum == math.min(budget, total)
+      val withinSupply = alloc.forall { case (l, a) => a >= 0 && a <= bySup(l) }
+      val uncapped = alloc.filter { case (l, a) => a < bySup(l) }.values
+      val even = uncapped.isEmpty || (uncapped.max - uncapped.min <= 1)
+      spendsAll && withinSupply && even
+    })
+  }
 }
