@@ -1362,7 +1362,37 @@ object QueriesExt {
           CAST(w * (h * bg + (h * (h - 1)) // 2) AS BIGINT) AS sum_g,
           CAST(w * h * bb + h * ((w * (w - 1)) // 2)
             + w * ((h * (h - 1)) // 2) AS BIGINT) AS sum_b
-        FROM p ORDER BY media_id""")))
+        FROM p ORDER BY media_id""")),
+    "multimodal_resize" -> Q(
+      // REAL multimodal resample (X5c): the full media path — encode the
+      // fixture BMP, decode it, nearest-neighbor resample to 8×6,
+      // re-encode as BMP, decode AGAIN, and emit integer pixel sums. The
+      // oracle recomputes the expected sums closed-form: nearest-neighbor
+      // source index is sx = (x·w) div 8 / sy = (y·h) div 6 (exactly the
+      // integer arithmetic in Multimodal.resizeImage), so
+      // sum_r = 48·br + 6·Σsx, sum_g = 48·bg + 8·Σsy,
+      // sum_b = 48·bb + 6·Σsx + 8·Σsy. Two independent codec passes per
+      // row — a resampler that rounded instead of flooring, swapped axes,
+      // or re-encoded with channel drift would hash-mismatch.
+      (s, d) => Multimodal.imageStats(
+          Multimodal.resize(Multimodal.bmpFromDocuments(docs(s, d)), 8, 6))
+        .orderBy("media_id"),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+            4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+            doc_id % 200 AS br, doc_id % 180 AS bg, doc_id % 120 AS bb
+          FROM documents),
+          g AS (SELECT media_id, br, bg, bb,
+            CAST(list_aggregate(list_transform(range(8),
+              x -> (x * w) // 8), 'sum') AS BIGINT) AS sxx,
+            CAST(list_aggregate(list_transform(range(6),
+              y -> (y * h) // 6), 'sum') AS BIGINT) AS syy
+          FROM m)
+        SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+          CAST(48 AS BIGINT) AS n_px,
+          CAST(48 * br + 6 * sxx AS BIGINT) AS sum_r,
+          CAST(48 * bg + 8 * syy AS BIGINT) AS sum_g,
+          CAST(48 * bb + 6 * sxx + 8 * syy AS BIGINT) AS sum_b
+        FROM g ORDER BY media_id""")))
 
   /** Shared X7 decontamination oracle — `decontaminate` and its bloom
     * variant must return the SAME rows (the bloom pre-filter is a pure
