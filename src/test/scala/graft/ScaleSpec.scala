@@ -125,4 +125,30 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == 2)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("containment: a corpus-wide hot prefix fabricates no pairs; constructed " +
+    "excerpts are found exactly (X2h rarest-first robustness)") {
+    // every doc shares a hot ~45-char preamble (its shingles have df =
+    // |corpus| — the signature pick a hash-min scheme would correlate on)
+    // but carries a long unique tail, so TRUE cross-doc containment stays
+    // far under the 0.5 threshold; the only pairs the operator may emit
+    // are its own constructed doc_id % 7 excerpts, at containment 1
+    val tmp = Files.createTempDirectory("graft_cont_hot").toString
+    val docs = (0 until 56).map { i =>
+      val tail = (0 until 40).map(j => f"u$i%02dx$j%02d").mkString(" ")
+      (i.toLong, s"common preamble shared by all documents here $tail", "en", "synth")
+    }
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("dedup_containment")(spark, tmp)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = (0 until 56).filter(_ % 7 == 0)
+      .map(i => (i + 1000000L, i.toLong)).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == expected,
+      s"hot-prefix corpus must yield exactly the excerpt pairs, got ${out.map(t => (t._1, t._2))}")
+    out.foreach { case (a, b, na, ni, c) =>
+      assert(ni == na && c == 1.0, s"excerpt ($a,$b) must be fully contained")
+    }
+  }
 }
