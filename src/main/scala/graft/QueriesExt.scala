@@ -178,6 +178,33 @@ object QueriesExt {
       .select(col("doc_id"), col("lang"), col("sc_de"), col("sc_en"),
         col("sc_es"), col("sc_fr"), col("pred"))
 
+  /** Banded two-phase GLOBAL rank — the gini_spend shape promoted to a
+    * helper: rank within a band via a partitioned window, then add
+    * |bands|-row running offsets broadcast back; never a single-task
+    * population sort. `bandExpr` must be monotone in the (asc-ordered)
+    * key so per-band offsets compose into a global rank; `tie` fully
+    * tiebreaks within the key for engine-independent ranks. Adds `out`
+    * and drops its working columns. */
+  private def bandedRank(df: DataFrame, key: String, bandExpr: String,
+      tie: String, asc: Boolean, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = df.withColumn("band", expr(bandExpr))
+    val ord =
+      if (asc) Seq(col(key).asc, col(tie).asc)
+      else Seq(col(key).desc, col(tie).asc)
+    val wIn = Window.partitionBy("band").orderBy(ord: _*)
+    val bandOrd = if (asc) col("band").asc else col("band").desc
+    val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(
+        Window.orderBy(bandOrd).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("band", "off")
+    banded.withColumn("wi", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), Seq("band"))
+      .withColumn(out, col("off") + col("wi"))
+      .drop("band", "wi", "off")
+  }
+
   /** Value of one md5 hex digit (0-15) — the engine-portable bucket
     * primitive shared by the deterministic sampling/split/budget ops
     * (DuckDB mirror: `strpos('0123456789abcdef', c) - 1`). */
@@ -4418,7 +4445,11 @@ object QueriesExt {
       // The fixture is synthetic with no real excerpts, so the query
       // CONSTRUCTS them (text_clean's stress-input pattern): every
       // doc_id % 7 == 0 document contributes a derived excerpt row
-      // (id + 1,000,000, chars 11..130 of the normalized text).
+      // (id -(doc_id+1), chars 11..130 of the normalized text).
+      // Excerpt ids live in the NEGATIVE id space (-(doc_id + 1)) — an
+      // additive offset would collide with real doc_ids on a large
+      // corpus (doc_id + 10⁶ meets document 10⁶), silently corrupting
+      // every id-keyed join downstream, identically on both engines.
       // Shingles come from a FIXED 512-char window of the normalized text
       // — the same bounded-per-doc-state trade text_fingerprint makes
       // (full-text containment is this plan with the window removed, at
@@ -4443,7 +4474,7 @@ object QueriesExt {
           .select(col("doc_id"), col("norm"))
         val corpus = base.unionByName(
           base.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
+            .select((-col("doc_id") - 1L).as("doc_id"),
               expr("substring(norm, 11, 120)").as("norm")))
         val shE =
           "array_distinct(transform(sequence(1, length(norm)-7), i -> substring(norm, i, 8)))"
@@ -4503,7 +4534,7 @@ object QueriesExt {
             substring($normSql, 1, 512) AS norm FROM documents),
           corpus AS (SELECT doc_id, norm FROM base
             UNION ALL
-            SELECT doc_id + 1000000, substring(norm, 11, 120) FROM base
+            SELECT -doc_id - 1, substring(norm, 11, 120) FROM base
             WHERE doc_id % 7 = 0),
           sh AS (SELECT doc_id,
             list_distinct(list_transform(range(length(norm)-7),
@@ -4583,14 +4614,19 @@ object QueriesExt {
       // κ = (N·agree − Σ row_l·col_l) / (N² − Σ row_l·col_l) closes with
       // ONE division of exact longs (N² at sf0.1 ≈ 10⁸ ≪ 2⁵³), rounded
       // to 6; the all-one-class degenerate case (N² = Σ) guards to 0.
-      // Shapes: doc-grain scan → two |langs|-row margin aggregates +
-      // full-outer on the label set → 1-row closing select.
+      // Shapes: ONE doc-grain scan collapses to the ≤|langs|²-row
+      // confusion frame (localCheckpointed — its four margin consumers
+      // would each re-run the corpus vote otherwise); every margin
+      // derives from that tiny frame.
       (s, d) => {
-        val p = langidFrame(s, d).select(col("lang"), col("pred"))
-        val t = p.agg(count(lit(1)).as("n"),
-          sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("n_agree"))
-        val r = p.groupBy(col("lang").as("lbl")).agg(count(lit(1)).as("rc"))
-        val c = p.groupBy(col("pred").as("lbl")).agg(count(lit(1)).as("cc"))
+        val conf = langidFrame(s, d)
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val t = conf.agg(sum(col("cnt")).as("n"),
+          sum(when(col("lang") === col("pred"), col("cnt")).otherwise(0L))
+            .as("n_agree"))
+        val r = conf.groupBy(col("lang").as("lbl")).agg(sum(col("cnt")).as("rc"))
+        val c = conf.groupBy(col("pred").as("lbl")).agg(sum(col("cnt")).as("cc"))
         val pe = r.join(c, Seq("lbl"), "full_outer")
           .agg(sum(coalesce(col("rc"), lit(0L)) * coalesce(col("cc"), lit(0L)))
             .as("pe_num"))
@@ -4625,13 +4661,12 @@ object QueriesExt {
       // 5 − (5·(rank−1)) div n over the GLOBAL rank by (metric, user_id)
       // — the cume-based tile (deterministic, engine-portable; ntile's
       // remainder rule is NOT mirrored, the formula is, on both sides).
-      // Global ranks come from the gini_spend two-phase banded trick, one
-      // per metric: a band-partitioned row_number + |bands|-row broadcast
-      // offsets — never a single-task whole-population sort. Bands:
-      // recency by day (calendar-bounded), frequency by count value,
-      // monetary by $10k cents band.
+      // Global ranks come from the shared [[bandedRank]] helper (the
+      // gini_spend two-phase shape), one per metric: a band-partitioned
+      // row_number + |bands|-row broadcast offsets — never a single-task
+      // whole-population sort. Bands: recency by day (calendar-bounded),
+      // frequency by count value, monetary by $10k cents band.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val u = Tables.events(s, d)
           .select(col("user_id"), to_date(col("ts")).as("day"),
             cents(col("value")).as("c"))
@@ -4642,28 +4677,10 @@ object QueriesExt {
         val m = u.crossJoin(broadcast(g))
           .withColumn("r_days", datediff(col("gmax"), col("last_day")).cast("long"))
           .select("user_id", "r_days", "n_events", "cents", "nu")
-        def grank(df: DataFrame, key: String, div: Long, asc: Boolean,
-            out: String): DataFrame = {
-          val banded = df.withColumn("band", expr(s"$key div $div"))
-          val ord =
-            if (asc) Seq(col(key).asc, col("user_id").asc)
-            else Seq(col(key).desc, col("user_id").asc)
-          val wIn = Window.partitionBy("band").orderBy(ord: _*)
-          val bandOrd = if (asc) col("band").asc else col("band").desc
-          val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
-            .withColumn("off", coalesce(sum("bn").over(
-              Window.orderBy(bandOrd)
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-            .select("band", "off")
-          banded.withColumn("wi", row_number().over(wIn).cast("long"))
-            .join(broadcast(offs), Seq("band"))
-            .withColumn(out, col("off") + col("wi"))
-            .drop("band", "wi", "off")
-        }
-        val ranked = grank(grank(grank(m,
-          "r_days", 1L, asc = true, "rr"),
-          "n_events", 1L, asc = false, "rf"),
-          "cents", 1000000L, asc = false, "rm")
+        val ranked = bandedRank(bandedRank(bandedRank(m,
+          "r_days", "r_days", "user_id", asc = true, "rr"),
+          "n_events", "n_events", "user_id", asc = false, "rf"),
+          "cents", "cents div 1000000", "user_id", asc = false, "rm")
         ranked
           .withColumn("r_s", (lit(5) - expr("(5*(rr-1)) div nu")).cast("int"))
           .withColumn("f_s", (lit(5) - expr("(5*(rf-1)) div nu")).cast("int"))
@@ -4713,14 +4730,21 @@ object QueriesExt {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val p = gateFrame(s, d).select(col("doc_id"), col("n_chars"), col("pass"))
-        val nt = p.agg(count(lit(1)).as("n"), sum(col("pass")).cast("long").as("g"))
         val banded = p.withColumn("band", expr("n_chars div 200"))
         val wIn = Window.partitionBy("band").orderBy(col("n_chars"), col("doc_id"))
-        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+        // ONE band-grain aggregate feeds BOTH the rank offsets and the
+        // global totals (localCheckpointed |bands|-row frame) — a
+        // separate corpus-grain totals aggregate would re-run the gate's
+        // text pipeline a third full time
+        val bagg = banded.groupBy("band")
+          .agg(count(lit(1)).as("bn"), sum(col("pass")).cast("long").as("bg"))
+          .localCheckpoint(true)
+        val offs = bagg
           .withColumn("off", coalesce(sum("bn").over(
             Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)))
           .select("band", "off")
+        val nt = bagg.agg(sum(col("bn")).as("n"), sum(col("bg")).as("g"))
         val gr = (col("n_good") + 0.5) / (col("g_tot") + 5.0)
         val br = (col("n_bad") + 0.5) / (col("b_tot") + 5.0)
         banded.withColumn("wi", row_number().over(wIn).cast("long"))

@@ -10,6 +10,13 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a typo'd filter name must fail loudly, not produce an empty-but-
+    // green run with nothing written and nothing compared
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

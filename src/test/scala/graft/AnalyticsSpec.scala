@@ -1385,7 +1385,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .withColumn("s", expr(
         "array_distinct(transform(sequence(1, length(ex)-7), i -> substring(ex, i, 8)))"))
       .filter(size($"s") >= 20)
-      .select(($"doc_id" + 1000000L).as("a"), $"doc_id".as("b"))
+      .select((-$"doc_id" - 1L).as("a"), $"doc_id".as("b"))
       .as[(Long, Long)].collect().toSet
     assert(expected.nonEmpty, "fixture must yield at least one excerpt")
     val got = out.map(t => (t._1, t._2)).toSet

@@ -144,7 +144,7 @@ class ScaleSpec extends AnyFunSuite {
     val out = SparkEntry.queries("dedup_containment")(spark, tmp)
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     val expected = (0 until 56).filter(_ % 7 == 0)
-      .map(i => (i + 1000000L, i.toLong)).toSet
+      .map(i => (-i - 1L, i.toLong)).toSet
     assert(out.map(t => (t._1, t._2)).toSet == expected,
       s"hot-prefix corpus must yield exactly the excerpt pairs, got ${out.map(t => (t._1, t._2))}")
     out.foreach { case (a, b, na, ni, c) =>
