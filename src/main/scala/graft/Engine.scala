@@ -165,11 +165,25 @@ final class Engine(
     // rows. status()/history stay served via readAll().
     states.compact(_.filter(col("status").isin(1, -2))).foreach { _ =>
       states.vacuum(keep = 4)
-      states.archive().map(_.select("id")).foreach { terminalIds =>
-        requestStore.compact(_.join(terminalIds, Seq("id"), "left_semi"))
-        requestStore.vacuum(keep = 4)
-      }
     }
+    // the BODY compaction keys off the archive unconditionally, not off
+    // whether THIS tick archived anything: a crash between the two
+    // compacts would otherwise strand terminal bodies in the live request
+    // store until some unrelated request completed (states.compact
+    // returns None on later ticks — nothing terminal is live anymore —
+    // and the foreach body would never run again). compact() itself
+    // no-ops when nothing matches, so the steady-state cost is one
+    // semi-join over live bodies.
+    states.archive().map(_.select("id")).foreach { terminalIds =>
+      requestStore.compact(_.join(terminalIds, Seq("id"), "left_semi"))
+        .foreach { _ => requestStore.vacuum(keep = 4) }
+    }
+    // bound the archive DIRECTORY count too (one batch lands per
+    // compacting tick): submit idempotence and the orphan heal scan the
+    // archive every tick, and a months-old engine would otherwise pay a
+    // thousands-of-tiny-dirs multi-path scan on the submit hot path
+    states.consolidateArchive()
+    requestStore.consolidateArchive()
     // persist buffered done-set marks before the pass ends: a cron-driven
     // engine exits after each tick, and marks held only in memory would be
     // rediscovered one probe-hit at a time instead of surviving the exit

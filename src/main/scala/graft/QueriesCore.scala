@@ -772,11 +772,11 @@ object QueriesCore {
         // a fixture regenerated at the same path must version the memo
         // rather than serve the previous dataset's CSV (same hazard class
         // the incremental_daily cache root guards against)
-        val fp = Option(new java.io.File(s"$d/lineitem.parquet").listFiles())
-          .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_" +
-          s"${ProcessHandle.current().pid()}_${HashKey.sha1Hex(s"$d|$fp").take(12)}"
+        // shared root derivation ([[Cache.contentRoot]] — also fixes the
+        // single-file fixture case, where a raw listFiles() fingerprint
+        // silently came up empty)
+        val tmp = Cache.contentRoot(
+          s"graft_csv_${ProcessHandle.current().pid()}", d, "lineitem")
         // the operator under test is the CSV SCAN semantics; the setup
         // write is memoized per (pid, dataset, content) — the snapshot is
         // a pure function of the input files, and rewriting ~60 MB of

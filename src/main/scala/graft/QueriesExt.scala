@@ -513,12 +513,7 @@ object QueriesExt {
       // incremental == full, same invariant as X64.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val fp = Option(new java.io.File(s"$d/documents.parquet").listFiles())
-          .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-        val root = s"${sys.props("java.io.tmpdir")}/graft_dstore_" +
-          graft.ops.HashKey.sha1Hex(s"$d|$fp").take(12)
-        val cache = new Cache(s, root)
+        val cache = new Cache(s, Cache.contentRoot("graft_dstore", d, "documents"))
         val ls = LlmOps.lines(docs(s, d))
         val store = cache.getOrCompute("line_store") {
           ls.filter(col("doc_id") % 2 === 0).select(col("line")).distinct()
@@ -1305,7 +1300,12 @@ object QueriesExt {
       // TRUE by the oracle). The estimate value never feeds the compare.
       (s, d) => {
         val wBuckets = 4096; val dRows = 4
+        // three consumers (sketch build, total count, exact top-20) —
+        // persist the one-column token projection so each reads the
+        // columnar cache instead of re-running the scan + tokenization
+        // (the robust-stats projection precedent)
         val toks = tokens(s, d).select(col("token"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rows = array((0 until dRows).map(lit): _*)
         val bucket =
           expr(s"cast(conv(substring(md5(concat(row, '|', token)), 1, 8), 16, 10) as bigint) % $wBuckets")
@@ -3585,21 +3585,12 @@ object QueriesExt {
       // products stay under 2⁵³ so the final double arithmetic is exact
       // on both engines.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val sp = Tables.events(s, d)
           .select(col("user_id"), cents(col("value")).as("c"))
           .groupBy("user_id").agg(sum("c").as("sc"))
-        val banded = sp.withColumn("band", floor(col("sc") / 1000000L).cast("long"))
-        val wIn = Window.partitionBy("band").orderBy(col("sc"), col("user_id"))
-        val within = banded.withColumn("wi", row_number().over(wIn).cast("long"))
-        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(
-            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-          .select(col("band"), col("off"))
         val nt = sp.agg(count(lit(1)).as("n"), sum("sc").as("tot"))
-        within.join(broadcast(offs), Seq("band"))
-          .withColumn("i", col("off") + col("wi"))
+        bandedRank(sp, "sc", "CAST(floor(sc / 1000000) AS BIGINT)",
+            "user_id", asc = true, "i")
           .crossJoin(broadcast(nt))
           .agg(max("n").as("n_users"), max("tot").as("total_cents"),
             sum(col("i") * col("sc")).as("t1"),
@@ -3613,6 +3604,10 @@ object QueriesExt {
             when(col("total_cents") === 0, lit(0.0)).otherwise(
               round(col("topsum").cast("double") / col("total_cents"), 6))
               .as("top10_share_r"))
+          // a user-free input must yield ZERO rows like the oracle's
+          // GROUP BY over an empty set — Spark's grand aggregate would
+          // emit one all-null row instead
+          .where(col("n_users").isNotNull)
       },
       Some("""WITH sp AS (SELECT user_id,
             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
@@ -3781,7 +3776,6 @@ object QueriesExt {
       // scale. Latency truncates to whole seconds (integer `div`), so
       // every emitted value is an exact long.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = eventsUs(s, d)
         val fv = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("us").as("fv"))
@@ -3790,18 +3784,9 @@ object QueriesExt {
           .filter(col("us") >= col("fv"))
           .groupBy("user_id").agg(min(col("us") - col("fv")).as("lat_us"))
           .select(col("user_id"), expr("lat_us div 1000000").as("lat_s"))
-        val banded = lat.withColumn("band", expr("lat_s div 600"))
-        val wIn = Window.partitionBy("band").orderBy(col("lat_s"), col("user_id"))
-        val within = banded.withColumn("wi", row_number().over(wIn).cast("long"))
-        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(
-            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-          .select(col("band"), col("off"))
         val tot = lat.agg(count(lit(1)).as("n_conv"),
           min("lat_s").as("min_s"), max("lat_s").as("max_s"))
-        within.join(broadcast(offs), Seq("band"))
-          .withColumn("i", col("off") + col("wi"))
+        bandedRank(lat, "lat_s", "lat_s div 600", "user_id", asc = true, "i")
           .crossJoin(broadcast(tot))
           .agg(max("n_conv").as("n_conv"),
             max("min_s").as("min_s"), max("max_s").as("max_s"),
@@ -3809,6 +3794,10 @@ object QueriesExt {
               .as("p50_s"),
             max(when(col("i") === expr("(9 * n_conv + 9) div 10"), col("lat_s")))
               .as("p90_s"))
+          // a conversion-free input must yield ZERO rows like the oracle's
+          // GROUP BY over an empty set — Spark's grand aggregate would
+          // emit one all-null row instead
+          .where(col("n_conv").isNotNull)
       },
       Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
             FROM events),
@@ -4086,21 +4075,12 @@ object QueriesExt {
       // n+1−i so the banded ascending rank serves directly. Everything
       // is integer; the output is the 8-row shard audit.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val nt = docs(s, d).select(col("doc_id"),
           size(split(LlmOps.normText(col("text")), " ")).cast("long").as("n_tok"))
-        val banded = nt.withColumn("band", expr("n_tok div 64"))
-        val wIn = Window.partitionBy("band").orderBy(col("n_tok"), col("doc_id"))
-        val within = banded.withColumn("wi", row_number().over(wIn).cast("long"))
-        val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(
-            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-          .select(col("band"), col("off"))
         val tot = nt.agg(count(lit(1)).as("nn"))
-        within.join(broadcast(offs), Seq("band"))
+        bandedRank(nt, "n_tok", "n_tok div 64", "doc_id", asc = true, "i")
           .crossJoin(broadcast(tot))
-          .withColumn("idesc", col("nn") + 1 - (col("off") + col("wi")))
+          .withColumn("idesc", col("nn") + 1 - col("i"))
           .withColumn("pos", (col("idesc") - 1) % 16)
           .withColumn("shard",
             when(col("pos") < 8, col("pos")).otherwise(lit(15L) - col("pos")))

@@ -168,11 +168,19 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
       keyFor: String => String): Seq[String] = {
     // reap staging dirs orphaned by crashed fills (UUID-named, so a retry
     // never reuses them) — but only stale ones, never a concurrent call's
-    // active staging
+    // active staging. Staleness checks the NEWEST mtime in the whole
+    // subtree, not the root's: a long distributed write touches files
+    // deep under _temporary/ without refreshing the staging root, so a
+    // root-mtime check would reap an ACTIVE >1h write mid-job (the walk
+    // only runs for dirs whose root already looks stale).
     val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+    def newestMtime(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      (f.lastModified +: kids.map(newestMtime).toSeq).max
+    }
     Option(Paths.get(dir("")).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_staging_")
-        && f.lastModified < cutoff)
+        && f.lastModified < cutoff && newestMtime(f) < cutoff)
       .foreach { d =>
         Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.delete(f))

@@ -265,18 +265,6 @@ object LlmOps {
     }: _*)
   }
 
-  /** Corpus-wide line-level exact dedup (X15, the C4 rule "discard any
-    * line seen elsewhere in the corpus, keep the first occurrence"). The
-    * synthetic corpus has no newlines, so a "line" is a deterministic
-    * `wordsPerLine`-word chunk of the normalized text — the chunking is the
-    * stand-in; the dedup machinery is the real thing. Returns one row per
-    * doc: total/kept line counts plus the surviving text re-joined in
-    * original order.
-    *
-    * Scale shape: explode to lines (bounded ~len/wordsPerLine row
-    * amplification), ONE shuffle on the line content for the first-owner
-    * window (partitioned by line — parallel, never global), one regroup on
-    * the doc id. Nothing corpus-squared, no driver state. */
   /** Deterministic line explode shared by [[lineDedup]] and the
     * incremental line-dedup query: one row per `wordsPerLine`-word chunk
     * of the normalized text, positioned by `idx`. Bounded
@@ -293,6 +281,18 @@ object LlmOps {
       .select(col(id), col("idx"), col("line"))
   }
 
+  /** Corpus-wide line-level exact dedup (X15, the C4 rule "discard any
+    * line seen elsewhere in the corpus, keep the first occurrence"). The
+    * synthetic corpus has no newlines, so a "line" is a deterministic
+    * `wordsPerLine`-word chunk of the normalized text — the chunking is the
+    * stand-in; the dedup machinery is the real thing. Returns one row per
+    * doc: total/kept line counts plus the surviving text re-joined in
+    * original order.
+    *
+    * Scale shape: explode to lines (bounded ~len/wordsPerLine row
+    * amplification), ONE shuffle on the line content for the first-owner
+    * window (partitioned by line — parallel, never global), one regroup on
+    * the doc id. Nothing corpus-squared, no driver state. */
   def lineDedup(docs: DataFrame, wordsPerLine: Int = 12, id: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -56,11 +56,43 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
   private val archiveRoot = root.resolve("_archive")
 
   /** Archived (terminal-history) rows, if any — one append-only batch per
-    * [[compact]] call, read back as ONE multi-path scan. */
+    * [[compact]] call, read back as ONE multi-path scan, deduped by key:
+    * archived rows are terminal (their content never changes), so a key
+    * transiently present in two batches — a [[consolidateArchive]] that
+    * crashed between its atomic move and the old-dir sweep — yields one
+    * row, not duplicates, for every reader. */
   def archive(): Option[DataFrame] = {
     val batches = Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.toString).sorted
-    if (batches.isEmpty) None else Some(spark.read.parquet(batches.toSeq: _*))
+    if (batches.isEmpty) None
+    else Some(spark.read.parquet(batches.toSeq: _*).dropDuplicates(keys))
+  }
+
+  /** Bound the archive's DIRECTORY count: [[compact]] appends one batch
+    * dir per call, and an every-tick consumer (the submit-idempotence
+    * anti-join, the orphan heal) would otherwise pay a multi-path scan
+    * over thousands of tiny dirs after months of ticks. Above
+    * `maxBatches`, merge everything into ONE combined batch under the
+    * same write-temp + atomic-move discipline, then sweep the merged
+    * dirs. Crash mid-sweep leaves a key in both the combined and an old
+    * batch with identical terminal content — [[archive]]'s key-dedup
+    * hides it and the next consolidation removes it. */
+  def consolidateArchive(maxBatches: Int = 16): Unit = {
+    val batches = Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
+    if (batches.length > maxBatches) {
+      val combined = spark.read.parquet(batches.map(_.toString).toSeq: _*)
+        .dropDuplicates(keys)
+      val name = s"b${currentVersion.getOrElse(0L)}_c" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val tmp = archiveRoot.resolve(s".tmp_$name")
+      combined.write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp, archiveRoot.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      batches.foreach { d =>
+        Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    }
   }
 
   /** Live ∪ archive — the full-history view ([[read]] is the live view).
@@ -101,8 +133,20 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
         }
         if (!unarchived.isEmpty) {
           Files.createDirectories(archiveRoot)
-          unarchived.write.mode("overwrite")
-            .parquet(archiveRoot.resolve(s"b${currentVersion.get}").toString)
+          // write-temp + ATOMIC move under a per-attempt unique name:
+          // [[archive]] has no _SUCCESS gate, so a torn direct write at a
+          // version-derived path would (a) be read back as real rows and
+          // (b) be OVERWRITTEN by a same-version retry — whose anti-join
+          // excluded the torn rows — permanently losing the partially
+          // archived rows from both live and archive. Dot-prefixed tmp
+          // dirs are invisible to archive(); an abandoned tmp from a
+          // crashed attempt is dead weight, never data.
+          val batch = s"b${currentVersion.get}_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val tmp = archiveRoot.resolve(s".tmp_$batch")
+          unarchived.write.mode("overwrite").parquet(tmp.toString)
+          Files.move(tmp, archiveRoot.resolve(batch),
+            StandardCopyOption.ATOMIC_MOVE)
         }
         Some(commit(df.join(dead.select(keyCols: _*), keys, "left_anti")))
       }

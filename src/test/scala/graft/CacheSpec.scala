@@ -111,17 +111,29 @@ class CacheSpec extends AnyFunSuite {
     val c = new Cache(spark, root)
     val base = java.nio.file.Paths.get(s"$root/v1")
     Files.createDirectories(base)
-    // a fill that crashed mid-write two hours ago left its staging dir
+    // a fill that crashed mid-write two hours ago left its staging dir —
+    // EVERY file in the subtree is old (nothing has written since)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
     val dead = base.resolve("_staging_dead1234")
     Files.createDirectories(dead)
     Files.writeString(dead.resolve("part-0.parquet"), "torn")
-    dead.toFile.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    dead.resolve("part-0.parquet").toFile.setLastModified(old)
+    dead.toFile.setLastModified(old)
     // a concurrent fill's ACTIVE staging dir (fresh mtime) must survive
     val live = base.resolve("_staging_live5678")
     Files.createDirectories(live)
+    // an active LONG write: the staging root went stale >1h ago but a
+    // task is still committing files deep under _temporary — the reaper
+    // must check the subtree's newest mtime, not the root's
+    val slow = base.resolve("_staging_slow9abc")
+    Files.createDirectories(slow.resolve("_temporary/0/task_1"))
+    Files.writeString(slow.resolve("_temporary/0/task_1/part-0.parquet"), "live")
+    slow.toFile.setLastModified(old)
+    slow.resolve("_temporary").toFile.setLastModified(old)
     c.fillManyPartitioned(Seq((1, "d1")).toDF("v", "pday"), "pday", v => s"k_$v")
     assert(!Files.exists(dead), "stale crashed staging reaped")
     assert(Files.exists(live), "fresh concurrent staging preserved")
+    assert(Files.exists(slow), "active >1h distributed write preserved")
     assert(c.probe("k_d1"))
   }
 

@@ -87,4 +87,40 @@ class StateTableSpec extends AnyFunSuite {
     assert(t.archive().get.filter(col("id") === 1L).count() == 1)
     assert(t.readAll().get.count() == 2)
   }
+
+  test("consolidateArchive merges batch dirs; a crash mid-sweep never duplicates rows") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val t = new StateTable(spark, dir, Seq("id"))
+    // 6 compacting rounds -> 6 archive batch dirs
+    t.commit((1L to 6L).map(i => (i, 0)).toDF("id", "status"))
+    (1L to 6L).foreach { i =>
+      t.update(df => df.withColumn("status",
+        when(col("id") === i, 1).otherwise(col("status"))))
+      t.compact(_.filter(col("status") === 1))
+    }
+    def batchDirs = Option(new java.io.File(s"$dir/_archive").listFiles())
+      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("b"))
+    assert(batchDirs.length == 6)
+    assert(t.archive().get.count() == 6)
+    // below the threshold: no-op
+    t.consolidateArchive(maxBatches = 16)
+    assert(batchDirs.length == 6)
+    // above the threshold: one combined batch, same rows
+    t.consolidateArchive(maxBatches = 4)
+    assert(batchDirs.length == 1, s"expected 1 combined dir, got ${batchDirs.length}")
+    assert(t.archive().get.count() == 6)
+    assert(t.archive().get.as[(Long, Int)].collect().toMap ==
+      (1L to 6L).map(_ -> 1).toMap)
+    // crash mid-sweep: an old batch dir survives next to the combined one
+    // (identical terminal content) -- readers must still see each key once
+    val combined = batchDirs.head
+    t.archive().get.filter(col("id") === 3L)
+      .write.parquet(s"$dir/_archive/b0_leftover")
+    assert(batchDirs.length == 2)
+    assert(t.archive().get.count() == 6, "key-dedup must hide the leftover")
+    assert(t.readAll().get.count() == 6)
+    // the next consolidation sweeps the leftover
+    t.consolidateArchive(maxBatches = 1)
+    assert(batchDirs.length == 1 && t.archive().get.count() == 6)
+  }
 }
