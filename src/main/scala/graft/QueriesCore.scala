@@ -798,7 +798,34 @@ object QueriesCore {
       Some("""SELECT l_orderkey, l_linenumber,
           CASE WHEN l_returnflag='N' THEN NULL ELSE l_returnflag END AS flag,
           l_quantity
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")))
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+    "scan_jsonl" -> Q(
+      // [EXT] JSONL ingest (S1b) — the de-facto interchange format of
+      // training-data pipelines. Round-trips the documents table through
+      // Spark's JSON writer and reads it back with an explicit schema;
+      // the oracle is the ORIGINAL table, so what's pinned is byte-exact
+      // round-trip identity through the codec (string escaping, unicode,
+      // nulls, 64-bit ids). Same memoized setup-write discipline as
+      // scan_csv: the snapshot is a pure function of the input files
+      // (content-fingerprinted root), so bench passes measure the SCAN,
+      // not repeated setup I/O. A doc whose text survives
+      // JSON-encode/decode differently on either side hash-mismatches.
+      (s, d) => {
+        val tmp = Cache.contentRoot(
+          s"graft_jsonl_${ProcessHandle.current().pid()}", d, "documents")
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text"))
+            .write.mode("overwrite").json(tmp)
+        }
+        s.read
+          .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+          .json(tmp)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, text
+        FROM documents ORDER BY doc_id""")))
 
   val all: Seq[(String, Q)] =
     extractQueries ++ joinQueries ++ msrQueries ++ filterQueries ++
