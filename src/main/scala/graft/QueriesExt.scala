@@ -769,6 +769,66 @@ object QueriesExt {
         FROM bits GROUP BY doc_id, j)
         SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash
         FROM perbit GROUP BY doc_id ORDER BY doc_id""")),
+    "dedup_simhash_pairs" -> Q(
+      // SimHash near-dup PAIRS (X2b completed as an actual dedup): a
+      // 60-bit token-vote simhash (sign-safe in a 64-bit long on both
+      // engines) banded 4 × 15 bits for LSH candidates — by pigeonhole,
+      // any pair within hamming distance 3 leaves at least one of the 4
+      // bands untouched, so recall is EXACTLY 1 at the hd ≤ 3 gate (not
+      // probabilistic like MinHash banding); the exact confirm is
+      // bit_count(xor) on the full hashes. Candidate fan per band cell is
+      // bounded by the 2¹⁵-bucket hash space. The |docs|-row hash frame
+      // is localCheckpointed — its three consumers (band explode, both
+      // pair-side attaches) would each re-run the token × bit explode
+      // otherwise.
+      (s, d) => {
+        val sh = LlmOps.simhashBits(docs(s, d), "doc_id", "text", 60)
+          .localCheckpoint(true)
+        val banded = sh.select(col("doc_id"), explode(expr(
+            """transform(sequence(0, 3), k -> named_struct(
+               'band', k, 'cell', shiftright(simhash, k * 15) & 32767))"""))
+            .as("bc"))
+          .select(col("doc_id"), col("bc.band").as("band"), col("bc.cell").as("cell"))
+        val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("cell"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("cell")),
+            Seq("band", "cell"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")),
+            Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")),
+            Seq("doc_b"))
+          .withColumn("hd", expr("bit_count(ha ^ hb)").cast("int"))
+          .filter(col("hd") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hd"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          tok AS (SELECT doc_id, word FROM n, unnest(w) AS t(word)),
+          bits AS (SELECT doc_id, j,
+            CASE WHEN ((strpos('0123456789abcdef',
+                substring(md5(word), 1 + CAST(floor(j/4) AS INT), 1)) - 1) >> (j % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS contrib
+          FROM tok, unnest(range(60)) AS b(j)),
+          perbit AS (SELECT doc_id, j,
+            CASE WHEN sum(contrib) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM bits GROUP BY doc_id, j),
+          sh AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash
+            FROM perbit GROUP BY doc_id),
+          banded AS (SELECT doc_id, k AS band,
+              (simhash >> (k * 15)) & 32767 AS cell
+            FROM sh, unnest(range(4)) AS kk(k)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.cell = b.cell AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hd
+        FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        ORDER BY doc_a, doc_b""")),
     "dedup_ngram_jaccard" -> Q(
       (s, d) => {
         // Scale-safe EXACT blocking: the semantic length gate |na-nb| <= 3

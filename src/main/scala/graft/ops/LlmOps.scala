@@ -314,14 +314,25 @@ object LlmOps {
 
   /** 16-bit SimHash of the word multiset of `textCol`: per bit j, sum +1/-1
     * over tokens by bit j of md5(token); sign → bit (X-family near-dup). */
-  def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame = {
+  def simhash16(docs: DataFrame, id: String, textCol: String): DataFrame =
+    simhashBits(docs, id, textCol, 16)
+
+  /** Token-vote SimHash with `nBits` bits (≤ 60 keeps every value and
+    * every band cell positive in a signed 64-bit long on BOTH engines —
+    * bit 63 would flip DuckDB's BIGINT sign under `<<`). Bit j's vote
+    * comes from bit (j mod 4) of md5 hex digit (j div 4) of each token —
+    * the same engine-portable digit primitive as the 16-bit form, which
+    * is this with nBits = 16. */
+  def simhashBits(docs: DataFrame, id: String, textCol: String,
+      nBits: Int): DataFrame = {
+    require(nBits > 0 && nBits <= 60, s"nBits must be in (0, 60], got $nBits")
     // same partition-spread rationale as [[minhashSignatures]]: the
     // token × bit explode is ~1000x row amplification
     val spread = docs.repartition(spreadWidth(docs))
     val tokens = spread.select(col(id),
       explode(split(normText(col(textCol)), " ")).as("w"))
     val bits = tokens
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("j", explode(sequence(lit(0), lit(nBits - 1))))
       .withColumn("hexd",
         expr("instr('0123456789abcdef', substring(md5(w), 1 + CAST(floor(j/4) AS INT), 1)) - 1"))
       .withColumn("contrib",

@@ -335,4 +335,21 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(out == brute && out.nonEmpty)
   }
+
+  test("simhash pairs: banded candidates equal brute-force hd<=3 (pigeonhole recall 1) (X2b)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_simhash_pairs")(spark, d)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    // brute force: all pairs over the collected 60-bit hashes
+    val hashes = graft.ops.LlmOps.simhashBits(
+        graft.ops.Tables.documents(spark, d), "doc_id", "text", 60)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val want = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      hd = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if hd <= 3
+    } yield (hashes(i)._1, hashes(j)._1, hd)).toSeq.sorted
+    assert(out == want, s"banded pairs must equal brute force (got ${out.size}, want ${want.size})")
+    assert(out.nonEmpty, "fixture must contain at least one near-dup pair")
+  }
 }

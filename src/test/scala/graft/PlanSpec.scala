@@ -613,4 +613,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max"),
       s"the max-struct must combine map-side:\n$p")
   }
+
+  test("dedup_simhash_pairs: candidates key on (band, cell) — never a doc cross") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"simhash banding must block the pair space:\n$p")
+    assert(p.contains("band") && p.contains("cell"),
+      s"the candidate join must carry the LSH band key:\n$p")
+  }
 }
