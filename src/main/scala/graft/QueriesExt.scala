@@ -4026,6 +4026,78 @@ object QueriesExt {
             round(CAST($numSql AS DOUBLE) / CAST($denSql AS DOUBLE), 6) AS ewma_r
           FROM byday WINDOW w AS (ORDER BY day) ORDER BY day"""))
     },
+    "holt_trend" -> {
+      // Holt's linear-trend smoothing (X96), the forecasting step above
+      // X84's EWMA: level l_k = αy_k + (1−α)(l_{k−1}+b_{k−1}), trend
+      // b_k = β(l_k−l_{k−1}) + (1−β)b_{k−1}, RE-INITIALIZED over each
+      // day's trailing 16-observation window (l₁ = y₁, b₁ = 0) — the
+      // windowed form is chosen deliberately: a steady-state lag
+      // truncation of the infinite recursion is NOT self-consistent (its
+      // truncated level mass sums to 1.055 because the trend-coupled
+      // weights oscillate — measured 7% off the true recursion), while
+      // the windowed recursion is an EXACT linear function of its 16
+      // inputs. The 16 level/trend coefficients are derived below by
+      // running the recursion symbolically (α=0.3, β=0.2) and quantized
+      // once to integer micro-units: one Scala list emits both the
+      // Column tree and the oracle SQL, both engines sum the same exact
+      // longs, and the spec replays the 16-step recursion to quantization
+      // precision. Rows without all 16 lags are not emitted.
+      val (alpha, beta, lags) = (0.3, 0.2, 16)
+      val (lw, bw) = {
+        // symbolic recursion: cl(k)(i) = coefficient of y_i in l_k
+        var cl = Array.tabulate(lags)(i => if (i == 0) 1.0 else 0.0)
+        var cb = Array.fill(lags)(0.0)
+        for (k <- 1 until lags) {
+          val nl = Array.tabulate(lags) { i =>
+            (if (i == k) alpha else 0.0) + (1 - alpha) * (cl(i) + cb(i))
+          }
+          val nb = Array.tabulate(lags)(i =>
+            beta * (nl(i) - cl(i)) + (1 - beta) * cb(i))
+          cl = nl; cb = nb
+        }
+        // cl(i) weights y at window position i (i = 0 oldest); lag j of
+        // day t is window position 15 − j
+        (Array.tabulate(lags)(j => math.round(cl(lags - 1 - j) * 1000000)),
+         Array.tabulate(lags)(j => math.round(cb(lags - 1 - j) * 1000000)))
+      }
+      def sumSql(ws: Array[Long]) = ws.zipWithIndex
+        .map { case (w, j) => s"lag(y, $j) OVER w * ($w)" }.mkString(" + ")
+      Q(
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val byDay = Tables.events(s, d)
+            .select(to_date(col("ts")).as("day"), cents(col("value")).as("c"))
+            .groupBy("day").agg(sum("c").as("y"))
+          // unpartitioned window bounded by the CALENDAR (|days| rows
+          // after the day-grain aggregate) — the daily_spine argument
+          val w = Window.orderBy("day")
+          def wsum(ws: Array[Long]) = ws.zipWithIndex.map { case (wj, j) =>
+            lag(col("y"), j).over(w) * wj
+          }.reduce(_ + _)
+          byDay
+            .withColumn("lsum", wsum(lw))
+            .withColumn("bsum", wsum(bw))
+            .filter(col("lsum").isNotNull) // all 16 lags present
+            .select(col("day"), col("y"),
+              round(col("lsum").cast("double") / 1e6, 6).as("level_r"),
+              round(col("bsum").cast("double") / 1e6, 6).as("trend_r"),
+              round((col("lsum") + lit(7L) * col("bsum")).cast("double") / 1e6, 6)
+                .as("forecast7_r"))
+            .orderBy("day")
+        },
+        Some(s"""WITH byday AS (SELECT CAST(ts AS DATE) AS day,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+          sm AS (SELECT day, y,
+              ${sumSql(lw)} AS lsum,
+              ${sumSql(bw)} AS bsum
+            FROM byday WINDOW w AS (ORDER BY day))
+          SELECT day, y,
+            round(CAST(lsum AS DOUBLE) / 1e6, 6) AS level_r,
+            round(CAST(bsum AS DOUBLE) / 1e6, 6) AS trend_r,
+            round(CAST(lsum + 7 * bsum AS DOUBLE) / 1e6, 6) AS forecast7_r
+          FROM sm WHERE lsum IS NOT NULL ORDER BY day"""))
+    },
     "seasonal_anomaly" -> Q(
       // Seasonal anomaly screen (X85): daily spend vs its day-of-week
       // baseline, flagged when the residual z-score clears 2 — the

@@ -1530,4 +1530,37 @@ class AnalyticsSpec extends AnyFunSuite {
         s"user $u entropy out of [0, ln(k)]")
     }
   }
+
+  test("holt_trend: forecast closes from level+trend; the windowed recursion replays to quantization precision (X96)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("holt_trend")(spark, d)
+      .as[(java.sql.Date, Long, Double, Double, Double)].collect().toSeq
+    val byDay = graft.ops.Tables.events(spark, d)
+      .select(to_date($"ts").as("day"), floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .groupBy("day").agg(sum($"c").as("y"))
+      .orderBy("day").as[(java.sql.Date, Long)].collect().toSeq
+    assert(out.size == byDay.size - 15, "rows without all 16 lags are dropped")
+    out.foreach { case (_, _, l, b, f) =>
+      assert(math.abs(f - (l + 7 * b)) <= 2e-5, "forecast7 = level + 7*trend")
+    }
+    // replay the EXACT 16-step re-initialized recursion per window:
+    // the only divergence allowed is the micro-unit weight quantization
+    // (|q/1e6 - w| <= 5e-7 each, 16 terms) plus the round(_, 6) output
+    val (alpha, beta) = (0.3, 0.2)
+    val ys = byDay.map(_._2.toDouble)
+    val idx = byDay.map(_._1).zipWithIndex.toMap
+    val tol = 16 * 5e-7 * ys.map(math.abs).max + 1e-5
+    out.foreach { case (day, _, level, trend, _) =>
+      val t = idx(day)
+      val win = ys.slice(t - 15, t + 1)
+      var l = win.head; var b = 0.0
+      win.tail.foreach { y =>
+        val l1 = alpha * y + (1 - alpha) * (l + b)
+        b = beta * (l1 - l) + (1 - beta) * b
+        l = l1
+      }
+      assert(math.abs(level - l) <= tol, s"$day: level $level vs exact $l")
+      assert(math.abs(trend - b) <= tol, s"$day: trend $trend vs exact $b")
+    }
+  }
 }
