@@ -4549,6 +4549,48 @@ object QueriesExt {
                  (budget - cap_sum) % (k - n_capped) THEN 1 ELSE 0 END)
           END AS BIGINT) AS alloc
         FROM c, agg ORDER BY lang""")),
+    "mix_temperature" -> Q(
+      // Temperature-scaled language mixing (X97): reweight natural
+      // language proportions p_l by p^(1/T) with T ≈ 1.43 (exponent 0.7)
+      // and renormalize — the standard multilingual up/down-sampling rule
+      // (low-resource languages gain mass as T rises). Complements X89's
+      // budget waterfill: waterfill answers "how much fits", temperature
+      // answers "what the target proportions should be". One map-side
+      // combinable supply aggregate; everything after is |langs|-row.
+      // The pow/sum/divide floats run in one identical op order on both
+      // engines and round to 6; supplies and allocations stay integer.
+      (s, d) => {
+        val sup = docs(s, d).groupBy(col("lang"))
+          .agg(sum(col("n_chars")).as("sup"))
+        val tot = sup.agg(sum(col("sup")).as("tot"),
+          sum(pow(col("sup").cast("double"), lit(0.7))).as("z"))
+        // target_chars derives INTEGER-ONLY from the rounded micro-unit
+        // weight (w6 · tot div 10⁶): a float floor at an integer
+        // boundary is exactly the cross-engine tie class the r4
+        // composite-quality bug came from
+        sup.crossJoin(broadcast(tot))
+          .withColumn("w6",
+            floor(pow(col("sup").cast("double"), lit(0.7)) / col("z")
+              * 1000000 + lit(0.5)).cast("long"))
+          .select(col("lang"), col("sup"),
+            round(col("sup").cast("double") / col("tot"), 6).as("p_r"),
+            (col("w6").cast("double") / 1e6).as("w_r"),
+            expr("(w6 * tot) div 1000000").as("target_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH sup AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sup
+            FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(sup) AS BIGINT) AS tot,
+            sum(pow(CAST(sup AS DOUBLE), 0.7)) AS z FROM sup),
+          w AS (SELECT lang, sup, tot,
+            CAST(floor(pow(CAST(sup AS DOUBLE), 0.7) / z * 1000000 + 0.5)
+              AS BIGINT) AS w6
+          FROM sup, t)
+        SELECT lang, sup,
+          round(CAST(sup AS DOUBLE) / tot, 6) AS p_r,
+          CAST(w6 AS DOUBLE) / 1e6 AS w_r,
+          (w6 * tot) // 1000000 AS target_chars
+        FROM w ORDER BY lang""")),
     "dedup_containment" -> Q(
       // Asymmetric containment dedup (X2h): C(A,B) = |sh(A)∩sh(B)| / |sh(A)|
       // over distinct 8-char shingles — catches "doc A is an excerpt of

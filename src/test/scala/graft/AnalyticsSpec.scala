@@ -1563,4 +1563,26 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(trend - b) <= tol, s"$day: trend $trend vs exact $b")
     }
   }
+
+  test("mix_temperature: weights flatten the distribution and conserve mass (X97)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("mix_temperature")(spark, d)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val tot = out.map(_._2).sum
+    assert(math.abs(out.map(_._3).sum - 1.0) <= 1e-4, "p sums to 1")
+    assert(math.abs(out.map(_._4).sum - 1.0) <= 1e-4, "w sums to 1")
+    // temperature < 1 exponent flattens: the scarcest language gains
+    // share, the richest loses share (strictly, unless already uniform)
+    val bysup = out.sortBy(_._2)
+    if (bysup.head._2 != bysup.last._2) {
+      assert(bysup.head._4 > bysup.head._3, "low-resource lang upsampled")
+      assert(bysup.last._4 < bysup.last._3, "high-resource lang downsampled")
+    }
+    out.foreach { case (lang, sup, p, w, target) =>
+      val w6 = math.round(w * 1e6)
+      assert(target == w6 * tot / 1000000L, s"$lang target from integer micro-units")
+      assert(sup > 0 && p > 0 && w > 0)
+    }
+  }
 }
