@@ -188,6 +188,10 @@ object QueriesExt {
   private def bandedRank(df: DataFrame, key: String, bandExpr: String,
       tie: String, asc: Boolean, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // working-column clash would silently clobber + drop caller data
+    val clash = df.columns.toSet.intersect(Set("band", "wi", "off", out))
+    require(clash.isEmpty,
+      s"bandedRank working columns collide with input: ${clash.mkString(", ")}")
     val banded = df.withColumn("band", expr(bandExpr))
     val ord =
       if (asc) Seq(col(key).asc, col(tie).asc)
@@ -4575,7 +4579,13 @@ object QueriesExt {
           .select(col("lang"), col("sup"),
             round(col("sup").cast("double") / col("tot"), 6).as("p_r"),
             (col("w6").cast("double") / 1e6).as("w_r"),
-            expr("(w6 * tot) div 1000000").as("target_chars"))
+            // split multiply: (w6·tot) div 10⁶ directly overflows a long
+            // once tot ≥ ~9.2e12 chars (far below the 100 TB operating
+            // point; Spark would wrap silently, DuckDB would raise); with
+            // tot = q·10⁶ + r the identity w6·q + (w6·r) div 10⁶ is exact
+            // and every product stays ≤ tot
+            expr("w6 * (tot div 1000000) + (w6 * (tot % 1000000)) div 1000000")
+              .as("target_chars"))
           .orderBy("lang")
       },
       Some("""WITH sup AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sup
@@ -4589,7 +4599,8 @@ object QueriesExt {
         SELECT lang, sup,
           round(CAST(sup AS DOUBLE) / tot, 6) AS p_r,
           CAST(w6 AS DOUBLE) / 1e6 AS w_r,
-          (w6 * tot) // 1000000 AS target_chars
+          w6 * (tot // 1000000) + (w6 * (tot % 1000000)) // 1000000
+            AS target_chars
         FROM w ORDER BY lang""")),
     "dedup_containment" -> Q(
       // Asymmetric containment dedup (X2h): C(A,B) = |sh(A)∩sh(B)| / |sh(A)|

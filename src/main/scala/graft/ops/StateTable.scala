@@ -54,6 +54,37 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
   def update(f: DataFrame => DataFrame): Option[Long] = read().map(f).map(commit)
 
   private val archiveRoot = root.resolve("_archive")
+  // names of batch dirs already merged into a combined batch, awaiting
+  // their deferred sweep (see [[consolidateArchive]])
+  private val doomedMarker = archiveRoot.resolve("_doomed.txt")
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+
+  private def doomedNames: Set[String] =
+    if (Files.exists(doomedMarker))
+      Files.readString(doomedMarker).split("\n").filter(_.nonEmpty).toSet
+    else Set.empty
+
+  /** Reap `.tmp_*` write-staging dirs abandoned by crashed
+    * compact/consolidate attempts: per-attempt-unique names mean no retry
+    * ever overwrites them, so without this they accumulate forever (a
+    * consolidation tmp alone is a full archive copy). Same discipline as
+    * the Cache staging reaper — only subtrees whose NEWEST mtime is
+    * stale, never an in-flight write. */
+  private def reapStaleTmp(): Unit = {
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    def newest(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      (f.lastModified +: kids.map(newest).toSeq).max
+    }
+    Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp_")
+        && f.lastModified < cutoff && newest(f) < cutoff)
+      .foreach(f => deleteTree(f.toPath))
+  }
 
   /** Archived (terminal-history) rows, if any — one append-only batch per
     * [[compact]] call, read back as ONE multi-path scan, deduped by key:
@@ -62,8 +93,11 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * crashed between its atomic move and the old-dir sweep — yields one
     * row, not duplicates, for every reader. */
   def archive(): Option[DataFrame] = {
+    val doomed = doomedNames
     val batches = Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.toString).sorted
+      .filter(f => f.isDirectory && f.getName.startsWith("b")
+        && !doomed(f.getName))
+      .map(_.toString).sorted
     if (batches.isEmpty) None
     else Some(spark.read.parquet(batches.toSeq: _*).dropDuplicates(keys))
   }
@@ -73,11 +107,24 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * anti-join, the orphan heal) would otherwise pay a multi-path scan
     * over thousands of tiny dirs after months of ticks. Above
     * `maxBatches`, merge everything into ONE combined batch under the
-    * same write-temp + atomic-move discipline, then sweep the merged
-    * dirs. Crash mid-sweep leaves a key in both the combined and an old
-    * batch with identical terminal content — [[archive]]'s key-dedup
-    * hides it and the next consolidation removes it. */
+    * same write-temp + atomic-move discipline.
+    *
+    * The merged dirs are NOT deleted immediately: they go on a doomed
+    * list ([[archive]] skips them) and are swept at the NEXT call — a
+    * reader that listed the batch dirs before the merge keeps resolvable
+    * paths for at least one full cycle, the same grace [[vacuum]]'s
+    * version slack gives live readers (an immediate sweep made any held
+    * lazy archive frame fail with FileNotFound mid-tick). Crash windows:
+    * dying after the combined move but before the doomed write leaves
+    * old + combined visible together — identical terminal content, so
+    * [[archive]]'s key-dedup hides it and the next call re-merges; dying
+    * mid-sweep leaves doomed entries whose dirs are already gone —
+    * [[deleteTree]] is a no-op on missing paths. */
   def consolidateArchive(maxBatches: Int = 16): Unit = {
+    reapStaleTmp()
+    // phase 2 of the PREVIOUS consolidation: sweep what it doomed
+    doomedNames.foreach(n => deleteTree(archiveRoot.resolve(n)))
+    if (Files.exists(doomedMarker)) Files.delete(doomedMarker)
     val batches = Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("b")).sortBy(_.getName)
     if (batches.length > maxBatches) {
@@ -88,10 +135,11 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
       val tmp = archiveRoot.resolve(s".tmp_$name")
       combined.write.mode("overwrite").parquet(tmp.toString)
       Files.move(tmp, archiveRoot.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      batches.foreach { d =>
-        Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-      }
+      // phase 1: doom the merged dirs (write-temp + atomic move)
+      val markerTmp = archiveRoot.resolve(".tmp_doomed")
+      Files.writeString(markerTmp, batches.map(_.getName).mkString("\n"))
+      Files.move(markerTmp, doomedMarker, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -133,6 +181,7 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
         }
         if (!unarchived.isEmpty) {
           Files.createDirectories(archiveRoot)
+          reapStaleTmp()
           // write-temp + ATOMIC move under a per-attempt unique name:
           // [[archive]] has no _SUCCESS gate, so a torn direct write at a
           // version-derived path would (a) be read back as real rows and
@@ -161,10 +210,7 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
   /** Drop all but the newest `keep` versions. */
   def vacuum(keep: Int = 2): Unit = {
     val cur = currentVersion.getOrElse(return)
-    versions.filter(_ <= cur).dropRight(keep).foreach { v =>
-      val p = root.resolve(s"v$v")
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
+    versions.filter(_ <= cur).dropRight(keep)
+      .foreach(v => deleteTree(root.resolve(s"v$v")))
   }
 }

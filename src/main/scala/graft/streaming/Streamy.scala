@@ -365,14 +365,20 @@ object Streamy {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val st = new graft.ops.StateTable(spark, tableDir, Seq("user_id"))
-        val latest = latestPerKey(batch)
+        // checkpoint the batch reduction ONCE: three consumers below (two
+        // join-key probes + the final union) would each re-run the
+        // aggregation otherwise. NO broadcast hint on the key frame — a
+        // recovery/backlog batch can carry millions of keys (AvailableNow
+        // puts the whole backlog in one batch), and forcing it through
+        // the driver would hit the broadcast limit; AQE broadcasts the
+        // common small-batch case on its own.
+        val latest = latestPerKey(batch).localCheckpoint(true)
+        val keys = latest.select("user_id")
         st.read() match {
           case None => st.commit(latest)
           case Some(cur) =>
-            val untouched = cur.join(broadcast(latest.select("user_id")),
-              Seq("user_id"), "left_anti")
-            val competing = cur.join(broadcast(latest.select("user_id")),
-              Seq("user_id"), "left_semi")
+            val untouched = cur.join(keys, Seq("user_id"), "left_anti")
+            val competing = cur.join(keys, Seq("user_id"), "left_semi")
             st.commit(untouched.unionByName(
               latestPerKey(competing.unionByName(latest))))
         }

@@ -88,7 +88,7 @@ class StateTableSpec extends AnyFunSuite {
     assert(t.readAll().get.count() == 2)
   }
 
-  test("consolidateArchive merges batch dirs; a crash mid-sweep never duplicates rows") {
+  test("consolidateArchive merges batch dirs two-phase; readers keep one cycle of grace") {
     val dir = Files.createTempDirectory("graft_state").toString
     val t = new StateTable(spark, dir, Seq("id"))
     // 6 compacting rounds -> 6 archive batch dirs
@@ -105,21 +105,27 @@ class StateTableSpec extends AnyFunSuite {
     // below the threshold: no-op
     t.consolidateArchive(maxBatches = 16)
     assert(batchDirs.length == 6)
-    // above the threshold: one combined batch, same rows
+    // above the threshold, PHASE 1: combined batch written, old dirs
+    // doomed but STILL ON DISK (a reader that listed them mid-tick keeps
+    // resolvable paths), archive() already excludes them
     t.consolidateArchive(maxBatches = 4)
-    assert(batchDirs.length == 1, s"expected 1 combined dir, got ${batchDirs.length}")
+    assert(batchDirs.length == 7, "old dirs must survive one cycle")
     assert(t.archive().get.count() == 6)
     assert(t.archive().get.as[(Long, Int)].collect().toMap ==
       (1L to 6L).map(_ -> 1).toMap)
-    // crash mid-sweep: an old batch dir survives next to the combined one
-    // (identical terminal content) -- readers must still see each key once
-    val combined = batchDirs.head
+    // PHASE 2 (the next call): doomed dirs swept
+    t.consolidateArchive(maxBatches = 16)
+    assert(batchDirs.length == 1, s"expected 1 combined dir, got ${batchDirs.length}")
+    assert(t.archive().get.count() == 6)
+    // crash-between-move-and-doom simulation: an old-content batch dir
+    // sits next to the combined one -- key-dedup hides it from readers
     t.archive().get.filter(col("id") === 3L)
       .write.parquet(s"$dir/_archive/b0_leftover")
     assert(batchDirs.length == 2)
     assert(t.archive().get.count() == 6, "key-dedup must hide the leftover")
     assert(t.readAll().get.count() == 6)
-    // the next consolidation sweeps the leftover
+    // a full consolidation cycle absorbs and then sweeps it
+    t.consolidateArchive(maxBatches = 1)
     t.consolidateArchive(maxBatches = 1)
     assert(batchDirs.length == 1 && t.archive().get.count() == 6)
   }
