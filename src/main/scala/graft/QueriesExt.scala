@@ -1206,7 +1206,58 @@ object QueriesExt {
         LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)
           .orderBy("qid", "rn")
       },
-      None))
+      None),
+    "sim_topk_ivf_check" -> Q(
+      // Contract oracle for sim_topk_ivf_kmeans (the one row above that
+      // KMeans keeps out of DuckDB): whatever candidate set IVF emits,
+      // its VALUES are exactly recomputable — so re-run the identical
+      // pipeline, join the emitted (qid, cand) pairs back to a FRESH
+      // read of the embeddings parquet (pipeline-independent columns),
+      // and assert per query: all 5 slots filled, every emitted cos_r
+      // equal to the source-recomputed cosine, and ranks 1..n contiguous
+      // with non-increasing cosine. The oracle recomputes the query-id
+      // set (vec_id % 50) and asserts the three contract booleans TRUE —
+      // a Spark-side false (or a short/dup qid list) hash-mismatches.
+      // Ranking QUALITY stays covered by the IvfSpec recall gates
+      // (recall@5 ≥ 0.6 at sf0.001 AND sf0.01); this row makes the
+      // returned values hard-checked in CORRECTNESS, closing the last
+      // rows-only row. Same sketch-family pattern as
+      // extract_percentile_sketch's bound gate (ops/Extracts.scala).
+      (s, d) => {
+        val e = emb(s, d)
+        val (assigned, centroids) = LlmOps.ivfAssign(e)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val res = LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)
+        // fresh source read — deliberately NOT the memoized emb() frame,
+        // so the recompute shares no column lineage with the pipeline
+        val src = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+          .withColumn("n0", LlmOps.norm(col("v0")))
+        val qs = src.select(col("vec_id").as("qid"),
+          col("v0").as("qv0"), col("n0").as("qn0"))
+        val cs = src.select(col("vec_id").as("cand"),
+          col("v0").as("cv0"), col("n0").as("cn0"))
+        res.join(qs, Seq("qid")).join(cs, Seq("cand"))
+          .withColumn("cos2", round(
+            when(col("qn0") * col("cn0") === 0, lit(0.0))
+              .otherwise(LlmOps.dot(col("qv0"), col("cv0"))
+                / (col("qn0") * col("cn0"))), 6))
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_cands"),
+            bool_and(col("cos_r") === col("cos2")).as("cos_ok"),
+            array_sort(collect_list(struct(col("rn"), col("cos_r")))).as("lst"))
+          .withColumn("rank_ok", expr(
+            """size(lst) > 0 AND lst[0].rn = 1 AND
+               forall(sequence(0, size(lst)-2),
+                 i -> lst[i+1].rn = lst[i].rn + 1
+                   AND lst[i].cos_r >= lst[i+1].cos_r)"""))
+          .select(col("qid"), col("n_cands"), col("cos_ok"), col("rank_ok"))
+          .orderBy("qid")
+      },
+      Some("""SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_cands,
+          TRUE AS cos_ok, TRUE AS rank_ok
+        FROM embeddings WHERE vec_id % 50 = 0 ORDER BY qid""")))
 
   // ---- §2.11 text analysis --------------------------------------------
   private val textQueries: Seq[(String, Q)] = Seq(
@@ -1365,11 +1416,14 @@ object QueriesExt {
       (s, d) => {
         val wBuckets = 4096; val dRows = 4
         // three consumers (sketch build, total count, exact top-20) —
-        // persist the one-column token projection so each reads the
-        // columnar cache instead of re-running the scan + tokenization
-        // (the robust-stats projection precedent)
+        // localCheckpoint the one-column token projection so each reads
+        // the materialized blocks instead of re-running the scan +
+        // tokenization. localCheckpoint, not persist: checkpointed
+        // blocks are freed by the ContextCleaner once the frame is
+        // unreachable, where an un-unpersisted cache would pin blocks
+        // for the rest of a 190-query Verify run.
         val toks = tokens(s, d).select(col("token"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val rows = array((0 until dRows).map(lit): _*)
         val bucket =
           expr(s"cast(conv(substring(md5(concat(row, '|', token)), 1, 8), 16, 10) as bigint) % $wBuckets")
@@ -2257,9 +2311,10 @@ object QueriesExt {
       // partitioning and AQE broadcasts the |zones|-row percentile frame.
       (s, d) => {
         // Percentile pass + clamp-and-average pass share one 2-column
-        // projection — persist it (same rationale as outlier_robust).
+        // projection — localCheckpoint it (same rationale as
+        // outlier_robust; ContextCleaner frees the blocks after use).
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val qs = px.groupBy("asdf_id").agg(
           percentile(col("value"), lit(0.05)).as("p05"),
           percentile(col("value"), lit(0.95)).as("p95"))
@@ -3190,11 +3245,11 @@ object QueriesExt {
       // (MAD = 0) score 0 by definition in both engines.
       (s, d) => {
         // Three passes (median → MAD → score) over the same 2-column
-        // projection: persist it so passes 2-3 read the columnar cache
-        // instead of re-running the scan+join. MEMORY_AND_DISK spills at
-        // scale; eviction falls back to recompute.
+        // projection: localCheckpoint it so passes 2-3 read materialized
+        // blocks instead of re-running the scan+join (spills at scale;
+        // blocks freed by the ContextCleaner after the query completes).
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val med = px.groupBy(col("asdf_id")).agg(median(col("value")).as("med"))
         val stats = px.join(broadcast(med), Seq("asdf_id"))
           .groupBy(col("asdf_id"))
@@ -4644,23 +4699,25 @@ object QueriesExt {
         val shE =
           "array_distinct(transform(sequence(1, length(norm)-7), i -> substring(norm, i, 8)))"
         val fil = corpus.filter(length(col("norm")) >= 8)
-        // build each doc's shingle array ONCE and persist the (doc_id, s)
-        // frame MEMORY_AND_DISK (the robust-stats projection precedent:
-        // spill-safe, eviction falls back to recompute, LRU owns the
-        // lifetime). Every consumer — the exploded index with its df /
-        // signature / candidate / per-doc-count readers, and the two set
-        // sides of the final intersect — reads the cache. Without the
-        // cache each consumer re-runs the scan + array build, and worse:
+        // build each doc's shingle array ONCE and localCheckpoint the
+        // (doc_id, s) frame (spill-safe MEMORY_AND_DISK blocks; the
+        // ContextCleaner frees them once the query's frames are
+        // unreachable, where an un-unpersisted cache would pin them for
+        // the rest of a 190-query Verify run). Every consumer — the
+        // exploded index with its df / signature / candidate /
+        // per-doc-count readers, and the two set sides of the final
+        // intersect — reads the materialized blocks. Without them each
+        // consumer re-runs the scan + array build, and worse:
         // InferFiltersFromGenerate infers `size(s) > 0 AND isnotnull(s)`
         // from `explode(s)` and pushes the WHOLE array construction into
         // the parquet scan's row-level DataFilters, rebuilding every
         // doc's array twice more per row in interpreted mode (measured
-        // 18 s vs 3 s for the explode alone at sf0.1). Over the cache the
-        // same inferred predicates are cheap size checks on materialized
-        // arrays.
+        // 18 s vs 3 s for the explode alone at sf0.1). Over the
+        // checkpoint the same inferred predicates are cheap size checks
+        // on materialized arrays.
         val shArr = fil.withColumn("s", expr(shE))
           .select(col("doc_id"), col("s"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val idx = shArr.select(col("doc_id").as("doc_b"),
           explode(col("s")).as("w"))
         val df = idx.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -4787,14 +4844,20 @@ object QueriesExt {
         val conf = langidFrame(s, d)
           .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint(true)
-        val t = conf.agg(sum(col("cnt")).as("n"),
-          sum(when(col("lang") === col("pred"), col("cnt")).otherwise(0L))
-            .as("n_agree"))
+        // empty-input guard (the gini_spend class): Spark's grand
+        // aggregate over an empty confusion frame yields NULL sums where
+        // the oracle's count(*) yields 0 — coalesce every margin to 0 on
+        // BOTH sides so the single output row is (0, 0, 0, 0.0) for an
+        // empty corpus (the n² = pe_num degenerate guard then fires).
+        val t = conf.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+          coalesce(sum(when(col("lang") === col("pred"), col("cnt"))
+            .otherwise(0L)), lit(0L)).as("n_agree"))
         val r = conf.groupBy(col("lang").as("lbl")).agg(sum(col("cnt")).as("rc"))
         val c = conf.groupBy(col("pred").as("lbl")).agg(sum(col("cnt")).as("cc"))
         val pe = r.join(c, Seq("lbl"), "full_outer")
-          .agg(sum(coalesce(col("rc"), lit(0L)) * coalesce(col("cc"), lit(0L)))
-            .as("pe_num"))
+          .agg(coalesce(
+            sum(coalesce(col("rc"), lit(0L)) * coalesce(col("cc"), lit(0L))),
+            lit(0L)).as("pe_num"))
         t.crossJoin(broadcast(pe))
           .select(col("n"), col("n_agree"), col("pe_num"),
             when(col("n") * col("n") === col("pe_num"), lit(0.0))
@@ -4805,13 +4868,13 @@ object QueriesExt {
       },
       Some(s"""WITH $langidCtes,
           t AS (SELECT CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_agree
+            CAST(COALESCE(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_agree
           FROM lid_pred),
           r AS (SELECT lang AS lbl, count(*) AS rc FROM lid_pred GROUP BY 1),
           c AS (SELECT pred AS lbl, count(*) AS cc FROM lid_pred GROUP BY 1),
-          m AS (SELECT CAST(sum(COALESCE(rc, 0) * COALESCE(cc, 0)) AS BIGINT)
-              AS pe_num
+          m AS (SELECT CAST(COALESCE(
+              sum(COALESCE(rc, 0) * COALESCE(cc, 0)), 0) AS BIGINT) AS pe_num
             FROM r FULL OUTER JOIN c USING (lbl))
         SELECT n, n_agree, pe_num,
           CASE WHEN n * n = pe_num THEN 0.0 ELSE

@@ -174,8 +174,11 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     // root-mtime check would reap an ACTIVE >1h write mid-job (the walk
     // only runs for dirs whose root already looks stale).
     val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+    // never FOLLOW symlinks (cycle → StackOverflowError); the link's own
+    // mtime still counts via `f.lastModified` at the parent level
     def newestMtime(f: java.io.File): Long = {
       val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        .filterNot(k => Files.isSymbolicLink(k.toPath))
       (f.lastModified +: kids.map(newestMtime).toSeq).max
     }
     Option(Paths.get(dir("")).toFile.listFiles()).getOrElse(Array.empty)

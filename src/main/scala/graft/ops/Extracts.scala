@@ -133,13 +133,14 @@ object Extracts {
         // shuffles for the join; the two median aggregates are the only
         // exchanges. Matches DuckDB's mad() (interpolated, DOUBLE input).
         // Both median passes scan the same (zone, value) projection, so
-        // persist it once: the second pass reads the columnar cache
-        // instead of re-deriving the join/scan. MEMORY_AND_DISK spills
-        // rather than OOMs at scale, and eviction falls back to
-        // recompute, so no unpersist bookkeeping is needed.
+        // localCheckpoint it once: the second pass reads the
+        // materialized blocks instead of re-deriving the join/scan.
+        // Blocks spill rather than OOM at scale, and the ContextCleaner
+        // frees them once the frame is unreachable — no unpersist
+        // bookkeeping, and nothing pinned across a multi-query run.
         val medC = "__graft_mad_med"
         val pv = pixels.select(z, v)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val med = pv.groupBy(z).agg(median(v).as(medC))
         pv.join(broadcast(med), zone)
           .groupBy(z).agg(median(abs(v - col(medC))).as(method))

@@ -136,9 +136,16 @@ object LlmOps {
   /** Connected components over an undirected edge list by iterative
     * min-label propagation to fixpoint: every node ends labelled with the
     * smallest id reachable from it — the canonical "keeper" of its
-    * duplicate cluster. Converges in O(component diameter) rounds (LSH
-    * clusters are near-cliques, so 2-3 in practice); lineage is truncated
-    * per round so plans stay flat at scale. */
+    * duplicate cluster. Each round combines ONE edge-hop (min over
+    * neighbours' labels) with ONE pointer jump (label := label of label —
+    * the shortcutting step of Shiloach-Vishkin-style CC), so the distance
+    * a label still has to travel HALVES per round on top of the hop:
+    * convergence is O(log diameter) rounds, not O(diameter). LSH
+    * near-cliques still settle in 2-3 rounds as before, and a CHAIN-shaped
+    * dup graph (paragraph-overlap chains — the adversarial case for pure
+    * propagation) needs ~log₂(len) rounds: LlmOpsSpec pins a 100-link
+    * chain inside a 12-round budget. Lineage is truncated per round so
+    * plans stay flat at scale. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     // materialize the edge list once — the propagation loop joins it every
@@ -155,17 +162,33 @@ object LlmOps {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      // ONE Spark job per round: the new label and its changed-flag are
-      // computed in the same select (no second join against the old
-      // labels), the eager localCheckpoint is the round's only full
-      // computation, and the convergence probe below scans the
-      // checkpointed blocks — not the lineage
+      // ONE Spark job per round: hop, jump, and the changed-flag are all
+      // computed in the same plan (no second pass over the old labels),
+      // the eager localCheckpoint is the round's only full computation,
+      // and the convergence probe below scans the checkpointed blocks —
+      // not the lineage
       val prop = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
-      val next = labels.join(prop, labels("node") === prop("src"), "left")
+      val hop = labels.join(prop, labels("node") === prop("src"), "left")
+        .select(col("node"), col("rep").as("prev"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep1"))
+      // pointer jump: rep ← rep1(rep1(node)). Labels are node ids, so the
+      // lookup is a self-join against the hopped frame; a label already at
+      // its component min maps to itself and the coalesce is a no-op. This
+      // halves the remaining min-label distance every round — the step
+      // that turns a 100-link chain from 100 rounds into ~7. The hopped
+      // subtree is evaluated twice inside the round's one job (both sides
+      // of the self-join); that doubles per-round join work in exchange
+      // for exponentially fewer rounds — the right trade at every scale,
+      // since each round's fixed cost (job launch + checkpoint) dominates
+      // exactly when components are small and data-cost parity holds when
+      // they are not.
+      val jump = hop.select(col("node").as("jn"), col("rep1").as("jrep"))
+      val next = hop.join(jump, hop("rep1") === jump("jn"), "left")
         .select(col("node"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
-          (col("nrep").isNotNull && col("nrep") < col("rep")).as("changed"))
+          least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep"),
+          col("prev"))
+        .withColumn("changed", col("rep") < col("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("node"), col("rep"))

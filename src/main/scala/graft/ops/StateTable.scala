@@ -76,8 +76,12 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * stale, never an in-flight write. */
   private def reapStaleTmp(): Unit = {
     val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    // never FOLLOW symlinks: a cycle (dir symlink pointing at an
+    // ancestor) would recurse to StackOverflowError; the link's own
+    // mtime still counts via `f.lastModified` at the parent level
     def newest(f: java.io.File): Long = {
       val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        .filterNot(k => Files.isSymbolicLink(k.toPath))
       (f.lastModified +: kids.map(newest).toSeq).max
     }
     Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
@@ -91,7 +95,11 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * archived rows are terminal (their content never changes), so a key
     * transiently present in two batches — a [[consolidateArchive]] that
     * crashed between its atomic move and the old-dir sweep — yields one
-    * row, not duplicates, for every reader. */
+    * row, not duplicates, for every reader. The winner is DETERMINISTIC:
+    * max batch name per key (batch names sort by creation order), not
+    * dropDuplicates' arbitrary pick — so even if a future writer ever
+    * violated terminal-immutability across batches, every reader would
+    * still agree on the newest row rather than diverge run-to-run. */
   def archive(): Option[DataFrame] = {
     val doomed = doomedNames
     val batches = Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
@@ -99,7 +107,19 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
         && !doomed(f.getName))
       .map(_.toString).sorted
     if (batches.isEmpty) None
-    else Some(spark.read.parquet(batches.toSeq: _*).dropDuplicates(keys))
+    else {
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(batches.toSeq: _*)
+      val others = df.columns.filterNot(keys.contains).toSeq
+      if (others.isEmpty) Some(df.dropDuplicates(keys))
+      else Some(df
+        .withColumn("_b", regexp_extract(input_file_name(), "/(b[^/]+)/[^/]+$", 1))
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(struct(others.map(col): _*), col("_b")).as("_w"))
+        // restore the original column order and names
+        .select(df.columns.toSeq.map(n =>
+          if (keys.contains(n)) col(n) else col("_w").getField(n).as(n)): _*))
+    }
   }
 
   /** Bound the archive's DIRECTORY count: [[compact]] appends one batch

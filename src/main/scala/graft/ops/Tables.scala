@@ -151,4 +151,41 @@ object Tables {
       | o_totalprice AS amount, o_orderpriority AS donor,
       | o_orderstatus AS status, l_linenumber
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin.replace("\n", "")
+
+  /** Fine-grid regime (SCALE.md "Zonal extracts"): when the zone map
+    * outgrows broadcast (the global 0.05° grid is 25.9 M cells,
+    * `queue/request_tools.py:65`, × boundary count), the scale path is a
+    * BUCKETED zone map co-partitioned with a bucketed pixel table on the
+    * CELL key: both sides land in the extract cache's bucketed layout
+    * ([[Cache.getOrComputeBucketed]]), so the cell-grain join needs no
+    * exchange on either side — in particular the FACT side never shuffles
+    * — and the only exchange in a zonal extract is the final |zones|-row
+    * aggregation. Cell key ⇐ `l_partkey` (the locations grid key); the
+    * zone map derives zone + coverage per cell from `part`.
+    *
+    * Paid once per (corpus version, grid): the bucketed write is a full
+    * shuffle-and-sort of the raster, amortized over every boundary ×
+    * method extract that reads it afterwards — the same trade as the
+    * bucketed extract cache for merges. ScaleSpec pins the no-fact-side-
+    * exchange plan with broadcast disabled. */
+  def pixelsBucketed(s: SparkSession, d: String, cache: Cache,
+      buckets: Int = 32): DataFrame =
+    cache.getOrComputeBucketed("pixels_by_cell", buckets, "cell_id")(
+      lineitem(s, d).select(
+        col("l_partkey").as("cell_id"),
+        col("l_extendedprice").as("value"),
+        col("l_quantity").as("weight")))
+
+  /** The fine-grid zone map `(cell_id, asdf_id, coverage)` bucketed on the
+    * same cell key/bucket count as [[pixelsBucketed]] — co-partitioned by
+    * construction. Coverage models the reference's pixel-in-polygon
+    * fraction (1.0 for interior cells; the split-cell fractions come from
+    * the rasterization step out of scope here). */
+  def zoneMapBucketed(s: SparkSession, d: String, cache: Cache,
+      zones: Int = 25, buckets: Int = 32): DataFrame =
+    cache.getOrComputeBucketed("zonemap_by_cell", buckets, "cell_id")(
+      part(s, d).select(
+        col("p_partkey").as("cell_id"),
+        (col("p_partkey") % zones).as("asdf_id"),
+        lit(1.0).as("coverage")))
 }

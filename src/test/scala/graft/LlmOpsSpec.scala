@@ -207,6 +207,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
   }
 
+  test("connectedComponents: 100-link chain converges within a 12-round " +
+    "budget (pointer-jump O(log d), not O(d) propagation)") {
+    // the adversarial shape for pure min-label propagation: a paragraph-
+    // overlap chain 100 edges long, worst-case oriented (labels must flow
+    // from the LOW end, so node ids ascend along the chain). Pure hop
+    // propagation needs ~100 rounds; hop+jump needs ~log2(100) ≈ 7. The
+    // 12-round maxIter is the budget pin: exceeding it throws.
+    val n = 101
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val out = LlmOps.connectedComponents(nodes, edges, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 0L),
+      "every chain node must label to the chain minimum")
+  }
+
   test("simhash16: identical docs share hash; hash is within 16 bits") {
     val docs = Seq((1L, "spark query engine"), (2L, "spark query engine"),
       (3L, "totally different words here")).toDF("doc_id", "text")

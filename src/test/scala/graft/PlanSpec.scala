@@ -556,10 +556,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct"),
       s"candidate generation must not cross docs:\n$p")
-    assert(p.contains("hashpartitioning(w#"),
+    // the candidate join must be an EQUI-join keyed on the shingle value —
+    // at fixture scale the small side broadcasts (`Join [w#..], [w#..]`);
+    // at corpus scale the same key hash-partitions
+    assert(p.contains("hashpartitioning(w#")
+        || "Join \\[w#\\d+\\], \\[w#\\d+\\]".r.findFirstIn(p).isDefined,
       s"the candidate join must key on the shingle value:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"consumers must read the persisted shingle-array frame:\n$p")
+    // consumers read the localCheckpointed shingle-array frame (an RDD
+    // scan), never re-deriving the array build per consumer
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"consumers must read the materialized shingle-array frame:\n$p")
   }
 
   test("pii_audit: scan prunes to (doc_id, text, lang) and the rollup " +
