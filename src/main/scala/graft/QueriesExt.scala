@@ -4715,6 +4715,14 @@ object QueriesExt {
         // 18 s vs 3 s for the explode alone at sf0.1). Over the
         // checkpoint the same inferred predicates are cheap size checks
         // on materialized arrays.
+        // The checkpointed LogicalRDD carries the optimizer's per-row
+        // SIZE ESTIMATE, which badly undercounts shingle arrays (~500
+        // strings/doc) — left to stats, the planner BROADCASTS this
+        // corpus-sized frame into its consumers (measured: OOM at the
+        // 10x stress scale; fatal at 100 TB). Every join that carries
+        // the array payload is therefore explicitly hinted `merge`
+        // below: the no-broadcast decision is encoded in the plan, not
+        // left to an estimate that degrades with corpus size.
         val shArr = fil.withColumn("s", expr(shE))
           .select(col("doc_id"), col("s"))
           .localCheckpoint(true)
@@ -4726,7 +4734,7 @@ object QueriesExt {
           .withColumn("rk", row_number().over(wRare))
           .filter(col("rk") <= 2)
           .select(col("doc_b").as("doc_a"), col("w"))
-        val cand = sig.join(idx, Seq("w"))
+        val cand = sig.join(idx.hint("shuffle_hash"), Seq("w"))
           .filter(col("doc_a") =!= col("doc_b"))
           .select("doc_a", "doc_b").distinct()
         // the intersection CO-LOCATES whole shingle sets: each candidate
@@ -4738,10 +4746,10 @@ object QueriesExt {
         // exchange and runs 4 s slower at sf0.1). All predicates here are
         // integer-only over cached columns, so nothing re-derives arrays.
         cand
-          .join(shArr.select(col("doc_id").as("doc_a"), col("s").as("sa")),
-            Seq("doc_a"))
-          .join(shArr.select(col("doc_id").as("doc_b"), col("s").as("sb")),
-            Seq("doc_b"))
+          .join(shArr.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+            .hint("shuffle_hash"), Seq("doc_a"))
+          .join(shArr.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+            .hint("shuffle_hash"), Seq("doc_b"))
           .withColumn("n_a", size(col("sa")).cast("long"))
           .withColumn("n_inter",
             size(array_intersect(col("sa"), col("sb"))).cast("long"))

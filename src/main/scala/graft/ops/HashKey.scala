@@ -151,6 +151,14 @@ object HashKey {
       JObj(m.toSeq.map { case (k, v) => k.toString -> toJVal(v) })
     case s: scala.collection.Seq[_] => JArr(s.toSeq.map(toJVal))
     case a: Array[_]           => JArr(a.toSeq.map(toJVal))
+    case Some(v)               => toJVal(v)
+    case None                  => JNull
+    // typed documents (the Request model) render as objects by declared
+    // field name — the S6 request echo writes the full document, like the
+    // reference dumping the Mongo doc (`queue/request_tools.py:553-558`)
+    case p: Product =>
+      JObj(p.productElementNames.toSeq.zip(p.productIterator.toSeq)
+        .map { case (n, v) => n -> toJVal(v) })
     case other => JStr(other.toString)
   }
 

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{LlmOps, Tables}
+
+/** Scale stress-drive (round-6 verdict #1): measure how the most expensive
+  * operators actually scale from sf0.1 to a synthetic 10× (sf1-equivalent)
+  * corpus, instead of extrapolating SCALE.md from sf0.1 plans alone.
+  *
+  * The amplified corpus is ADVERSARIAL, not a clean replica:
+  * - `documents` ×10 with each copy's text alphabet-rotated (copies are
+  *   disjoint in shingle space — near-dup candidate growth stays honest),
+  *   PLUS a boilerplate MEGACLUSTER: 2% of every copy's docs share one
+  *   literal text (~1,000 identical docs — the worst case for any
+  *   band-bucketed dedup, a single quadratic bucket).
+  * - `events` ×10 with copies' users disjoint EXCEPT whales: users with
+  *   `user_id % 997 == 0` keep their id in every copy and get 30 extra
+  *   copies (×40 event skew on ~0.1% of users).
+  * - `lineitem` ×10, plus 30 extra copies of every row sold by a
+  *   nation-0 supplier — one zone holds ~14% of all pixels (hot-zone skew
+  *   for the exact holistic extracts).
+  * - `embeddings` ×10 (ids shifted; each copy keeps the %50 query
+  *   density, so the registered ANN row's workload grows WITH the corpus
+  *   — the fixed-|Q| variant below separates workload growth from
+  *   operator growth).
+  *
+  * Protocol per (op, scale): one unmeasured warm run, one measured run,
+  * hash-every-output-column action (the Bench protocol). The scaling
+  * exponent is log10(t_10x / t_1x) — 1.0 = perfectly linear, >1
+  * super-linear. Results land in SCALE.md's measured-exponent table.
+  *
+  * Usage: Test/runMain graft.DriveScale10x [bigDir] [op1 op2 ...]
+  */
+object DriveScale10x {
+  val COPIES = 10
+  val EXTRA = 30 // additional skew copies for hot suppliers / whale users
+
+  val ops = Seq(
+    "dedup_containment", "repeated_ngrams", "dedup_simhash_pairs",
+    "multimodal_resize", "extract_mad", "tfidf_top", "dedup_ngram_jaccard",
+    "sim_topk_ivf_kmeans", "rfm_scores", "incremental_daily")
+
+  def main(args: Array[String]): Unit = {
+    // bench-shaped session (NOT TestSpark's local[4]): exponents are only
+    // comparable to BASELINE.md/BENCH rows if the parallelism matches.
+    // Run with SPARK_DRIVER_MEM=24g — the 10x corpus holds several
+    // corpus-sized checkpoints at once during the dedup families.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val big = if (args.nonEmpty) args(0) else "/tmp/graft_scale10x"
+    val chosen = if (args.length > 1) args.drop(1).toSeq else ops
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
+      generate(s, base, big)
+
+    // timing INCLUDES query construction: several builders localCheckpoint
+    // eagerly, and that materialization is part of the operator's cost
+    def run(name: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(s, d)
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = chosen.map { op =>
+      run(op, base); val tSmall = run(op, base)
+      run(op, big); val tBig = run(op, big)
+      val exp = math.log(tBig / tSmall) / math.log(10.0)
+      println(f"$op%-24s sf0.1=$tSmall%7.2f s  10x=$tBig%8.2f s  exponent=$exp%5.2f")
+      (op, tSmall, tBig, exp)
+    }
+    // fixed-|Q| ANN variant: the registered row's query set is a corpus
+    // FRACTION (vec_id % 50), so its cost model is |Q|·probed ≈ N²/500 —
+    // workload growth, not operator growth. Holding |Q| at the sf0.1
+    // query set (copy-0 ids only) isolates the operator's own scaling.
+    if (chosen.contains("sim_topk_ivf_kmeans")) {
+      def ivfFixedQ(d: String): Double = {
+        val t0 = System.nanoTime()
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", LlmOps.norm(col("v")))
+        val (assigned, centroids) = LlmOps.ivfAssign(e)
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val r = LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)
+        r.select(xxhash64(r.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ivfFixedQ(base); val tS = ivfFixedQ(base)
+      ivfFixedQ(big); val tB = ivfFixedQ(big)
+      val exp = math.log(tB / tS) / math.log(10.0)
+      println(f"sim_topk_ivf_fixedQ      sf0.1=$tS%7.2f s  10x=$tB%8.2f s  exponent=$exp%5.2f")
+    }
+    println("rows=" + rows.size)
+    s.stop()
+  }
+
+  /** Deterministic 10× amplification with injected skew (no RNG: copy
+    * indices and id arithmetic only, so the corpus is reproducible). */
+  def generate(s: SparkSession, base: String, big: String): Unit = {
+    println(s"generating 10x corpus at $big ...")
+    val P = java.nio.file.Paths.get(big)
+    java.nio.file.Files.createDirectories(P)
+    // untouched dimensions: byte-for-byte copies
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$base/$t.parquet"), P.resolve(s"$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int) = { val k = (i * 3) % 26; alpha.drop(k) + alpha.take(k) }
+    val boiler = ("the quarterly portfolio navigation footer repeats across " +
+      "every published revision of this document set ") * 5
+
+    // documents: rotated copies + the boilerplate megacluster
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val rotText = (1 until COPIES).foldLeft(
+      when(col("__copy") === 0, col("text"))) { (acc, i) =>
+      acc.when(col("__copy") === i, translate(col("text"), alpha, rot(i)))
+    }
+    docs.select(col("*"),
+        explode(sequence(lit(0), lit(COPIES - 1))).as("__copy"))
+      .select(
+        (col("doc_id") + col("__copy") * lit(10000000L)).as("doc_id"),
+        when(col("doc_id") % 50 === 7, lit(boiler)).otherwise(rotText).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+
+    // events: disjoint users per copy except whales (kept + 30 extra copies)
+    val ev = s.read.parquet(s"$base/events.parquet")
+    val whale = col("user_id") % 997 === 0
+    ev.select(col("*"),
+        explode(sequence(lit(0),
+          when(whale, lit(COPIES + EXTRA - 1)).otherwise(lit(COPIES - 1))))
+          .as("__copy"))
+      .select(
+        (col("event_id") + col("__copy") * lit(100000000L)).as("event_id"),
+        (col("ts") + expr("make_interval(0,0,0,0,0,0, __copy)")).as("ts"),
+        when(whale, col("user_id"))
+          .otherwise(col("user_id") + col("__copy") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
+
+    // lineitem: ×10 everywhere, ×40 for nation-0 suppliers (hot zone)
+    val hotSupp = s.read.parquet(s"$base/supplier.parquet")
+      .filter(col("s_nationkey") === 0)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val li = s.read.parquet(s"$base/lineitem.parquet")
+    val hot = col("l_suppkey").isin(hotSupp.toSeq: _*)
+    li.select(col("*"),
+        explode(sequence(lit(0),
+          when(hot, lit(COPIES + EXTRA - 1)).otherwise(lit(COPIES - 1))))
+          .as("__copy"))
+      .select(
+        (col("l_orderkey") + col("__copy") * lit(100000000L)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+
+    // embeddings: ×10, ids shifted (vectors identical — distance work is
+    // what's being measured, and identical points are the degenerate
+    // worst case for the quantizer, not a shortcut)
+    s.read.parquet(s"$base/embeddings.parquet")
+      .select(col("*"), explode(sequence(lit(0), lit(COPIES - 1))).as("__copy"))
+      .select((col("vec_id") + col("__copy") * lit(10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    for (t <- Seq("documents", "events", "lineitem", "embeddings"))
+      println(s"  $t: " + s.read.parquet(s"$big/$t.parquet").count() + " rows")
+  }
+}

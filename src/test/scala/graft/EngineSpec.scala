@@ -156,6 +156,93 @@ class EngineSpec extends AnyFunSuite {
       "orphan reconcile must re-insert the queue row and process it")
   }
 
+  test("fuzz: random submit/tick/crash/restart/orphan schedules — no lost " +
+    "request, no double-processing, live stores drain, archive partitions") {
+    // Engine-level companion to the StateTableSpec model fuzz: the state
+    // layer's 100 schedules check the table contract cheaply; these
+    // schedules drive the FULL lifecycle (submit→pipeline→artifacts→
+    // compaction) where each tick costs real processing. Double-
+    // processing is detected by artifact mtime: a completed request's
+    // results _SUCCESS must never be rewritten by any later tick,
+    // whatever resubmits/crashes follow.
+    def mkReq(id: String, failing: Boolean): Request =
+      if (failing) request.copy(id = id, release_data = Seq.empty,
+        raster_data = Seq(RasterSelection(name = "x",
+          extract_types = Seq("nope"), files = Seq(RasterFile("x_1998")))))
+      else request.copy(id = id)
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_efuzz$seed").toString
+      var e = new Engine(spark, dir, bucketed = false)
+      val submitted = scala.collection.mutable.Map[String, Boolean]() // id -> failing
+      val doneMtime = scala.collection.mutable.Map[String, Long]()
+      def noteCompletions(outcomes: Map[String, Int]): Unit =
+        outcomes.collect { case (id, 1) =>
+          doneMtime(id) = new java.io.File(s"$dir/out/$id/results/_SUCCESS")
+            .lastModified()
+        }: Unit
+      var n = 0
+      def freshId(): String = { n += 1; s"f$seed-$n" }
+      for (_ <- 0 until 3 + rnd.nextInt(4)) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // submit batch: new ids, dup ids, resubmits of done ids
+            val reqs = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              if (submitted.nonEmpty && rnd.nextInt(4) == 0) {
+                val id = submitted.keys.toSeq.sorted(
+                  Ordering.String)(rnd.nextInt(submitted.size))
+                // resubmit with the OPPOSITE body shape — the first body
+                // must win everywhere, so the final status must still
+                // match the ORIGINAL shape
+                mkReq(id, !submitted(id))
+              } else {
+                val id = freshId(); val failing = rnd.nextInt(4) == 0
+                submitted(id) = failing; mkReq(id, failing)
+              }
+            }
+            e.submitAll(reqs): Unit
+          case 2 => noteCompletions(e.tick(base, pixels, locations))
+          case 3 => e = new Engine(spark, dir, bucketed = false) // crash+restart
+          case 4 => // submit-crash orphan: body durable, queue row lost
+            val id = freshId(); val failing = rnd.nextInt(4) == 0
+            submitted(id) = failing
+            val body = mkReq(id, failing)
+              .copy(status = -1, stage = Seq(StageTime("submit", 0L)))
+            new graft.ops.StateTable(spark, s"$dir/requests", Seq("id"))
+              .upsert(Seq(body).toDS().toDF()): Unit
+        }
+      }
+      // drain: a restarted engine heals orphans and finishes everything
+      e = new Engine(spark, dir, bucketed = false)
+      noteCompletions(e.tick(base, pixels, locations))
+      assert(e.tick(base, pixels, locations).isEmpty,
+        s"seed=$seed: a drained queue must tick empty")
+      submitted.foreach { case (id, failing) =>
+        assert(e.status(id).contains(if (failing) -2 else 1),
+          s"seed=$seed $id: lost or wrong terminal status")
+        assert(e.results(id).isDefined == !failing,
+          s"seed=$seed $id: results must exist iff completed")
+      }
+      doneMtime.foreach { case (id, mt) =>
+        assert(new java.io.File(s"$dir/out/$id/results/_SUCCESS")
+          .lastModified() == mt,
+          s"seed=$seed $id: completed artifacts were rewritten (reprocessed)")
+      }
+      // live stores drain: terminal rows compact away, bodies follow
+      Seq("state", "requests").foreach { t =>
+        val live = new graft.ops.StateTable(spark, s"$dir/$t", Seq("id")).read()
+        assert(live.forall(_.isEmpty), s"seed=$seed live $t must drain")
+      }
+      // full history partitions: every id exactly once, all terminal
+      val all = new graft.ops.StateTable(spark, s"$dir/state", Seq("id"))
+        .readAll().get.select("id", "status").collect()
+        .map(r => r.getString(0) -> r.getInt(1))
+      assert(all.length == all.map(_._1).distinct.length,
+        s"seed=$seed duplicate ids across live∪archive")
+      assert(all.map(_._1).toSet == submitted.keySet,
+        s"seed=$seed history must hold exactly the submitted ids")
+    }
+  }
+
   test("driver holds no process-lifetime request-body map (bounded heap)") {
     // structural: the engine must not declare a mutable collection field —
     // bodies are durable in the request store and loaded per tick by a
@@ -200,6 +287,69 @@ class EngineSpec extends AnyFunSuite {
     e.submit(request)
     assert(e.status("req-1").contains(1), "completed status must survive re-submit")
     assert(e.tick(base, pixels, locations).isEmpty, "no reprocessing")
+  }
+
+  test("golden fixture request: CSV column grammar and JSON echo are " +
+    "byte-stable end-to-end (S5/S6 against the doc_test.py document)") {
+    // The captured production request (src/test/resources/
+    // request_fixture.json, from the reference's queue/doc_test.py:12-96)
+    // driven through the REAL lifecycle: submit → Pipeline.tick →
+    // Artifacts. Byte-golden on (1) the results CSV — column ORDER
+    // (asdf_id, extract columns, passthrough), the dotted display-name
+    // grammar with BOTH msr hash segments (the fixture's two donor
+    // filters hash differently), '' nulls — and (2) the S6 request echo
+    // as canonical JSON. Any drift in naming, hashing, ordering, or JSON
+    // rendering fails byte-compare.
+    val fixtureReq = Request(
+      id = "57a2ff1bc15e002f448b4568",
+      boundary = Boundary("nga_adm0_gadm28",
+        title = "Nigeria ADM0 Boundary - GADM 2.8", group = "nga_gadm28"),
+      release_data = Seq(
+        ReleaseSelection(
+          dataset = "nigeriaaims_geocodedresearchrelease_level1_v1_3",
+          custom_name = "New Request",
+          filters = Map("donors" -> Seq("AFDB"),
+            "ad_sector_names" -> Seq("All"))),
+        ReleaseSelection(
+          dataset = "nigeriaaims_geocodedresearchrelease_level1_v1_3",
+          custom_name = "hiiiiii",
+          filters = Map("donors" -> Seq("AFDB", "France"),
+            "ad_sector_names" -> Seq("All")))),
+      raster_data = Seq(RasterSelection(name = "udel_precip_v401_min",
+        extract_types = Seq("mean"),
+        files = Seq(RasterFile("udel_precip_v401_min_1998",
+          path = "precip_1998_min.tif")))),
+      email = "user@example.com",
+      custom_name = "My Full test request")
+    val dir = Files.createTempDirectory("graft_golden_fix").toString
+    val e = new Engine(spark, dir)
+    e.submit(fixtureReq)
+    val locs = Seq((1, 40.0, 100.0, "AFDB"), (1, 25.0, 50.0, "France"),
+      (2, 60.0, 100.0, "AFDB"), (2, 30.0, 60.0, "World Bank"))
+      .toDF("asdf_id", "alloc", "amount", "donors")
+    assert(e.tick(base, pixels, locs) == Map(fixtureReq.id -> 1))
+    val csvDir = new java.io.File(s"$dir/out/${fixtureReq.id}/results_csv")
+    val csvFile = csvDir.listFiles().filter(_.getName.endsWith(".csv")).head
+    val csvBytes = java.nio.file.Files.readAllBytes(csvFile.toPath)
+    val echoPath = Files.createTempDirectory("graft_echo").resolve("request.json")
+    graft.ops.Artifacts.writeRequestJson(fixtureReq, echoPath.toString)
+    val echoBytes = java.nio.file.Files.readAllBytes(echoPath)
+    def check(name: String, actual: Array[Byte]): Unit = {
+      val res = getClass.getResourceAsStream(s"/golden/$name")
+      if (res == null) {
+        // first recording: emit the candidate for review, then fail —
+        // a golden must be added to resources deliberately, never blind
+        val cand = java.nio.file.Paths.get("target/golden_candidates", name)
+        java.nio.file.Files.createDirectories(cand.getParent)
+        java.nio.file.Files.write(cand, actual)
+        fail(s"golden $name missing; candidate written to $cand")
+      }
+      val golden = res.readAllBytes()
+      assert(java.util.Arrays.equals(actual, golden),
+        s"$name drifted from golden:\n${new String(actual)}")
+    }
+    check("fixture_results.csv", csvBytes)
+    check("fixture_request.json", echoBytes)
   }
 
   test("golden bundle: CSV bytes match the recorded artifact exactly") {

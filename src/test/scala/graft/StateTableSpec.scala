@@ -129,4 +129,85 @@ class StateTableSpec extends AnyFunSuite {
     t.consolidateArchive(maxBatches = 1)
     assert(batchDirs.length == 1 && t.archive().get.count() == 6)
   }
+
+  test("fuzz: 100 random upsert/update/compact/consolidate/restart " +
+    "schedules match an in-memory model (no lost key, live∪archive " +
+    "partition, live stays bounded)") {
+    // The crash-path hardening (archive grace, doomed sweeps, anti-join
+    // re-archive guards) accumulated piecemeal over rounds 4-5; this
+    // model-checks the LAYER'S contract under arbitrary interleavings:
+    //  - upsert is existing-wins MERGE against LIVE rows only (an
+    //    archived id re-enters live — the Engine's archive anti-join is
+    //    the layer above that prevents it; here it must merely not
+    //    corrupt reads: readAll shows live winning);
+    //  - compact moves terminal live rows to the archive, but an id
+    //    ALREADY archived keeps its first archived status (the
+    //    re-archive anti-join) while still leaving the live table;
+    //  - consolidateArchive/restart/stale-tmp litter never change what
+    //    any reader sees.
+    for (seed <- 0 until 100) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_stfuzz$seed").toString
+      var t = new StateTable(spark, dir, Seq("id"))
+      val liveM = scala.collection.mutable.Map[Long, Int]()
+      val archM = scala.collection.mutable.Map[Long, Int]()
+      var n = 0L
+      for (_ <- 0 until 4 + rnd.nextInt(4)) {
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 => // upsert: new ids + clobber attempts + re-entries
+            // MERGE sources must be key-unique (the Engine dedups its
+            // batches the same way) — keep the first row per id
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              if ((liveM.nonEmpty || archM.nonEmpty) && rnd.nextInt(3) == 0) {
+                val pool = (liveM.keySet ++ archM.keySet).toSeq.sorted
+                (pool(rnd.nextInt(pool.size)), rnd.nextInt(4) - 2)
+              } else { n += 1; (n, -1) }
+            }.toList.distinctBy(_._1)
+            t.upsert(rows.toDF("id", "status"))
+            rows.foreach { case (id, st) =>
+              if (!liveM.contains(id)) liveM(id) = st }
+          case 3 => // transition: -1 -> 0 -> terminal (random terminal)
+            val term = if (rnd.nextBoolean()) 1 else -2
+            t.update(df => df.withColumn("status",
+              when(col("status") === -1, 0)
+                .when(col("status") === 0, term)
+                .otherwise(col("status"))))
+            liveM.mapValuesInPlace((_, s) =>
+              if (s == -1) 0 else if (s == 0) term else s)
+          case 4 => // terminal-state compaction
+            t.compact(_.filter(col("status").isin(1, -2)))
+            liveM.filterInPlace { (id, st) =>
+              val terminal = st == 1 || st == -2
+              if (terminal && !archM.contains(id)) archM(id) = st
+              !terminal
+            }
+          case 5 => // archive-dir bound (semantics-free)
+            t.consolidateArchive(maxBatches = 1 + rnd.nextInt(3))
+          case 6 => // crash + restart
+            t = new StateTable(spark, dir, Seq("id"))
+          case 7 => // abandoned write-staging litter from a crashed attempt
+            val tmp = java.nio.file.Paths.get(dir, "_archive",
+              s".tmp_crashed${rnd.nextInt(100)}")
+            java.nio.file.Files.createDirectories(tmp)
+            tmp.toFile.setLastModified(
+              System.currentTimeMillis() - 2 * 3600 * 1000L): Unit
+        }
+        // live view must equal the live model EVERY step
+        val live = t.read().map(_.as[(Long, Int)].collect().toMap)
+          .getOrElse(Map.empty)
+        assert(live == liveM.toMap, s"seed=$seed live diverged")
+      }
+      // full-history view: live wins, archive fills in, nothing lost
+      val expectAll = archM.toMap ++ liveM.toMap
+      val all = t.readAll().map(_.as[(Long, Int)].collect()).getOrElse(Array.empty)
+      assert(all.map(_._1).distinct.length == all.length,
+        s"seed=$seed readAll must be key-unique")
+      assert(all.toMap == expectAll, s"seed=$seed history diverged")
+      // the archive holds only terminal statuses
+      t.archive().foreach { a =>
+        val bad = a.filter(!col("status").isin(1, -2)).count()
+        assert(bad == 0, s"seed=$seed non-terminal rows in the archive")
+      }
+    }
+  }
 }
