@@ -793,16 +793,22 @@ object QueriesExt {
                'band', k, 'cell', shiftright(simhash, k * 15) & 32767))"""))
             .as("bc"))
           .select(col("doc_id"), col("bc.band").as("band"), col("bc.cell").as("cell"))
+        // every join side below derives from the CHECKPOINTED hash frame,
+        // whose LogicalRDD stats are per-row ESTIMATES — corpus-
+        // proportional frames (|docs| and |docs|×4 rows) that the planner
+        // would otherwise broadcast (measured BuildRight at sf0.1; a
+        // 16 GB broadcast at 10⁹ docs). shuffle_hash encodes the
+        // no-broadcast decision; see SCALE.md's LogicalRDD-stats lesson.
         val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("cell"))
-          .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("cell")),
-            Seq("band", "cell"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("cell"))
+            .hint("shuffle_hash"), Seq("band", "cell"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
         cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")),
-            Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")),
-            Seq("doc_b"))
+          .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+            .hint("shuffle_hash"), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+            .hint("shuffle_hash"), Seq("doc_b"))
           .withColumn("hd", expr("bit_count(ha ^ hb)").cast("int"))
           .filter(col("hd") <= 3)
           .select(col("doc_a"), col("doc_b"), col("hd"))
@@ -905,8 +911,15 @@ object QueriesExt {
           .withColumn("bc", explode(LlmOps.signLshCells(col("v"))))
           .select(col("vec_id"), col("label"), col("bc.band"), col("bc.cell"))
           .localCheckpoint(true)
+        // the checkpointed cell frame is corpus-proportional with ESTIMATE
+        // stats — hint the self-join so the planner never broadcasts it
+        // (SCALE.md LogicalRDD-stats lesson). The vector attaches below
+        // are deliberately UNhinted: their build side is the parquet scan,
+        // whose stats grow accurately with file size, so broadcast is
+        // correct at fixture scale and self-corrects to a shuffle at 100 TB.
         val pairs = cells.toDF("vec_a", "label", "band", "cell")
-          .join(cells.toDF("vec_b", "label", "band", "cell"), Seq("label", "band", "cell"))
+          .join(cells.toDF("vec_b", "label", "band", "cell")
+            .hint("shuffle_hash"), Seq("label", "band", "cell"))
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b")).distinct()
         val vecs = emb(s, d).select(col("vec_id"), col("v"), col("nrm"))
@@ -4419,7 +4432,11 @@ object QueriesExt {
         var r = nodes.crossJoin(nDf)
           .select(col("doc_id"), expr("1000000 div n_nodes").as("r"))
         for (_ <- 1 to 3) {
-          val contrib = withDeg.join(r, col("src") === col("doc_id"))
+          // the rank frame is |nodes|-proportional with estimate-only
+          // stats (memo/aggregate lineage) — hint it so no iteration
+          // broadcasts the graph (SCALE.md LogicalRDD-stats lesson)
+          val contrib = withDeg.join(r.hint("shuffle_hash"),
+              col("src") === col("doc_id"))
             .select(col("dst"), expr("r div deg").as("c"))
           r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
             .crossJoin(nDf)

@@ -167,9 +167,16 @@ object LlmOps {
       // the eager localCheckpoint is the round's only full computation,
       // and the convergence probe below scans the checkpointed blocks —
       // not the lineage
-      val prop = sym.join(labels, sym("dst") === labels("node"))
+      // every frame in the loop (sym, labels, hop) is graph-proportional
+      // with checkpoint-ESTIMATE stats — hint shuffle_hash so no round
+      // ever broadcasts a |nodes|/|edges|-sized side (the SCALE.md
+      // LogicalRDD-stats lesson; a broadcast here is per-ROUND, so the
+      // cliff would multiply by the iteration count)
+      val prop = sym.join(labels.hint("shuffle_hash"),
+          sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
-      val hop = labels.join(prop, labels("node") === prop("src"), "left")
+      val hop = labels.join(prop.hint("shuffle_hash"),
+          labels("node") === prop("src"), "left")
         .select(col("node"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep1"))
       // pointer jump: rep ← rep1(rep1(node)). Labels are node ids, so the
@@ -184,7 +191,7 @@ object LlmOps {
       // exactly when components are small and data-cost parity holds when
       // they are not.
       val jump = hop.select(col("node").as("jn"), col("rep1").as("jrep"))
-      val next = hop.join(jump, hop("rep1") === jump("jn"), "left")
+      val next = hop.join(jump.hint("shuffle_hash"), hop("rep1") === jump("jn"), "left")
         .select(col("node"),
           least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep"),
           col("prev"))

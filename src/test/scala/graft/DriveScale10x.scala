@@ -41,6 +41,17 @@ object DriveScale10x {
     "multimodal_resize", "extract_mad", "tfidf_top", "dedup_ngram_jaccard",
     "sim_topk_ivf_kmeans", "rfm_scores", "incremental_daily")
 
+  /** Second-tier drive (`--tier2`): the next-most-expensive families —
+    * exact holistic extracts vs their sketch forms, the LSH/CC cluster
+    * chain on the megacluster graph, bloom decontamination, and the
+    * banded-rank statistics. */
+  val ops2 = Seq(
+    "extract_percentile", "extract_percentile_sketch",
+    "extract_unique", "extract_unique_sketch",
+    "dedup_minhash", "dedup_clusters", "dup_pagerank",
+    "decontaminate_bloom", "bm25_top", "sessionize_events",
+    "gini_spend", "woe_bins")
+
   def main(args: Array[String]): Unit = {
     // bench-shaped session (NOT TestSpark's local[4]): exponents are only
     // comparable to BASELINE.md/BENCH rows if the parallelism matches.
@@ -56,7 +67,10 @@ object DriveScale10x {
     s.sparkContext.setLogLevel("ERROR")
     val base = "/root/testdata/sf0.1"
     val big = if (args.nonEmpty) args(0) else "/tmp/graft_scale10x"
-    val chosen = if (args.length > 1) args.drop(1).toSeq else ops
+    val chosen =
+      if (args.length > 1 && args(1) == "--tier2") ops2
+      else if (args.length > 1) args.drop(1).toSeq
+      else ops
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
 
