@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+
+/** Corpus-wide audit for the LogicalRDD-stats broadcast cliff (SCALE.md):
+  * flag every query whose final plan BROADCASTS a subtree that reads a
+  * checkpointed RDD (`Scan ExistingRDD`) — i.e. a frame whose size the
+  * planner only ESTIMATED. Legitimate broadcasts (parquet-backed sides,
+  * 1-row scalar frames, aggregate outputs) read from file scans or
+  * aggregates and are not flagged. Usage:
+  *   Test/runMain graft.DriveBroadcastAudit <sfDir>
+  */
+object DriveBroadcastAudit {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    def broadcastSides(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case b: BroadcastHashJoinExec =>
+          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
+        case b: BroadcastNestedLoopJoinExec =>
+          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
+        case e: BroadcastExchangeExec => Seq(e.child)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(broadcastSides)
+    }
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(s, d).queryExecution.executedPlan
+        val bad = broadcastSides(plan).filter { side =>
+          val txt = side.toString
+          // a broadcast side is suspect if it scans a checkpointed RDD and
+          // is NOT collapsed by an aggregate (aggregate outputs are
+          // key-cardinality, independent of corpus size — zone maps,
+          // scalar totals, vocab rollups are fine to broadcast)
+          txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate")
+        }
+        if (bad.nonEmpty) {
+          flagged += 1
+          println(s"FLAG $name: broadcast over a checkpoint-backed, " +
+            s"non-aggregated subtree (${bad.size} site(s))")
+          bad.foreach(b => println("  " + b.toString.split("\n").take(4)
+            .map(_.trim.take(120)).mkString(" | ")))
+        }
+      } catch { case e: Throwable =>
+        println(s"ERR  $name: ${e.getMessage.take(100)}")
+      }
+    }
+    println(s"flagged=$flagged")
+    s.stop()
+  }
+}

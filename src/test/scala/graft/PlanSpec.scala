@@ -627,4 +627,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("band") && p.contains("cell"),
       s"the candidate join must carry the LSH band key:\n$p")
   }
+
+  test("corpus-wide: no query broadcasts a checkpoint-backed non-aggregated " +
+    "subtree (the LogicalRDD estimate-stats cliff, SCALE.md round 6)") {
+    // LogicalRDD stats are per-row ESTIMATES; a broadcast built over one
+    // is sized by guesswork and degrades silently with corpus growth
+    // (measured OOM at 10x on dedup_containment before the hint fix).
+    // Aggregate-collapsed subtrees are exempt: their cardinality is
+    // key-bounded (zone maps, scalar totals, vocab rollups), so
+    // broadcasting them is the DESIGNED scale behavior.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def broadcastSides(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case b: BroadcastHashJoinExec =>
+          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
+        case b: BroadcastNestedLoopJoinExec =>
+          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
+        case e: BroadcastExchangeExec => Seq(e.child)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(broadcastSides)
+    }
+    val d = "/root/testdata/sf0.001"
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = broadcastSides(fn(spark, d).queryExecution.executedPlan)
+        .filter { side =>
+          val txt = side.toString
+          txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate")
+        }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(flagged.isEmpty,
+      s"estimate-stats broadcast cliff reintroduced in: ${flagged.mkString(", ")}")
+  }
 }
