@@ -155,11 +155,9 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.exists(_._3 > 0),
       "fixture must contain cross-batch line duplication or the store check is vacuous")
     // the store is a materialized cache artifact: the same root probe-hits
-    val fp = Option(new java.io.File(s"$d/documents.parquet").listFiles())
-      .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val root = s"${sys.props("java.io.tmpdir")}/graft_dstore_" +
-      graft.ops.HashKey.sha1Hex(s"$d|$fp").take(12)
+    // (root derivation is the shared contract — covers both the plain-file
+    // and directory-of-parts fixture layouts)
+    val root = graft.ops.Cache.contentRoot("graft_dstore", d, "documents")
     assert(new graft.ops.Cache(spark, root).probe("line_store"),
       "second run must find the line store already materialized")
   }
