@@ -91,7 +91,16 @@ object Streamy {
     * micro-batches, with a processing-time timeout evicting idle users —
     * the pattern a real training-data pipeline uses for per-source quotas
     * or rate accounting. Works identically on batch `Dataset`s (single
-    * "batch" of state). */
+    * "batch" of state).
+    *
+    * Drain caveat (measured, see test-tree `StreamProbe`): pending
+    * processing-time timers keep an `AvailableNow` run scheduling empty
+    * batches forever after the source is exhausted, so a backlog drain
+    * through this operator must stop on source exhaustion rather than
+    * `awaitTermination` — or use the batch path, which is the right tool
+    * for a bounded backlog anyway. Continuous streams (this operator's
+    * scale posture) are unaffected: the timer batches ARE the eviction
+    * mechanism there. */
   def runningUserTotals(events: DataFrame,
       timeout: String = "1 hour"): org.apache.spark.sql.Dataset[UserState] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}

@@ -215,4 +215,47 @@ class ScaleSpec extends AnyFunSuite {
       assert(ni == na && c == 1.0, s"excerpt ($a,$b) must be fully contained")
     }
   }
+
+  test("AQE actually splits a skewed join partition (the hot-key runtime " +
+    "re-plan SCALE.md leans on is a tested fact, not a config note)") {
+    // one key owns ~95% of the fact side; with broadcast off the join is
+    // sort-merge and the hot hash partition dwarfs the median. AQE's skew
+    // handler must carve that partition into multiple reader splits —
+    // visible in the final adaptive plan as isSkewJoin=true / a skewed
+    // AQEShuffleRead. Thresholds are lowered to make 64 KB count as
+    // "skewed" at fixture scale; the MECHANISM is scale-independent.
+    val prev = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.getOption("spark.sql.adaptive.enabled"),
+      "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.enabled" -> spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(0, 120000).select(
+        when($"id" % 20 === 0, $"id" % 40).otherwise(lit(0L)).as("k"),
+        concat(lit("p" * 64), $"id").as("payload"))
+      val dim = spark.range(0, 40).select($"id".as("k"), ($"id" * 7).as("attr"))
+      // keep the payload alive through the join (column pruning would
+      // otherwise shrink the hot partition), and drive the df's OWN plan:
+      // head() would execute a separate CollectLimit query execution
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)), sum($"attr"), max(length($"payload")))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkewJoin=true") || plan.toLowerCase.contains("skewed"),
+        s"final adaptive plan must show a skew-split join, got:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -402,4 +402,62 @@ class StreamySpec extends AnyFunSuite {
     assert(q2.awaitTermination(120000), "replay stream did not finish in time")
     assert(snap == want, "full replay must be a no-op on the table rows")
   }
+
+  test("state stores are bounded by watermark/keys, not stream LENGTH: " +
+    "4x more stream, flat state (the SCALE.md streaming claim, pinned)") {
+    // Constant arrival rate and user cardinality; the only thing that
+    // grows is how LONG the stream runs. A state store bounded by
+    // (rate x watermark) or |keys| stays flat; one that accumulates
+    // history grows 4x. DriveStreamScale is the 10x measured version of
+    // this pin at 2M events.
+    val nUsers = 40
+    def slices(n: Int): String = {
+      val dir = Files.createTempDirectory(s"graft_sb_$n").toString
+      (0 until n).foreach { s =>
+        val rows = (0 until 120).map { j =>
+          val g = s.toLong * 120 + j
+          val ts = new java.sql.Timestamp(1704067200000L + s * 600000L + j * 5000L)
+          (g, ts, (g * 7) % nUsers, if (g % 3 == 0) "view" else "click",
+            (g % 9).toDouble)
+        }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        rows.coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(20) // distinct mtimes => deterministic file order
+      }
+      dir
+    }
+    def maxState(dir: String, mode: String,
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+      val ckpt = Files.createTempDirectory("graft_sb_ckpt").toString
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = f(stream).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("noop").outputMode(mode).start()
+      // StreamProbe, not a bare awaitTermination: ProcessingTimeTimeout
+      // operators never self-terminate under AvailableNow
+      val st = StreamProbe.drain(q, 300000)
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
+    }
+    val (d1, d4) = (slices(6), slices(24)) // 60 vs 240 min at equal rate
+    // dedupe with a 10-min watermark: state = ids inside the watermark
+    // window — saturates after ~2 slices, then FLAT
+    val dd1 = maxState(d1, "append", df => Streamy.dedupeById(df, watermark = "10 minutes"))
+    val dd4 = maxState(d4, "append", df => Streamy.dedupeById(df, watermark = "10 minutes"))
+    assert(dd1 > 0 && dd4 <= (dd1 * 3) / 2,
+      s"dedupe state must not grow with stream length: $dd1 -> $dd4")
+    assert(dd4 < 24 * 120 / 2, s"dedupe state must be far below total ids, got $dd4")
+    // session FSM (event-time timeout): state = users with an OPEN session
+    val sf1 = maxState(d1, "append", df => Streamy.sessionFlush(df).toDF)
+    val sf4 = maxState(d4, "append", df => Streamy.sessionFlush(df).toDF)
+    assert(sf1 > 0 && sf4 <= nUsers && sf4 <= (sf1 * 3) / 2,
+      s"session state must stay |active users|-bounded: $sf1 -> $sf4")
+    // running totals (keyed accumulator): state = |users|, never |events|
+    val rt1 = maxState(d1, "update", df => Streamy.runningUserTotals(df).toDF)
+    val rt4 = maxState(d4, "update", df => Streamy.runningUserTotals(df).toDF)
+    assert(rt1 == nUsers && rt4 == nUsers,
+      s"running-total state must equal |users|: $rt1 / $rt4 vs $nUsers")
+  }
 }
