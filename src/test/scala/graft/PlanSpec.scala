@@ -628,8 +628,8 @@ class PlanSpec extends AnyFunSuite {
       s"the candidate join must carry the LSH band key:\n$p")
   }
 
-  test("corpus-wide: no query broadcasts a checkpoint-backed non-aggregated " +
-    "subtree (the LogicalRDD estimate-stats cliff, SCALE.md round 6)") {
+  test("corpus-wide plan audit: no estimate-stats broadcasts, and every " +
+    "query's exchange count matches the recorded budget") {
     // LogicalRDD stats are per-row ESTIMATES; a broadcast built over one
     // is sized by guesswork and degrades silently with corpus growth
     // (measured OOM at 10x on dedup_containment before the hint fix).
@@ -651,8 +651,11 @@ class PlanSpec extends AnyFunSuite {
       here ++ p.children.flatMap(broadcastSides)
     }
     val d = "/root/testdata/sf0.001"
-    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val bad = broadcastSides(fn(spark, d).queryExecution.executedPlan)
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, d).queryExecution.executedPlan
+    }
+    val flagged = plans.flatMap { case (name, ep) =>
+      val bad = broadcastSides(ep)
         .filter { side =>
           val txt = side.toString
           txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate")
@@ -661,5 +664,31 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(flagged.isEmpty,
       s"estimate-stats broadcast cliff reintroduced in: ${flagged.mkString(", ")}")
+
+    // Exchange budget: every query's shuffle count is pinned to the
+    // recorded value (src/test/resources/exchange_budget.txt). A refactor
+    // that introduces an extra Exchange — the single most expensive plan
+    // regression at 100 TB — fails here even when values stay correct.
+    // Deliberate plan changes re-record via Test/runMain
+    // graft.DriveExchangeBudget and review the diff.
+    val budget: Map[String, Int] = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/exchange_budget.txt"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map { l =>
+        val Array(n, c) = l.split(" "); n -> c.toInt
+      }.toMap finally src.close()
+    }
+    val diffs = plans.flatMap { case (name, ep) =>
+      val live = DriveExchangeBudget.count(ep)
+      budget.get(name) match {
+        case Some(rec) if rec == live => None
+        case Some(rec) => Some(s"$name: recorded $rec, live $live")
+        case None => Some(s"$name: NOT RECORDED (new query?)")
+      }
+    }
+    assert(diffs.isEmpty,
+      "exchange counts drifted from the recorded budget — review the plan " +
+        "change, then re-record with Test/runMain graft.DriveExchangeBudget:\n  " +
+        diffs.mkString("\n  "))
   }
 }

@@ -403,6 +403,144 @@ class StreamySpec extends AnyFunSuite {
     assert(snap == want, "full replay must be a no-op on the table rows")
   }
 
+  test("dedupeById: stop + restart from the SAME checkpoint recovers the " +
+    "seen-id store and the file-sink manifest stays exactly-once") {
+    // Cluster failure mode: the driver dies between two stretches of the
+    // stream. Restarting from the checkpoint must (a) not reprocess
+    // committed input (source offsets), (b) still DROP duplicates of ids
+    // seen before the restart (state store), (c) not double-commit output
+    // (file-sink manifest). The memory sink cannot recover a checkpoint in
+    // append mode, so this runs against the fault-tolerant parquet sink —
+    // the sink a real cluster job would use.
+    val dir = Files.createTempDirectory("graft_rst_dd").toString
+    val ckpt = Files.createTempDirectory("graft_rst_dd_ckpt").toString
+    val out = Files.createTempDirectory("graft_rst_dd_out").toString
+    val schema = events.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = Streamy.dedupeById(stream).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .outputMode("append").start()
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+    }
+    // stretch 1: ids 1-4 (watermark advances to 03:00 - 1h = 02:00)
+    events.coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 4)
+    // ---- simulated crash: the query object is gone; only ckpt survives ----
+    // stretch 2: redeliver id 4 (ts 03:00 — INSIDE the recovered watermark,
+    // so only the recovered state store can drop it) plus redeliver ids
+    // 1-2 (below the watermark — dropped as late) plus genuinely new 5, 6
+    val batch2 = Seq(
+      (4L, ts("2024-01-01 03:00:00"), 8L, "click", 8.0),
+      (1L, ts("2024-01-01 00:05:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 00:55:00"), 7L, "click", 2.0),
+      (5L, ts("2024-01-01 03:10:00"), 9L, "view", 5.0),
+      (6L, ts("2024-01-01 03:20:00"), 9L, "buy", 6.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    Thread.sleep(1100) // distinct mtimes => deterministic file order
+    batch2.coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"restart must drop redelivered ids via recovered state and commit " +
+        s"each id exactly once, got $ids")
+  }
+
+  test("sessionFlush: a session OPEN across a stop/restart boundary merges " +
+    "via the recovered FSM state and flushes exactly once") {
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      (id, u, "view", java.sql.Timestamp.valueOf(t), v)
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    val dir = Files.createTempDirectory("graft_rst_sess").toString
+    val ckpt = Files.createTempDirectory("graft_rst_sess_ckpt").toString
+    val out = Files.createTempDirectory("graft_rst_sess_out").toString
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = Streamy.sessionFlush(stream).toDF().writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .outputMode("append").start()
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+    }
+    // stretch 1: u7 opens a session (00:00, 00:10); nothing can flush yet
+    Seq(ev(1, 7, "2024-01-01 00:00:00", 1.0),
+        ev(2, 7, "2024-01-01 00:10:00", 2.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 0,
+      "no watermark has passed — nothing may flush before the crash")
+    // ---- crash/restart: u7's OPEN session lives only in the state store ----
+    // stretch 2: u7 continues the SAME session at 00:20 (within the 30-min
+    // gap of the pre-restart tail); u8's 04:00 event advances the
+    // watermark past u7's last+gap and times the session out
+    Thread.sleep(1100)
+    Seq(ev(3, 7, "2024-01-01 00:20:00", 0.5),
+        ev(4, 8, "2024-01-01 04:00:00", 9.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    val got = spark.read.parquet(out)
+      .select("user_id", "sstart_us", "send_us", "n", "cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (7L, us("2024-01-01 00:00:00"), us("2024-01-01 00:20:00"), 3L, 350L)),
+      s"the pre-restart half-session must merge with the post-restart " +
+        s"event into ONE flushed session, got $got")
+  }
+
+  test("funnelProgress: FSM stage survives a stop/restart (stage-1 state " +
+    "recovered from the checkpoint drives post-restart progression)") {
+    def ev(id: Long, u: Long, tpe: String, t: String) =
+      (id, u, tpe, java.sql.Timestamp.valueOf(t))
+    val cols = Seq("event_id", "user_id", "event_type", "ts")
+    val dir = Files.createTempDirectory("graft_rst_fun").toString
+    val ckpt = Files.createTempDirectory("graft_rst_fun_ckpt").toString
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    // explicit function value: Scala 2.13 cannot disambiguate the
+    // Scala/Java foreachBatch overloads on a bare lambda
+    val eat: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+      val rows = b.select("user_id", "stage")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      sink.synchronized { sink ++= rows }
+    }
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = Streamy.funnelProgress(stream).toDF().writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch(eat).start()
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+    }
+    // stretch 1: u7 views (stage 1); u8 clicks with no prior view (stage 0)
+    Seq(ev(1, 7, "view", "2024-01-01 00:00:00"),
+        ev(2, 8, "click", "2024-01-01 00:10:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    // ---- crash/restart: u7's stage-1 progress lives only in state ----
+    sink.clear() // only post-restart emissions decide the assertion
+    Thread.sleep(1100)
+    Seq(ev(3, 7, "click", "2024-01-01 01:00:00"),
+        ev(4, 7, "purchase", "2024-01-01 02:00:00"),
+        ev(5, 8, "view", "2024-01-01 01:00:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    val finalStage = sink.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).max }
+    // u7 reaching stage 3 REQUIRES the recovered stage-1 state: without it
+    // the post-restart click has no prior view and would not advance
+    assert(finalStage == Map(7L -> 3, 8L -> 1),
+      s"funnel state must survive the restart, got $finalStage")
+  }
+
   test("state stores are bounded by watermark/keys, not stream LENGTH: " +
     "4x more stream, flat state (the SCALE.md streaming claim, pinned)") {
     // Constant arrival rate and user cardinality; the only thing that
