@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.ops.Ckpt._
 import graft.streaming.Streamy
 
 /** [EXT] operator queries (SURVEY.md §2.10-§2.11): streaming windows over
@@ -222,7 +223,7 @@ object QueriesExt {
     * materializes the pair list once and every downstream op reads it. */
   private def dupPairs(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"derived:minhash_pairs:$d") {
-      LlmOps.minhashPairs(docs(s, d)).localCheckpoint(false)
+      LlmOps.minhashPairs(docs(s, d)).diskCheckpointLazy()
     }
 
   /** Duplicate-cluster labels `(node, rep)` for the corpus at `d`, memoized
@@ -787,7 +788,7 @@ object QueriesExt {
       // otherwise.
       (s, d) => {
         val sh = LlmOps.simhashBits(docs(s, d), "doc_id", "text", 60)
-          .localCheckpoint(true)
+          .diskCheckpoint()
         val banded = sh.select(col("doc_id"), explode(expr(
             """transform(sequence(0, 3), k -> named_struct(
                'band', k, 'cell', shiftright(simhash, k * 15) & 32767))"""))
@@ -910,7 +911,7 @@ object QueriesExt {
         val cells = emb(s, d)
           .withColumn("bc", explode(LlmOps.signLshCells(col("v"))))
           .select(col("vec_id"), col("label"), col("bc.band"), col("bc.cell"))
-          .localCheckpoint(true)
+          .diskCheckpoint()
         // the checkpointed cell frame is corpus-proportional with ESTIMATE
         // stats — hint the self-join so the planner never broadcasts it
         // (SCALE.md LogicalRDD-stats lesson). The vector attaches below
@@ -1352,7 +1353,7 @@ object QueriesExt {
             """CASE WHEN length(norm) >= 3
                THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
                ELSE array() END""")).as("g"))
-          .localCheckpoint(true)
+          .diskCheckpoint()
         val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
         tri.join(counts, Seq("g"))
@@ -1436,7 +1437,7 @@ object QueriesExt {
         // unreachable, where an un-unpersisted cache would pin blocks
         // for the rest of a 190-query Verify run.
         val toks = tokens(s, d).select(col("token"))
-          .localCheckpoint(true)
+          .diskCheckpoint()
         val rows = array((0 until dRows).map(lit): _*)
         val bucket =
           expr(s"cast(conv(substring(md5(concat(row, '|', token)), 1, 8), 16, 10) as bigint) % $wBuckets")
@@ -2327,7 +2328,7 @@ object QueriesExt {
         // projection — localCheckpoint it (same rationale as
         // outlier_robust; ContextCleaner frees the blocks after use).
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
-          .localCheckpoint(true)
+          .diskCheckpoint()
         val qs = px.groupBy("asdf_id").agg(
           percentile(col("value"), lit(0.05)).as("p05"),
           percentile(col("value"), lit(0.95)).as("p95"))
@@ -3258,11 +3259,14 @@ object QueriesExt {
       // (MAD = 0) score 0 by definition in both engines.
       (s, d) => {
         // Three passes (median → MAD → score) over the same 2-column
-        // projection: localCheckpoint it so passes 2-3 read materialized
-        // blocks instead of re-running the scan+join (spills at scale;
-        // blocks freed by the ContextCleaner after the query completes).
+        // projection: checkpoint it so passes 2-3 read materialized
+        // blocks instead of re-running the scan+join. DISK_ONLY (Ckpt):
+        // the r6 spill drive measured this exact query dying when its
+        // MEMORY_AND_DISK blocks + reader pins + unroll scratch held the
+        // whole unified pool and pass 3's aggregation could not acquire
+        // its first page.
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
-          .localCheckpoint(true)
+          .diskCheckpoint()
         val med = px.groupBy(col("asdf_id")).agg(median(col("value")).as("med"))
         val stats = px.join(broadcast(med), Seq("asdf_id"))
           .groupBy(col("asdf_id"))
@@ -4716,11 +4720,12 @@ object QueriesExt {
         val shE =
           "array_distinct(transform(sequence(1, length(norm)-7), i -> substring(norm, i, 8)))"
         val fil = corpus.filter(length(col("norm")) >= 8)
-        // build each doc's shingle array ONCE and localCheckpoint the
-        // (doc_id, s) frame (spill-safe MEMORY_AND_DISK blocks; the
+        // build each doc's shingle array ONCE and checkpoint the
+        // (doc_id, s) frame — DISK_ONLY (Ckpt): corpus-sized blocks in
+        // the unified pool starve downstream execution; the
         // ContextCleaner frees them once the query's frames are
         // unreachable, where an un-unpersisted cache would pin them for
-        // the rest of a 190-query Verify run). Every consumer — the
+        // the rest of a 190-query Verify run. Every consumer — the
         // exploded index with its df / signature / candidate /
         // per-doc-count readers, and the two set sides of the final
         // intersect — reads the materialized blocks. Without them each
@@ -4742,16 +4747,29 @@ object QueriesExt {
         // left to an estimate that degrades with corpus size.
         val shArr = fil.withColumn("s", expr(shE))
           .select(col("doc_id"), col("s"))
-          .localCheckpoint(true)
+          .diskCheckpoint()
         val idx = shArr.select(col("doc_id").as("doc_b"),
           explode(col("s")).as("w"))
         val df = idx.groupBy(col("w")).agg(count(lit(1)).as("df"))
         val wRare = Window.partitionBy(col("doc_b")).orderBy(col("df"), col("w"))
-        val sig = idx.join(df, Seq("w"))
+        // df's group key is the 8-char shingle VOCABULARY — corpus-
+        // proportional, unlike the 36³-bounded trigram counts the jaccard
+        // query leaves to AQE. Its size estimate still derives from the
+        // checkpointed LogicalRDD (the estimate-stats cliff, laundered
+        // through an aggregate), so left unhinted the planner broadcasts
+        // it — measured dying at the r6 spill drive's 2 GiB driver on the
+        // 10x corpus; unbuildable at 100 TB. merge, not shuffle_hash: a
+        // shuffled-hash build is memory-RIGID (UnsafeHashedRelation
+        // cannot spill), and AQE's coalescing targets SERIALIZED bytes
+        // (~64 MB advisory), so the deserialized per-partition build
+        // lands 3-5x over the target — the starved drive measured the
+        // hash build dying at every partition count while sort-merge
+        // spills through the same squeeze. Slim (w, df) rows sort cheap.
+        val sig = idx.join(df.hint("merge"), Seq("w"))
           .withColumn("rk", row_number().over(wRare))
           .filter(col("rk") <= 2)
           .select(col("doc_b").as("doc_a"), col("w"))
-        val cand = sig.join(idx.hint("shuffle_hash"), Seq("w"))
+        val cand = sig.join(idx.hint("merge"), Seq("w"))
           .filter(col("doc_a") =!= col("doc_b"))
           .select("doc_a", "doc_b").distinct()
         // the intersection CO-LOCATES whole shingle sets: each candidate
@@ -4762,11 +4780,18 @@ object QueriesExt {
         // (measured: the expansion form moves ~20 M rows through an extra
         // exchange and runs 4 s slower at sf0.1). All predicates here are
         // integer-only over cached columns, so nothing re-derives arrays.
+        // merge, not shuffle_hash, for the array attaches too: a
+        // LongHashedRelation build over array rows is memory-rigid, and
+        // AQE coalesce (serialized-byte target) can hand one task a
+        // deserialized build several times the per-task pool — the r6
+        // starved drive killed the build at every partition count, while
+        // sort-merge streams array rows through a spillable sorter. The
+        // sort key is one long (doc id); the array payload just rides.
         cand
           .join(shArr.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-            .hint("shuffle_hash"), Seq("doc_a"))
+            .hint("merge"), Seq("doc_a"))
           .join(shArr.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-            .hint("shuffle_hash"), Seq("doc_b"))
+            .hint("merge"), Seq("doc_b"))
           .withColumn("n_a", size(col("sa")).cast("long"))
           .withColumn("n_inter",
             size(array_intersect(col("sa"), col("sb"))).cast("long"))

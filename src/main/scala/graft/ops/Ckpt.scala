@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Checkpoint policy for shared intermediate frames (round-6 spill drive).
+  *
+  * `localCheckpoint(true)` defaults to MEMORY_AND_DISK, which puts the
+  * blocks in the UNIFIED memory pool's storage region. For a CORPUS-SIZED
+  * frame that is fatal under memory pressure, and the failure mode is not
+  * graceful: the blocks being read are PINNED by their reader tasks (they
+  * cannot be evicted mid-iteration), unroll scratch for blocks still
+  * materializing holds more, and together they can occupy the entire pool
+  * — measured in DriveSpill at a 350 MB pool: storage held 349 MB
+  * (209 MB blocks + 126 MB unroll scratch) and a downstream aggregation
+  * died in `createHashMap` unable to acquire its first 256 KB, even
+  * though every execution-side consumer in the plan spills correctly.
+  * The query's own optimization (materialize once, read thrice) became
+  * the thing that killed it.
+  *
+  * So: corpus-proportional shared frames checkpoint DISK_ONLY. The Spark
+  * pool is never charged — execution keeps every byte — and re-reads are
+  * served by the OS page cache whenever memory actually is plentiful, so
+  * the fat-memory case loses almost nothing. Key-bounded SMALL frames
+  * (zone maps, |langs|²-row confusions, |bands|-row aggregates) keep the
+  * plain MEMORY_AND_DISK `localCheckpoint(true)` — pinning a few KB is
+  * free and strictly faster.
+  *
+  * Both forms are ContextCleaner-managed: blocks free once the frame is
+  * unreachable, nothing pins for the rest of a multi-query run (the
+  * round-5 argument for checkpoint over persist/unpersist bookkeeping).
+  */
+object Ckpt {
+  implicit class DiskCheckpoint[T](private val ds: Dataset[T]) extends AnyVal {
+    /** Eager DISK_ONLY local checkpoint for corpus-sized shared frames. */
+    def diskCheckpoint(): Dataset[T] =
+      ds.localCheckpoint(true, StorageLevel.DISK_ONLY)
+
+    /** Lazy variant (first consumer materializes). */
+    def diskCheckpointLazy(): Dataset[T] =
+      ds.localCheckpoint(false, StorageLevel.DISK_ONLY)
+  }
+}

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt._
 
 /** The zonal-statistics aggregation catalog (SURVEY.md §2.4; reference
   * `extract_options`, `queue/extract_check.py:27-52`): group pixel/point
@@ -133,14 +134,15 @@ object Extracts {
         // shuffles for the join; the two median aggregates are the only
         // exchanges. Matches DuckDB's mad() (interpolated, DOUBLE input).
         // Both median passes scan the same (zone, value) projection, so
-        // localCheckpoint it once: the second pass reads the
-        // materialized blocks instead of re-deriving the join/scan.
-        // Blocks spill rather than OOM at scale, and the ContextCleaner
-        // frees them once the frame is unreachable — no unpersist
-        // bookkeeping, and nothing pinned across a multi-query run.
+        // checkpoint it once: the second pass reads the materialized
+        // blocks instead of re-deriving the join/scan. DISK_ONLY, not
+        // MEMORY_AND_DISK — a corpus-sized block set in the unified pool
+        // strangles downstream execution under memory pressure (see
+        // [[Ckpt]]); the ContextCleaner frees the blocks once the frame
+        // is unreachable.
         val medC = "__graft_mad_med"
         val pv = pixels.select(z, v)
-          .localCheckpoint(true)
+          .diskCheckpoint()
         val med = pv.groupBy(z).agg(median(v).as(medC))
         pv.join(broadcast(med), zone)
           .groupBy(z).agg(median(abs(v - col(medC))).as(method))

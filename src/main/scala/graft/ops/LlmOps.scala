@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt._
 
 /** [EXT] LLM-training-data pipeline operators (SURVEY.md §2.11): exact and
   * near-duplicate detection, similarity search, and text analysis. All pure
@@ -125,7 +126,7 @@ object LlmOps {
       // signature pipeline twice. localCheckpoint (not cache): checkpointed
       // storage is released by the ContextCleaner when unreachable, whereas
       // CacheManager entries leak per invocation for the session lifetime
-      .localCheckpoint(true)
+      .diskCheckpoint()
     val a = bands.toDF("doc_a", "band", "bk")
     val b = bands.toDF("doc_b", "band", "bk")
     a.join(b, Seq("band", "bk"))
@@ -156,9 +157,9 @@ object LlmOps {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b"), col("doc_a")))
       .repartition(w)
-      .localCheckpoint(true)
+      .diskCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("rep"))
-      .repartition(w).localCheckpoint(true)
+      .repartition(w).diskCheckpoint()
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -196,7 +197,7 @@ object LlmOps {
           least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep"),
           col("prev"))
         .withColumn("changed", col("rep") < col("prev"))
-        .localCheckpoint(true)
+        .diskCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("node"), col("rep"))
       i += 1

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
@@ -381,7 +382,7 @@ object Streamy {
         // puts the whole backlog in one batch), and forcing it through
         // the driver would hit the broadcast limit; AQE broadcasts the
         // common small-batch case on its own.
-        val latest = latestPerKey(batch).localCheckpoint(true)
+        val latest = latestPerKey(batch).diskCheckpoint()
         val keys = latest.select("user_id")
         st.read() match {
           case None => st.commit(latest)

@@ -68,7 +68,7 @@ object DriveScale10x {
     val base = "/root/testdata/sf0.1"
     val big = if (args.nonEmpty) args(0) else "/tmp/graft_scale10x"
     val chosen =
-      if (args.length > 1 && args(1) == "--tier2") ops2
+      if (args.length > 1 && (args(1) == "--tier2" || args(1) == "--x100")) ops2
       else if (args.length > 1) args.drop(1).toSeq
       else ops
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
@@ -82,6 +82,32 @@ object DriveScale10x {
       df.select(xxhash64(df.columns.map(col): _*).as("h"))
         .agg(expr("bit_xor(h)")).head()
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // --x100: SECOND decade (1x -> 10x -> 100x documents) for the
+    // vocabulary-output document operators — ops whose result cardinality
+    // is token/gram-grain, so the measurement tracks the OPERATOR's
+    // scaling, not output growth (pair-listing ops are excluded by
+    // design: the 100x megacluster is 10,000 identical docs and a pair
+    // LISTING over it is quadratic by semantics, already root-caused in
+    // SCALE.md). A one-decade exponent can hide a lurking n·log n or a
+    // constant floor; agreement across two decades cannot.
+    if (args.length > 1 && args(1) == "--x100") {
+      val big100 = if (args.length > 2) args(2) else "/tmp/graft_scale100x"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big100/_READY")))
+        generateDocs(s, base, big100, 100)
+      val docOps = Seq("dedup_exact", "repeated_ngrams", "tfidf_top",
+        "bm25_top", "vocab_top")
+      docOps.foreach { op =>
+        run(op, base); val t1 = run(op, base)
+        run(op, big); val t10 = run(op, big)
+        run(op, big100); val t100 = run(op, big100)
+        val e1 = math.log(t10 / t1) / math.log(10.0)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+          f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+      }
+      s.stop(); return
     }
     val rows = chosen.map { op =>
       run(op, base); val tSmall = run(op, base)
@@ -118,6 +144,50 @@ object DriveScale10x {
     s.stop()
   }
 
+  /** Rotated-copy documents amplification: copies are disjoint in shingle
+    * space modulo the 26-letter rotation cycle, and 2% of every copy is
+    * the literal boilerplate megacluster (10,000 identical docs at 100×). */
+  def writeDocs(s: SparkSession, base: String, out: String, copies: Int): Unit = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int) = { val k = (i * 3) % 26; alpha.drop(k) + alpha.take(k) }
+    val boiler = ("the quarterly portfolio navigation footer repeats across " +
+      "every published revision of this document set ") * 5
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val rotText = (1 until copies).foldLeft(
+      when(col("__copy") === 0, col("text"))) { (acc, i) =>
+      acc.when(col("__copy") === i, translate(col("text"), alpha, rot(i % 26)))
+    }
+    docs.select(col("*"),
+        explode(sequence(lit(0), lit(copies - 1))).as("__copy"))
+      .select(
+        (col("doc_id") + col("__copy") * lit(10000000L)).as("doc_id"),
+        when(col("doc_id") % 50 === 7, lit(boiler)).otherwise(rotText).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(16 * (copies / 10).max(1))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Documents-only amplified corpus for the --x100 tier: documents at
+    * `copies`×, every other table a 1× copy from base (the doc ops read
+    * only `documents`; the copies keep incidental table reads working). */
+  def generateDocs(s: SparkSession, base: String, out: String, copies: Int): Unit = {
+    println(s"generating ${copies}x documents corpus at $out ...")
+    val P = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(P)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings")) {
+      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
+      if (java.nio.file.Files.isRegularFile(src))
+        java.nio.file.Files.copy(src, P.resolve(s"$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeDocs(s, base, out, copies)
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  documents: " +
+      s.read.parquet(s"$out/documents.parquet").count() + " rows")
+  }
+
   /** Deterministic 10× amplification with injected skew (no RNG: copy
     * indices and id arithmetic only, so the corpus is reproducible). */
   def generate(s: SparkSession, base: String, big: String): Unit = {
@@ -130,26 +200,7 @@ object DriveScale10x {
         java.nio.file.Paths.get(s"$base/$t.parquet"), P.resolve(s"$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rot(i: Int) = { val k = (i * 3) % 26; alpha.drop(k) + alpha.take(k) }
-    val boiler = ("the quarterly portfolio navigation footer repeats across " +
-      "every published revision of this document set ") * 5
-
-    // documents: rotated copies + the boilerplate megacluster
-    val docs = s.read.parquet(s"$base/documents.parquet")
-    val rotText = (1 until COPIES).foldLeft(
-      when(col("__copy") === 0, col("text"))) { (acc, i) =>
-      acc.when(col("__copy") === i, translate(col("text"), alpha, rot(i)))
-    }
-    docs.select(col("*"),
-        explode(sequence(lit(0), lit(COPIES - 1))).as("__copy"))
-      .select(
-        (col("doc_id") + col("__copy") * lit(10000000L)).as("doc_id"),
-        when(col("doc_id") % 50 === 7, lit(boiler)).otherwise(rotText).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
-      .repartition(16)
-      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    writeDocs(s, base, big, COPIES)
 
     // events: disjoint users per copy except whales (kept + 30 extra copies)
     val ev = s.read.parquet(s"$base/events.parquet")
