@@ -33,7 +33,12 @@ object DriveSpill {
     "extract_mad", "extract_percentile", "extract_unique", "outlier_robust",
     "tfidf_top", "bm25_top", "repeated_ngrams", "rfm_scores",
     "dedup_ngram_jaccard", "sessionize_events", "dedup_containment",
-    "woe_bins")
+    "woe_bins",
+    // the remaining shuffle_hash-hinted families: their fixed-width long
+    // build rows track the partition target ~1:1 (unlike string/array
+    // payloads), so the rigid hash builds are expected to fit — this is
+    // the measured proof of that distinction
+    "dedup_simhash_pairs", "dedup_minhash", "dup_pagerank")
 
   /** Order-insensitive whole-result hash; doubles rounded to 1e-6 so a
     * spill-reordered float sum cannot flip the verdict. */
