@@ -82,9 +82,9 @@ object Bench {
     val totals = passes.map(totalOf)
     // per-row slower-of-two (NOT "the pass with the slower total": with the
     // passes in different orders, a row's contended run can sit in either)
-    val p2MapEarly = passes(1).toMap
+    val p2Map = passes(1).toMap
     val slower = passes(0).map { case (n, v1) =>
-      val v2 = p2MapEarly.getOrElse(n, -1.0)
+      val v2 = p2Map.getOrElse(n, -1.0)
       n -> (if (v1 < 0 || v2 < 0) -1.0 else math.max(v1, v2))
     }
     // Contention audit: a row whose two warmed passes diverge >3× wasn't
@@ -95,7 +95,6 @@ object Bench {
     // `contended` list so a future reader never misreads noise as a code
     // regression. The 0.2 s floor keeps 10 ms rows from churning: at that
     // size a 3× split is scheduler jitter, not a signal.
-    val p2Map = passes(1).toMap
     val contendedNames = passes(0).collect { case (n, a)
         if a >= 0 && p2Map(n) >= 0 &&
           math.max(a, p2Map(n)) >= 0.2 && math.min(a, p2Map(n)) > 0 &&

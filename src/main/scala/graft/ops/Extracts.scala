@@ -139,10 +139,13 @@ object Extracts {
         // MEMORY_AND_DISK — a corpus-sized block set in the unified pool
         // strangles downstream execution under memory pressure (see
         // [[Ckpt]]); the ContextCleaner frees the blocks once the frame
-        // is unreachable.
+        // is unreachable. LAZY, not eager: this constructor is reachable
+        // from Cache.getOrCompute(dryRun = true), whose contract is
+        // probe-only — an eager checkpoint here would scan the corpus
+        // during a shadow probe.
         val medC = "__graft_mad_med"
         val pv = pixels.select(z, v)
-          .diskCheckpoint()
+          .diskCheckpointLazy()
         val med = pv.groupBy(z).agg(median(v).as(medC))
         pv.join(broadcast(med), zone)
           .groupBy(z).agg(median(abs(v - col(medC))).as(method))

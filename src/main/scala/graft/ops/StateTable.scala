@@ -96,10 +96,14 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * transiently present in two batches — a [[consolidateArchive]] that
     * crashed between its atomic move and the old-dir sweep — yields one
     * row, not duplicates, for every reader. The winner is DETERMINISTIC:
-    * max batch name per key (batch names sort by creation order), not
-    * dropDuplicates' arbitrary pick — so even if a future writer ever
-    * violated terminal-immutability across batches, every reader would
-    * still agree on the newest row rather than diverge run-to-run. */
+    * max (numeric batch version, batch name) per key — the version is
+    * PARSED out of the `b<version>_<uuid>` name rather than compared
+    * lexicographically, because unpadded names invert at ten (`"b10_x"`
+    * sorts below `"b2_y"` as strings, which would hand the win to the
+    * OLDER batch). Not dropDuplicates' arbitrary pick — so even if a
+    * future writer ever violated terminal-immutability across batches,
+    * every reader would still agree on the newest row rather than
+    * diverge run-to-run. */
   def archive(): Option[DataFrame] = {
     val doomed = doomedNames
     val batches = Option(archiveRoot.toFile.listFiles()).getOrElse(Array.empty)
@@ -114,8 +118,10 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
       if (others.isEmpty) Some(df.dropDuplicates(keys))
       else Some(df
         .withColumn("_b", regexp_extract(input_file_name(), "/(b[^/]+)/[^/]+$", 1))
+        .withColumn("_bv", regexp_extract(col("_b"), "^b(\\d+)", 1).cast("long"))
         .groupBy(keys.map(col): _*)
-        .agg(max_by(struct(others.map(col): _*), col("_b")).as("_w"))
+        .agg(max_by(struct(others.map(col): _*),
+          struct(col("_bv"), col("_b"))).as("_w"))
         // restore the original column order and names
         .select(df.columns.toSeq.map(n =>
           if (keys.contains(n)) col(n) else col("_w").getField(n).as(n)): _*))

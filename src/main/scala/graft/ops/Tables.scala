@@ -170,7 +170,11 @@ object Tables {
     * exchange plan with broadcast disabled. */
   def pixelsBucketed(s: SparkSession, d: String, cache: Cache,
       buckets: Int = 32): DataFrame =
-    cache.getOrComputeBucketed("pixels_by_cell", buckets, "cell_id")(
+    // bucket count is part of the cache key: getOrComputeBucketed returns
+    // whatever layout exists under the key, so a different-bucket request
+    // must resolve to a DIFFERENT table or the co-partitioning contract
+    // with the sibling zone map silently breaks
+    cache.getOrComputeBucketed(s"pixels_by_cell_b$buckets", buckets, "cell_id")(
       lineitem(s, d).select(
         col("l_partkey").as("cell_id"),
         col("l_extendedprice").as("value"),
@@ -183,7 +187,11 @@ object Tables {
     * the rasterization step out of scope here). */
   def zoneMapBucketed(s: SparkSession, d: String, cache: Cache,
       zones: Int = 25, buckets: Int = 32): DataFrame =
-    cache.getOrComputeBucketed("zonemap_by_cell", buckets, "cell_id")(
+    // zones and buckets both determine content/layout, so both are in the
+    // key — a 50-zone request after a 25-zone fill must not read back the
+    // 25-zone map
+    cache.getOrComputeBucketed(s"zonemap_by_cell_z${zones}_b$buckets",
+        buckets, "cell_id")(
       part(s, d).select(
         col("p_partkey").as("cell_id"),
         (col("p_partkey") % zones).as("asdf_id"),

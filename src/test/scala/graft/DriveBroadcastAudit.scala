@@ -14,6 +14,30 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   *   Test/runMain graft.DriveBroadcastAudit <sfDir>
   */
 object DriveBroadcastAudit {
+  /** Every subtree the plan broadcasts (build sides + bare exchanges). */
+  def broadcastSides(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p match {
+      case b: BroadcastHashJoinExec =>
+        Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
+      case b: BroadcastNestedLoopJoinExec =>
+        Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
+      case e: BroadcastExchangeExec => Seq(e.child)
+      case _ => Seq.empty
+    }
+    here ++ p.children.flatMap(broadcastSides)
+  }
+
+  /** A broadcast side is suspect if it scans a checkpointed RDD and is
+    * NOT collapsed by an aggregate (aggregate outputs are key-cardinality,
+    * independent of corpus size — zone maps, scalar totals, vocab rollups
+    * are fine to broadcast). Shared with PlanSpec's gate so the drive and
+    * the gate cannot diverge. */
+  def suspectSides(p: SparkPlan): Seq[SparkPlan] =
+    broadcastSides(p).filter { side =>
+      val txt = side.toString
+      txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate")
+    }
+
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val s = SparkSession.builder().master("local[4]")
@@ -22,29 +46,11 @@ object DriveBroadcastAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    def broadcastSides(p: SparkPlan): Seq[SparkPlan] = {
-      val here = p match {
-        case b: BroadcastHashJoinExec =>
-          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
-        case b: BroadcastNestedLoopJoinExec =>
-          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
-        case e: BroadcastExchangeExec => Seq(e.child)
-        case _ => Seq.empty
-      }
-      here ++ p.children.flatMap(broadcastSides)
-    }
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(s, d).queryExecution.executedPlan
-        val bad = broadcastSides(plan).filter { side =>
-          val txt = side.toString
-          // a broadcast side is suspect if it scans a checkpointed RDD and
-          // is NOT collapsed by an aggregate (aggregate outputs are
-          // key-cardinality, independent of corpus size — zone maps,
-          // scalar totals, vocab rollups are fine to broadcast)
-          txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate")
-        }
+        val bad = suspectSides(plan)
         if (bad.nonEmpty) {
           flagged += 1
           println(s"FLAG $name: broadcast over a checkpoint-backed, " +

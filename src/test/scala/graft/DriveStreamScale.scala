@@ -80,7 +80,8 @@ object DriveStreamScale {
     // ProcessingTimeTimeout operators (timer batches keep the query alive)
     val progress = StreamProbe.drain(q)
     val wall = (System.nanoTime() - t0) / 1e9
-    // recentProgress retains the last 100 updates; slices ≤ 100 per run
+    // retention raised to 1000 in the session conf — the 10x run's data +
+    // watermark/timer batches overflow the default 100-entry window
     val states = progress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
     val rows = if (states.isEmpty) 0L else states.map(_.numRowsTotal).max
     val bytes = if (states.isEmpty) 0L else states.map(_.memoryUsedBytes).max
@@ -103,6 +104,10 @@ object DriveStreamScale {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the 10x run produces >100 progress updates (100 data batches plus
+      // watermark/timer batches); the default 100-entry retention would
+      // silently truncate the max-state window to a suffix of the run
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -178,8 +178,11 @@ class EngineSpec extends AnyFunSuite {
       val doneMtime = scala.collection.mutable.Map[String, Long]()
       def noteCompletions(outcomes: Map[String, Int]): Unit =
         outcomes.collect { case (id, 1) =>
-          doneMtime(id) = new java.io.File(s"$dir/out/$id/results/_SUCCESS")
-            .lastModified()
+          // FIRST completion wins: recording on every report would refresh
+          // the stored mtime when a reprocessing bug rewrites the artifact,
+          // making the final compare pass on the very defect it hunts
+          doneMtime.getOrElseUpdate(id,
+            new java.io.File(s"$dir/out/$id/results/_SUCCESS").lastModified())
         }: Unit
       var n = 0
       def freshId(): String = { n += 1; s"f$seed-$n" }

@@ -87,4 +87,23 @@ class ExtractsSpec extends AnyFunSuite {
     val wm = one("weighted_mean")(1).getDouble(1)
     assert(wm >= 1.0 && wm <= 3.0)
   }
+
+  test("constructing the mad extract launches no job (dry-run contract)") {
+    // Cache.getOrCompute(dryRun = true) forces the compute block to BUILD
+    // the frame but must stay probe-only; an eager checkpoint inside the
+    // mad constructor would scan the corpus during a shadow probe.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Extracts.extract(px, "mad") // construct only — no action
+      Thread.sleep(500) // listener events drain async
+      assert(jobs.get() == 0,
+        s"mad construction ran ${jobs.get()} job(s); dry-run would scan")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

@@ -636,31 +636,14 @@ class PlanSpec extends AnyFunSuite {
     // Aggregate-collapsed subtrees are exempt: their cardinality is
     // key-bounded (zone maps, scalar totals, vocab rollups), so
     // broadcasting them is the DESIGNED scale behavior.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    def broadcastSides(p: SparkPlan): Seq[SparkPlan] = {
-      val here = p match {
-        case b: BroadcastHashJoinExec =>
-          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
-        case b: BroadcastNestedLoopJoinExec =>
-          Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
-        case e: BroadcastExchangeExec => Seq(e.child)
-        case _ => Seq.empty
-      }
-      here ++ p.children.flatMap(broadcastSides)
-    }
+    // predicate shared with the drive (DriveBroadcastAudit.suspectSides)
+    // so the gate and the audit cannot silently diverge
     val d = "/root/testdata/sf0.001"
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, d).queryExecution.executedPlan
     }
     val flagged = plans.flatMap { case (name, ep) =>
-      val bad = broadcastSides(ep)
-        .filter { side =>
-          val txt = side.toString
-          txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate")
-        }
-      if (bad.nonEmpty) Some(name) else None
+      if (DriveBroadcastAudit.suspectSides(ep).nonEmpty) Some(name) else None
     }
     assert(flagged.isEmpty,
       s"estimate-stats broadcast cliff reintroduced in: ${flagged.mkString(", ")}")

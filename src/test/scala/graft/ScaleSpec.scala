@@ -142,6 +142,14 @@ class ScaleSpec extends AnyFunSuite {
       val got = ext.orderBy("asdf_id")
         .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getLong(2)))
       assert(got.sameElements(expect), "bucketed zonal extract values diverge")
+
+      // a DIFFERENT zones parameter must not read back the 25-zone fill:
+      // the cache key carries (zones, buckets), so this materializes its
+      // own table with 50 distinct zone ids
+      val zm50 = graft.ops.Tables.zoneMapBucketed(spark, d, c, zones = 50,
+        buckets = 4)
+      assert(zm50.select("asdf_id").distinct().count() == 50,
+        "zones=50 request served the cached 25-zone map")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 

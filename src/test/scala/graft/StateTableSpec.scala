@@ -130,6 +130,22 @@ class StateTableSpec extends AnyFunSuite {
     assert(batchDirs.length == 1 && t.archive().get.count() == 6)
   }
 
+  test("archive winner parses the numeric batch version: b10 beats b2 " +
+    "despite sorting below it lexicographically") {
+    // Batch names are unpadded (b<version>_<uuid>), so string max inverts
+    // at ten: "b10_x" < "b2_y". The winner must come from the NEWEST
+    // version; a lexicographic pick would deterministically hand every
+    // cross-batch rewrite to the stale row once a table reaches v10.
+    val dir = Files.createTempDirectory("graft_state").toString
+    val t = new StateTable(spark, dir, Seq("id"))
+    Seq((1L, 2)).toDF("id", "status").write.parquet(s"$dir/_archive/b2_old")
+    Seq((1L, 10)).toDF("id", "status").write.parquet(s"$dir/_archive/b10_new")
+    assert(t.archive().get.as[(Long, Int)].collect().toMap == Map(1L -> 10))
+    // and the consolidated-batch name form (b<version>_c<uuid>) parses too
+    Seq((1L, 11)).toDF("id", "status").write.parquet(s"$dir/_archive/b11_cabc")
+    assert(t.archive().get.as[(Long, Int)].collect().toMap == Map(1L -> 11))
+  }
+
   test("fuzz: 100 random upsert/update/compact/consolidate/restart " +
     "schedules match an in-memory model (no lost key, live∪archive " +
     "partition, live stays bounded)") {

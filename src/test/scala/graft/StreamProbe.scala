@@ -31,10 +31,13 @@ object StreamProbe {
         }
       }
     }
-    assert(finished || zeroBatches >= 3,
-      s"stream neither terminated nor exhausted within ${timeoutMs} ms")
+    // capture + stop BEFORE asserting: a timeout assert with the query
+    // still running would leak a live stream into the shared session,
+    // polluting every later streaming test's timing
     val progress = q.recentProgress
     if (!finished) q.stop()
+    assert(finished || zeroBatches >= 3,
+      s"stream neither terminated nor exhausted within ${timeoutMs} ms")
     progress
   }
 }
