@@ -50,6 +50,15 @@ object QueriesCore {
     exQ("mad", """mad(value) AS "mad""""),
     exQ("geomean", """exp(avg(ln(value))) AS "geomean""""),
     exQ("harmonic", """count(value)/sum(1.0/value) AS "harmonic""""),
+    // [EXT] sketch-guided EXACT holistic forms (ops/Extracts.scala
+    // guidedPercentile): same values as the buffering exact aggregates —
+    // the oracle IS the exact quantile/mad — with bounded state at scale
+    // (SCALE.md --x100extracts: exact exponents 1.22-1.38 at 100x; these
+    // replace the per-zone value buffer with a GK bracket + windowed
+    // count aggregate)
+    exQ("percentile_guided", """quantile_cont(value, 0.95) AS "percentile_guided""""),
+    exQ("median_guided", """quantile_cont(value, 0.5) AS "median_guided""""),
+    exQ("mad_guided", """mad(value) AS "mad_guided""""),
     "extract_categorical" -> Q(
       (s, d) => Extracts.extract(Tables.pixels(s, d), "categorical",
         classes = Seq("A", "N", "R")).orderBy("asdf_id"),

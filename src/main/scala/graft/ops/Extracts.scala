@@ -37,7 +37,16 @@ object Extracts {
     // [EXT] the 100 TB distinct count: HyperLogLog++ — O(registers) state
     // per zone where exact `unique` keeps the full per-zone value set in
     // the distinct aggregate's hash map
-    "unique_sketch")
+    "unique_sketch",
+    // [EXT] sketch-GUIDED exact selection: EXACT percentile/median/mad
+    // with bounded state — the answer to the measured super-linear decade
+    // (SCALE.md `--x100extracts`: exact median/mad/percentile hit
+    // exponents 1.22-1.38 at 100x while the scan floor stayed flat). A GK
+    // sketch brackets the target rank into a narrow value window, one
+    // more scan counts the strictly-below mass and aggregates the window
+    // at (zone, value) grain — both map-combinable — and the exact
+    // interpolated answer falls out of the window's cumulative counts.
+    "percentile_guided", "median_guided", "mad_guided")
 
   /** Zonal aggregate of `value` (weighted by `weight` where applicable),
     * grouped by `zone`. Output column is named `method` (aliased by callers
@@ -162,7 +171,124 @@ object Extracts {
         pixels.groupBy(z)
           .agg(sum(v).as("sum"), sum(w).as("potential"))
           .withColumn(method, col("sum") / col("potential"))
+      case "percentile_guided" =>
+        guidedPercentile(pixels, zone, value, p, accuracy)
+          .select(z, col("__g_res").as(method))
+      case "median_guided" =>
+        guidedPercentile(pixels, zone, value, 0.5, accuracy)
+          .select(z, col("__g_res").as(method))
+      case "mad_guided" =>
+        // two guided medians: per-zone median, broadcast back (|zones|
+        // rows), then the guided median of |v − med| — same answer as the
+        // buffering `mad`, never more than O(n/accuracy) reducer state
+        val med = guidedPercentile(pixels, zone, value, 0.5, accuracy)
+          .select(z, col("__g_res").as("__g_med"))
+        val dev = pixels.join(broadcast(med), zone)
+          .select(z, abs(v - col("__g_med")).as(value))
+        guidedPercentile(dev, zone, value, 0.5, accuracy)
+          .select(z, col("__g_res").as(method))
       case other => throw new IllegalArgumentException(s"unknown extract method: $other")
     }
+  }
+
+  /** Sketch-guided EXACT interpolated percentile — identical output to
+    * `percentile(v, p)` with bounded aggregation state at every step.
+    *
+    * Exact holistic aggregates buffer the whole per-zone value multiset
+    * on one reducer; measured at 100× (SCALE.md `--x100extracts`) that is
+    * a super-linear wall (exponents 1.22–1.38) while everything around it
+    * stays flat. This is the exact-answer escape:
+    *
+    *   1. BRACKET (one scan): per zone, `percentile_approx` at
+    *      p ± 3/accuracy. GK's rank guarantee (error ≤ n/accuracy) puts
+    *      the target interpolation ranks strictly inside the returned
+    *      value window [lo, hi].
+    *   2. WINDOW AGGREGATE (one scan): group by (zone, value-if-inside),
+    *      counting rows per distinct window value plus the strictly-below
+    *      mass. Both are plain map-combinable aggregates — per-zone state
+    *      is ≤ ~6n/accuracy window rows (tie runs COMPRESS to one row, so
+    *      heavy ties shrink state rather than blowing it up).
+    *   3. SELECT (tiny frames): cumulative counts over the ≤6n/accuracy
+    *      distinct window values per zone locate the values at ranks
+    *      ⌊r⌋/⌈r⌉ (r = 1 + p·(n−1), Spark's interpolation rank), and the
+    *      exact interpolated result falls out.
+    *
+    * Returns (zone, __g_res). A window that failed to cover the target
+    * ranks (impossible while GK honors its bound) yields null, which any
+    * value-parity test catches loudly rather than silently mis-ranking. */
+  private def guidedPercentile(pixels: DataFrame, zone: String,
+      value: String, p: Double, accuracy: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clash = pixels.columns.toSet
+      .intersect(Set("__g_lo", "__g_hi", "__g_n", "__g_wv", "__g_c", "__g_b",
+        "__g_cum", "__g_below", "__g_r", "__g_klo", "__g_khi", "__g_res"))
+    require(clash.isEmpty,
+      s"guidedPercentile working columns collide: ${clash.mkString(", ")}")
+    val z = col(zone)
+    val v = col(value)
+    val e = 3.0 / accuracy
+    val pl = math.max(0.0, p - e)
+    val ph = math.min(1.0, p + e)
+    // bracket pass: ONE sketch per zone (both fractions come out of the
+    // same percentile_approx array); clamped fractions fall back to exact
+    // min/max (cheap codegen aggregates), so the window provably covers
+    // rank 1 / rank n
+    val bounds = pixels.groupBy(z).agg(
+        count(v).as("__g_n"), min(v).as("__g_min"), max(v).as("__g_max"),
+        percentile_approx(v, array(lit(pl), lit(ph)), lit(accuracy))
+          .as("__g_pa"))
+      .select(z, col("__g_n"),
+        // zones with n ≤ 2·accuracy widen to [min, max]: the fractional
+        // margin 3/accuracy is worth < 1 RANK there, so the window could
+        // miss the ⌈r⌉ interpolation neighbor — full-width keeps the same
+        // selection machinery with ≤ 2·accuracy distinct values, which is
+        // exactly the bounded-state budget the guided path already pays
+        (if (pl == 0.0) col("__g_min")
+         else when(col("__g_n") <= 2L * accuracy, col("__g_min"))
+           .otherwise(element_at(col("__g_pa"), 1))).as("__g_lo"),
+        (if (ph == 1.0) col("__g_max")
+         else when(col("__g_n") <= 2L * accuracy, col("__g_max"))
+           .otherwise(element_at(col("__g_pa"), 2))).as("__g_hi"))
+      // |zones|-row frame referenced three times (window join, n attach,
+      // zone-retention join): LAZY checkpoint so one sketch pass serves
+      // all of them — and construction stays job-free (dry-run contract)
+      .localCheckpoint(false)
+    // window-aggregate pass: one scan, (zone, distinct-window-value) grain.
+    // Out-of-window rows collapse into the null group — kept only for
+    // their strictly-below count, never their values
+    val g = pixels.join(broadcast(bounds), zone)
+      .groupBy(z, when(v.between(col("__g_lo"), col("__g_hi")), v).as("__g_wv"))
+      .agg(count(lit(1)).as("__g_c"),
+        sum(when(v < col("__g_lo"), 1L).otherwise(0L)).as("__g_b"))
+      // referenced twice (below-mass rollup + window cumulative); size is
+      // ~corpus/accuracy — corpus-PROPORTIONAL, so DISK_ONLY per the Ckpt
+      // policy, and lazy for the same dry-run reason as above
+      .diskCheckpointLazy()
+    val below = g.groupBy(z).agg(sum("__g_b").as("__g_below"))
+    val wnd = g.filter(col("__g_wv").isNotNull)
+      .withColumn("__g_cum", sum("__g_c").over(
+        Window.partitionBy(z).orderBy("__g_wv")))
+      // both attach sides are |zones|-row aggregates — broadcast them
+      // EXPLICITLY so the checkpoint-backed window frame (whose LogicalRDD
+      // stats are estimates) can never become the build side itself
+      .join(broadcast(below), zone)
+      .join(broadcast(bounds.select(z, col("__g_n"))), zone)
+    // r = 1 + p(n-1): the 1-based fractional rank `percentile` interpolates
+    val r = lit(1.0) + lit(p) * (col("__g_n") - 1).cast("double")
+    val kLo = floor(r)
+    val kHi = ceil(r)
+    val lo1 = col("__g_below") + col("__g_cum") - col("__g_c") + 1 // min rank of this value
+    val hi1 = col("__g_below") + col("__g_cum") // max rank of this value
+    val selected = wnd.groupBy(z).agg(
+        min(when(lo1 <= kLo && kLo <= hi1, col("__g_wv"))).as("__g_vlo"),
+        min(when(lo1 <= kHi && kHi <= hi1, col("__g_wv"))).as("__g_vhi"),
+        first(r).as("__g_r"), first(kLo).as("__g_klo"))
+      .select(z, (col("__g_vlo").cast("double") +
+        (col("__g_r") - col("__g_klo")) *
+          (col("__g_vhi").cast("double") - col("__g_vlo").cast("double")))
+        .as("__g_res"))
+    // zones whose values are all null have no window rows but must stay
+    // present (exact `percentile` emits them with a null result)
+    bounds.select(z).join(broadcast(selected), Seq(zone), "left")
   }
 }

@@ -109,6 +109,82 @@ object DriveScale10x {
       }
       s.stop(); return
     }
+    // --x100extracts: SECOND decade for the exact-vs-sketch holistic
+    // extracts on a 100× lineitem corpus (same hot-zone skew ratio as the
+    // 10× tier: nation-0 rows get 4× the copy count, so ONE zone holds
+    // ~14% of all pixels at every scale). The claim under test is the
+    // sketch family's reason to exist: the exact forms buffer per-zone
+    // value sets (cost tracks the largest zone), the sketch forms carry
+    // bounded state — two decades of agreement separate a real growth law
+    // from a one-decade accident.
+    if (args.length > 1 && args(1) == "--x100extracts") {
+      // BOTH decades use the perturbed-value corpus family (values made
+      // distinct per copy), so the two exponents measure the same thing —
+      // mixing the unperturbed 10x corpus in would compare compressed
+      // buffers against grown ones across the decades.
+      //
+      // Measured frames are the PURE OPERATOR forms (Extracts.extract over
+      // Tables.pixels), not the registered queries: the registered sketch
+      // rows are contract-oracle queries that ALSO compute the exact
+      // percentile/distinct and a rank/band check (three pixel passes) —
+      // measured first and worth recording: the contract query's 100x cost
+      // tracked its embedded EXACT side (81.9 s vs exact's 72.2 s), saying
+      // nothing about the sketch. `mean` rides along as the linear
+      // control: a codegen'd sum/count whose exponent IS the scan+shuffle
+      // floor at each scale.
+      val big10li = "/tmp/graft_scale10li"
+      val big100 = if (args.length > 2) args(2) else "/tmp/graft_scale100li"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big10li/_READY")))
+        generateLineitem(s, base, big10li, 10)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big100/_READY")))
+        generateLineitem(s, base, big100, 100)
+      def runOp(method: String, d: String): Double = {
+        val t0 = System.nanoTime()
+        val df = graft.ops.Extracts.extract(Tables.pixels(s, d), method)
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val exOps = Seq("mean", "median", "mad", "percentile",
+        "percentile_sketch", "percentile_guided", "mad_guided",
+        "unique", "unique_sketch")
+      exOps.foreach { op =>
+        runOp(op, base); val t1 = runOp(op, base)
+        runOp(op, big10li); val t10 = runOp(op, big10li)
+        runOp(op, big100); val t100 = runOp(op, big100)
+        val e1 = math.log(t10 / t1) / math.log(10.0)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+          f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+      }
+      s.stop(); return
+    }
+    // --x100events: SECOND decade for the event-grain operators on a 100×
+    // events corpus (whale users keep the 10× tier's 4× copy ratio). The
+    // 10× leg reuses the main amplified corpus — its events transform is
+    // IDENTICAL to generateEvents at copies=10 (disjoint users per copy
+    // except whales, second-shifted timestamps), so both decades measure
+    // the same corpus family. Ops chosen for bounded-or-proportional
+    // output at user/session/band grain; all run banded two-phase ranks
+    // or per-user windows — the shapes whose skew behavior the whale
+    // users exist to stress.
+    if (args.length > 1 && args(1) == "--x100events") {
+      val big100 = if (args.length > 2) args(2) else "/tmp/graft_scale100ev"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big100/_READY")))
+        generateEvents(s, base, big100, 100)
+      val evOps = Seq("sessionize_events", "rfm_scores", "funnel_latency",
+        "retention_cohorts", "top_paths", "user_entropy")
+      evOps.foreach { op =>
+        run(op, base); val t1 = run(op, base)
+        run(op, big); val t10 = run(op, big)
+        run(op, big100); val t100 = run(op, big100)
+        val e1 = math.log(t10 / t1) / math.log(10.0)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        println(f"$op%-22s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+          f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+      }
+      s.stop(); return
+    }
     val rows = chosen.map { op =>
       run(op, base); val tSmall = run(op, base)
       run(op, big); val tBig = run(op, big)
@@ -186,6 +262,86 @@ object DriveScale10x {
     java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
     println(s"  documents: " +
       s.read.parquet(s"$out/documents.parquet").count() + " rows")
+  }
+
+  /** Lineitem-only amplified corpus for the --x100extracts tier: lineitem
+    * at `copies`× with the hot-zone skew ratio of the 10× corpus (nation-0
+    * supplier rows get 4× the copy count), every other table a 1× copy
+    * from base. */
+  def generateLineitem(s: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    println(s"generating ${copies}x lineitem corpus at $out ...")
+    val P = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(P)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events", "documents", "embeddings")) {
+      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
+      if (java.nio.file.Files.isRegularFile(src))
+        java.nio.file.Files.copy(src, P.resolve(s"$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val hotSupp = s.read.parquet(s"$base/supplier.parquet")
+      .filter(col("s_nationkey") === 0)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val li = s.read.parquet(s"$base/lineitem.parquet")
+    val hot = col("l_suppkey").isin(hotSupp.toSeq: _*)
+    li.select(col("*"),
+        explode(sequence(lit(0),
+          when(hot, lit(copies * 4 - 1)).otherwise(lit(copies - 1))))
+          .as("__copy"))
+      .select(
+        (col("l_orderkey") + col("__copy") * lit(100000000L)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"),
+        // per-copy value perturbation: exact percentile/median buffers are
+        // (value -> count) maps, so UNPERTURBED copies would compress to
+        // 1x state and the "exact forms buffer per-zone value sets" claim
+        // would go unmeasured; +copy*1e-4 keeps magnitudes and quantile
+        // positions while making every copy's values distinct
+        (col("l_extendedprice") + col("__copy") * lit(1e-4))
+          .as("l_extendedprice"),
+        col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition((copies * 12 / 10).max(16))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  lineitem: " +
+      s.read.parquet(s"$out/lineitem.parquet").count() + " rows")
+  }
+
+  /** Events-only amplified corpus for the --x100events tier: events at
+    * `copies`× (disjoint users per copy except whales, who keep their id
+    * everywhere and get 4× the copy count — the 10× tier's skew ratio),
+    * every other table a 1× copy from base. */
+  def generateEvents(s: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    println(s"generating ${copies}x events corpus at $out ...")
+    val P = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(P)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")) {
+      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
+      if (java.nio.file.Files.isRegularFile(src))
+        java.nio.file.Files.copy(src, P.resolve(s"$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val ev = s.read.parquet(s"$base/events.parquet")
+    val whale = col("user_id") % 997 === 0
+    ev.select(col("*"),
+        explode(sequence(lit(0),
+          when(whale, lit(copies * 4 - 1)).otherwise(lit(copies - 1))))
+          .as("__copy"))
+      .select(
+        (col("event_id") + col("__copy") * lit(100000000L)).as("event_id"),
+        (col("ts") + expr("make_interval(0,0,0,0,0,0, __copy)")).as("ts"),
+        when(whale, col("user_id"))
+          .otherwise(col("user_id") + col("__copy") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition((copies * 16 / 10).max(16))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  events: " +
+      s.read.parquet(s"$out/events.parquet").count() + " rows")
   }
 
   /** Deterministic 10× amplification with injected skew (no RNG: copy

@@ -88,6 +88,48 @@ class ExtractsSpec extends AnyFunSuite {
     assert(wm >= 1.0 && wm <= 3.0)
   }
 
+  test("guided percentile/median/mad equal their buffering exact forms " +
+    "on randomized and adversarial distributions") {
+    // the sketch-guided forms claim EXACT output with bounded state; parity
+    // with the buffering aggregates is the whole contract, so fuzz it:
+    // random zones/values, heavy tie runs (ties at the percentile are the
+    // window-blowup temptation — they must COMPRESS, not diverge), tiny
+    // zones (n=1,2 exercise the interpolation edge), and extreme p
+    val rnd = new scala.util.Random(7)
+    def check(df: org.apache.spark.sql.DataFrame, p: Double): Unit = {
+      val exact = Extracts.extract(df, "percentile", p = p)
+        .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      val guided = Extracts.extract(df, "percentile_guided", p = p,
+          accuracy = 50) // coarse sketch: the guarantee must not depend on accuracy
+        .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      assert(guided.keySet == exact.keySet, s"p=$p zone sets diverge")
+      for ((zn, ev) <- exact)
+        assert(math.abs(guided(zn) - ev) < 1e-9,
+          s"p=$p zone $zn: guided ${guided(zn)} vs exact $ev")
+    }
+    for (trial <- 0 until 5) {
+      val rows = (0 until 400).map { _ =>
+        val zn = rnd.nextInt(4)
+        // 30% tie mass at a handful of magnets, tiny zones via zone 3
+        val v =
+          if (rnd.nextInt(10) < 3) (rnd.nextInt(3) * 10).toDouble
+          else rnd.nextDouble() * 100
+        (if (zn == 3 && rnd.nextInt(50) != 0) 0 else zn, v)
+      } :+ ((9, 42.0)) // n=1 zone
+      val df = rows.toDF("asdf_id", "value")
+      for (p <- Seq(0.0, 0.01, 0.5, 0.95, 0.99, 1.0)) check(df, p)
+    }
+    // median/mad wrappers ride the same machinery
+    val t = Seq((9, 1.0), (9, 2.0), (9, 4.0), (9, 10.0)).toDF("asdf_id", "value")
+    assert(Extracts.extract(t, "median_guided").collect().head.getDouble(1) == 3.0)
+    assert(Extracts.extract(t, "mad_guided").collect().head.getDouble(1) == 1.5)
+    val madE = Extracts.extract(px, "mad").collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    val madG = Extracts.extract(px, "mad_guided").collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(madE == madG)
+  }
+
   test("constructing the mad extract launches no job (dry-run contract)") {
     // Cache.getOrCompute(dryRun = true) forces the compute block to BUILD
     // the frame but must stay probe-only; an eager checkpoint inside the

@@ -598,4 +598,75 @@ class StreamySpec extends AnyFunSuite {
     assert(rt1 == nUsers && rt4 == nUsers,
       s"running-total state must equal |users|: $rt1 / $rt4 vs $nUsers")
   }
+
+  test("sessionFlush property: random event-time-ordered slice streams — " +
+    "closed sessions ⊆ batch, and everything past the watermark tail " +
+    "flushed (T8)") {
+    // The fixed-fixture T8 tests pin chosen boundary scenarios; this one
+    // checks the FSM's stream/batch contract under arbitrary session
+    // shapes and arbitrary micro-batch boundaries. Slices are contiguous
+    // in event time (no late data by construction), so:
+    //   (1) every streamed session must appear in the batch run verbatim;
+    //   (2) every batch session whose last event sits clearly more than
+    //       2·gap before the final event time MUST have been flushed by
+    //       event-time timeout (watermark = maxTs − gap; timeout at
+    //       last + gap; 2 ms slack absorbs the engine's ms rounding).
+    val gapUs = 30L * 60 * 1000000
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(4200 + seed)
+      val nUsers = 4 + rnd.nextInt(4)
+      val n = 80 + rnd.nextInt(80)
+      var ms = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val evs = (1 to n).map { i =>
+        // 1..40-minute steps with an odd-second excess: per-user gaps sum
+        // several steps, so both continuations and >gap splits occur, and
+        // nothing aligns exactly on the 30-min boundary
+        ms += (61L + rnd.nextInt(2400)) * 1000L
+        (i.toLong, (1 + rnd.nextInt(nUsers)).toLong, "view",
+          new Timestamp(ms), (rnd.nextInt(100) + 1) / 10.0)
+      }
+      val dir = Files.createTempDirectory(s"graft_sprop$seed").toString
+      val k = 3 + rnd.nextInt(4)
+      val bounds = ((0 until k - 1).map(_ => rnd.nextInt(n)).sorted :+ n)
+      var lo = 0
+      bounds.zipWithIndex.foreach { case (hi, i) =>
+        val slice = evs.slice(lo, hi); lo = hi
+        if (slice.nonEmpty) {
+          // single part file per slice with an EXPLICIT ascending mtime —
+          // the file source replays oldest-first, so slice order (and
+          // therefore the cross-batch event-time ordering contract) is
+          // deterministic rather than riding write-timing luck
+          val tmp = Files.createTempDirectory("graft_sprop_t").toString
+          slice.toDF(cols.map(identity): _*).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          val dest = new java.io.File(dir, f"slice$i%03d.parquet")
+          Files.move(part.toPath, dest.toPath)
+          assert(dest.setLastModified(1704067200000L + i * 60000L))
+        }
+      }
+      val ckpt = Files.createTempDirectory(s"graft_sprop_ck$seed").toString
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = Streamy.sessionFlush(stream).toDF().writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(s"sprop$seed").outputMode("append").start()
+      assert(q.awaitTermination(120000), s"seed $seed: stream did not finish")
+      val streamed = spark.table(s"sprop$seed")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = Streamy.sessionFlush(evs.toDF(cols.map(identity): _*)).toDF()
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed.subsetOf(batch),
+        s"seed $seed: streamed sessions not in batch: ${streamed.diff(batch)}")
+      val maxUs = evs.last._4.getTime * 1000L
+      val mustFlush = batch.filter(_._3 + 2 * gapUs < maxUs - 2000L)
+      assert(mustFlush.subsetOf(streamed),
+        s"seed $seed: sessions past the watermark tail not flushed: " +
+          s"${mustFlush.diff(streamed)}")
+    }
+  }
 }
