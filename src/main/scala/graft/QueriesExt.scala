@@ -2319,20 +2319,17 @@ object QueriesExt {
     "extract_winsor" -> Q(
       // Winsorized zone mean (X28): values clamped to the zone's
       // [p05, p95] before averaging — the robust-statistics companion to
-      // the A-catalog mean. Exact interpolated percentiles per zone (the
-      // same percentile/quantile_cont pairing extract_percentile pins),
-      // joined back on the zone key: the join reuses the aggregate's hash
-      // partitioning and AQE broadcasts the |zones|-row percentile frame.
+      // the A-catalog mean. Both exact percentiles come from ONE
+      // sketch-guided selection pass (Extracts.guidedQuantiles — same
+      // values as the buffering percentile aggregate, bounded state;
+      // measured rationale in SCALE.md --x100extracts), so the query is
+      // three cheap column-pruned scans with no corpus-sized checkpoint
+      // and no per-zone value buffer at any scale.
       (s, d) => {
-        // Percentile pass + clamp-and-average pass share one 2-column
-        // projection — localCheckpoint it (same rationale as
-        // outlier_robust; ContextCleaner frees the blocks after use).
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
-          .diskCheckpoint()
-        val qs = px.groupBy("asdf_id").agg(
-          percentile(col("value"), lit(0.05)).as("p05"),
-          percentile(col("value"), lit(0.95)).as("p95"))
-        px.join(qs, Seq("asdf_id"))
+        val qs = Extracts.guidedQuantiles(px, Seq(0.05, 0.95),
+          Seq("p05", "p95"))
+        px.join(broadcast(qs), Seq("asdf_id"))
           .select(col("asdf_id"),
             greatest(col("p05"), least(col("p95"), col("value"))).as("wv"))
           .groupBy("asdf_id")
@@ -3258,20 +3255,19 @@ object QueriesExt {
       // decimals BEFORE the |rz| > 3.5 decision; degenerate zones
       // (MAD = 0) score 0 by definition in both engines.
       (s, d) => {
-        // Three passes (median → MAD → score) over the same 2-column
-        // projection: checkpoint it so passes 2-3 read materialized
-        // blocks instead of re-running the scan+join. DISK_ONLY (Ckpt):
-        // the r6 spill drive measured this exact query dying when its
-        // MEMORY_AND_DISK blocks + reader pins + unroll scratch held the
-        // whole unified pool and pass 3's aggregation could not acquire
-        // its first page.
+        // (median, MAD) via sketch-guided exact selection: same values as
+        // the buffering medians with bounded state everywhere — this
+        // query was the r6 spill drive's fatality (its MEMORY_AND_DISK
+        // checkpoint held the whole unified pool) and the buffering
+        // median measured super-linear at 100x (SCALE.md). Five pruned
+        // 2-column scans replace the corpus-sized checkpoint outright.
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
-          .diskCheckpoint()
-        val med = px.groupBy(col("asdf_id")).agg(median(col("value")).as("med"))
-        val stats = px.join(broadcast(med), Seq("asdf_id"))
-          .groupBy(col("asdf_id"))
-          .agg(first(col("med")).as("med"),
-            median(abs(col("value") - col("med"))).as("mad"))
+        val med = Extracts.guidedQuantiles(px, Seq(0.5), Seq("med"))
+        val dev = px.join(broadcast(med), Seq("asdf_id"))
+          .select(col("asdf_id"),
+            abs(col("value") - col("med")).as("value"))
+        val mad = Extracts.guidedQuantiles(dev, Seq(0.5), Seq("mad"))
+        val stats = med.join(mad, Seq("asdf_id"))
         px.join(broadcast(stats), Seq("asdf_id"))
           .select(col("asdf_id"),
             when(col("mad") === 0, lit(0.0))

@@ -57,6 +57,14 @@ object Extracts {
     * @param p        percentile fraction for `percentile`/`percentile_sketch`.
     * @param accuracy sketch accuracy for `percentile_sketch`: rank error is
     *                 bounded by n/accuracy per zone, state by O(accuracy).
+    * @param guidedAccuracy bracket accuracy for the `*_guided` methods.
+    *                 EXACTNESS never depends on it — it only sizes the
+    *                 value window (~6n/guidedAccuracy rows per zone) the
+    *                 selection pass aggregates. Kept an order coarser than
+    *                 the sketch default because GK compression cost scales
+    *                 with accuracy (measured 6.5 s vs 2.0 s per 69M-row
+    *                 bracket scan at 10⁴ vs 10³) while the window stays
+    *                 trivially small either way.
     * @param rsd      relative standard deviation for `unique_sketch`
     *                 (HyperLogLog++ register budget).
     */
@@ -70,7 +78,8 @@ object Extracts {
       classes: Seq[String] = Nil,
       p: Double = 0.95,
       accuracy: Int = 10000,
-      rsd: Double = 0.05): DataFrame = {
+      rsd: Double = 0.05,
+      guidedAccuracy: Int = 1000): DataFrame = {
     val z = col(zone)
     val v = col(value)
     val w = col(weight)
@@ -172,20 +181,20 @@ object Extracts {
           .agg(sum(v).as("sum"), sum(w).as("potential"))
           .withColumn(method, col("sum") / col("potential"))
       case "percentile_guided" =>
-        guidedPercentile(pixels, zone, value, p, accuracy)
+        guidedPercentile(pixels, zone, value, p, guidedAccuracy)
           .select(z, col("__g_res").as(method))
       case "median_guided" =>
-        guidedPercentile(pixels, zone, value, 0.5, accuracy)
+        guidedPercentile(pixels, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as(method))
       case "mad_guided" =>
         // two guided medians: per-zone median, broadcast back (|zones|
         // rows), then the guided median of |v − med| — same answer as the
         // buffering `mad`, never more than O(n/accuracy) reducer state
-        val med = guidedPercentile(pixels, zone, value, 0.5, accuracy)
+        val med = guidedPercentile(pixels, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as("__g_med"))
         val dev = pixels.join(broadcast(med), zone)
           .select(z, abs(v - col("__g_med")).as(value))
-        guidedPercentile(dev, zone, value, 0.5, accuracy)
+        guidedPercentile(dev, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as(method))
       case other => throw new IllegalArgumentException(s"unknown extract method: $other")
     }
@@ -216,79 +225,128 @@ object Extracts {
     * Returns (zone, __g_res). A window that failed to cover the target
     * ranks (impossible while GK honors its bound) yields null, which any
     * value-parity test catches loudly rather than silently mis-ranking. */
+  /** Single-fraction convenience over [[guidedPercentiles]]. */
   private def guidedPercentile(pixels: DataFrame, zone: String,
-      value: String, p: Double, accuracy: Int): DataFrame = {
+      value: String, p: Double, accuracy: Int): DataFrame =
+    guidedPercentiles(pixels, zone, value, Seq(p), accuracy)
+      .withColumnRenamed("__g_res_0", "__g_res")
+
+  /** Multi-fraction sketch-guided EXACT selection: one GK bracket pass +
+    * one windowed (zone, value) count pass serve ALL requested fractions
+    * (winsor's p05/p95, decile sets, …). Returns
+    * (zone, __g_res_0 … __g_res_{k-1}) in `ps` order; each column equals
+    * `percentile(value, ps(i))` exactly. Coverage argument and bounded
+    * state are per-fraction identical to the single-target analysis: the
+    * window union is ≤ k·~6n/accuracy distinct values per zone, ties
+    * compress, small zones (n ≤ 2·accuracy) widen to [min,max]. */
+  private def guidedPercentiles(pixels: DataFrame, zone: String,
+      value: String, ps: Seq[Double], accuracy: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clash = pixels.columns.toSet
-      .intersect(Set("__g_lo", "__g_hi", "__g_n", "__g_wv", "__g_c", "__g_b",
-        "__g_cum", "__g_below", "__g_r", "__g_klo", "__g_khi", "__g_res"))
+    require(ps.nonEmpty, "guidedPercentiles needs at least one fraction")
+    val reserved = Set("__g_n", "__g_wv", "__g_c", "__g_cum") ++
+      ps.indices.flatMap(i => Seq(s"__g_lo_$i", s"__g_hi_$i", s"__g_b_$i",
+        s"__g_below_$i", s"__g_res_$i"))
+    val clash = pixels.columns.toSet.intersect(reserved)
     require(clash.isEmpty,
-      s"guidedPercentile working columns collide: ${clash.mkString(", ")}")
+      s"guidedPercentiles working columns collide: ${clash.mkString(", ")}")
     val z = col(zone)
     val v = col(value)
     val e = 3.0 / accuracy
-    val pl = math.max(0.0, p - e)
-    val ph = math.min(1.0, p + e)
-    // bracket pass: ONE sketch per zone (both fractions come out of the
-    // same percentile_approx array); clamped fractions fall back to exact
-    // min/max (cheap codegen aggregates), so the window provably covers
-    // rank 1 / rank n
+    val pls = ps.map(p => math.max(0.0, p - e))
+    val phs = ps.map(p => math.min(1.0, p + e))
+    // bracket pass: ONE sketch per zone covers every fraction's window;
+    // clamped fractions fall back to exact min/max (cheap codegen
+    // aggregates), so edge windows provably cover rank 1 / rank n
+    val allFracs = (pls ++ phs).map(lit(_))
+    val widen = col("__g_n") <= 2L * accuracy
+    // zones with n ≤ 2·accuracy widen to [min, max]: the fractional
+    // margin 3/accuracy is worth < 1 RANK there, so a window could miss
+    // the ⌈r⌉ interpolation neighbor — full-width keeps the same
+    // selection machinery with ≤ 2·accuracy distinct values, which is
+    // exactly the bounded-state budget the guided path already pays
     val bounds = pixels.groupBy(z).agg(
         count(v).as("__g_n"), min(v).as("__g_min"), max(v).as("__g_max"),
-        percentile_approx(v, array(lit(pl), lit(ph)), lit(accuracy))
-          .as("__g_pa"))
-      .select(z, col("__g_n"),
-        // zones with n ≤ 2·accuracy widen to [min, max]: the fractional
-        // margin 3/accuracy is worth < 1 RANK there, so the window could
-        // miss the ⌈r⌉ interpolation neighbor — full-width keeps the same
-        // selection machinery with ≤ 2·accuracy distinct values, which is
-        // exactly the bounded-state budget the guided path already pays
-        (if (pl == 0.0) col("__g_min")
-         else when(col("__g_n") <= 2L * accuracy, col("__g_min"))
-           .otherwise(element_at(col("__g_pa"), 1))).as("__g_lo"),
-        (if (ph == 1.0) col("__g_max")
-         else when(col("__g_n") <= 2L * accuracy, col("__g_max"))
-           .otherwise(element_at(col("__g_pa"), 2))).as("__g_hi"))
+        percentile_approx(v, array(allFracs: _*), lit(accuracy)).as("__g_pa"))
+      .select(Seq(z, col("__g_n")) ++ ps.indices.flatMap { i =>
+        Seq(
+          (if (pls(i) == 0.0) col("__g_min")
+           else when(widen, col("__g_min"))
+             .otherwise(element_at(col("__g_pa"), i + 1))).as(s"__g_lo_$i"),
+          (if (phs(i) == 1.0) col("__g_max")
+           else when(widen, col("__g_max"))
+             .otherwise(element_at(col("__g_pa"), ps.length + i + 1)))
+            .as(s"__g_hi_$i"))
+      }: _*)
       // |zones|-row frame referenced three times (window join, n attach,
       // zone-retention join): LAZY checkpoint so one sketch pass serves
       // all of them — and construction stays job-free (dry-run contract)
       .localCheckpoint(false)
-    // window-aggregate pass: one scan, (zone, distinct-window-value) grain.
-    // Out-of-window rows collapse into the null group — kept only for
-    // their strictly-below count, never their values
+    def inWin(i: Int) = v.between(col(s"__g_lo_$i"), col(s"__g_hi_$i"))
+    // window-aggregate pass: one scan, (zone, distinct-window-value)
+    // grain over the UNION of windows. Rows outside every window collapse
+    // into the null group — kept only for the strictly-below counts
     val g = pixels.join(broadcast(bounds), zone)
-      .groupBy(z, when(v.between(col("__g_lo"), col("__g_hi")), v).as("__g_wv"))
+      .groupBy(z, when(ps.indices.map(inWin).reduce(_ || _), v).as("__g_wv"))
       .agg(count(lit(1)).as("__g_c"),
-        sum(when(v < col("__g_lo"), 1L).otherwise(0L)).as("__g_b"))
+        ps.indices.map(i => sum(when(v < col(s"__g_lo_$i"), 1L).otherwise(0L))
+          .as(s"__g_b_$i")): _*)
       // referenced twice (below-mass rollup + window cumulative); size is
       // ~corpus/accuracy — corpus-PROPORTIONAL, so DISK_ONLY per the Ckpt
       // policy, and lazy for the same dry-run reason as above
       .diskCheckpointLazy()
-    val below = g.groupBy(z).agg(sum("__g_b").as("__g_below"))
-    val wnd = g.filter(col("__g_wv").isNotNull)
-      .withColumn("__g_cum", sum("__g_c").over(
-        Window.partitionBy(z).orderBy("__g_wv")))
+    val below = g.groupBy(z).agg(
+      ps.indices.map(i => sum(s"__g_b_$i").as(s"__g_below_$i")).head,
+      ps.indices.map(i => sum(s"__g_b_$i").as(s"__g_below_$i")).tail: _*)
+    val wOrd = Window.partitionBy(z).orderBy("__g_wv")
+    val wnd0 = g.filter(col("__g_wv").isNotNull)
       // both attach sides are |zones|-row aggregates — broadcast them
       // EXPLICITLY so the checkpoint-backed window frame (whose LogicalRDD
       // stats are estimates) can never become the build side itself
       .join(broadcast(below), zone)
-      .join(broadcast(bounds.select(z, col("__g_n"))), zone)
-    // r = 1 + p(n-1): the 1-based fractional rank `percentile` interpolates
-    val r = lit(1.0) + lit(p) * (col("__g_n") - 1).cast("double")
-    val kLo = floor(r)
-    val kHi = ceil(r)
-    val lo1 = col("__g_below") + col("__g_cum") - col("__g_c") + 1 // min rank of this value
-    val hi1 = col("__g_below") + col("__g_cum") // max rank of this value
-    val selected = wnd.groupBy(z).agg(
-        min(when(lo1 <= kLo && kLo <= hi1, col("__g_wv"))).as("__g_vlo"),
-        min(when(lo1 <= kHi && kHi <= hi1, col("__g_wv"))).as("__g_vhi"),
-        first(r).as("__g_r"), first(kLo).as("__g_klo"))
-      .select(z, (col("__g_vlo").cast("double") +
-        (col("__g_r") - col("__g_klo")) *
-          (col("__g_vhi").cast("double") - col("__g_vlo").cast("double")))
-        .as("__g_res"))
+      .join(broadcast(bounds), zone)
+    val wv = col("__g_wv")
+    // per-fraction conditional cumulative over ONE sort: cum_i counts
+    // window-i values ≤ wv, so in-window-i rank ranges are exact
+    val wnd = ps.indices.foldLeft(wnd0) { (df, i) =>
+      df.withColumn(s"__g_cum_$i",
+        sum(when(wv.between(col(s"__g_lo_$i"), col(s"__g_hi_$i")),
+          col("__g_c")).otherwise(0L)).over(wOrd))
+    }
+    val aggs = ps.indices.flatMap { i =>
+      // r = 1 + p(n-1): the 1-based fractional rank `percentile` interpolates
+      val r = lit(1.0) + lit(ps(i)) * (col("__g_n") - 1).cast("double")
+      val kLo = floor(r)
+      val kHi = ceil(r)
+      val inW = wv.between(col(s"__g_lo_$i"), col(s"__g_hi_$i"))
+      val lo1 = col(s"__g_below_$i") + col(s"__g_cum_$i") - col("__g_c") + 1
+      val hi1 = col(s"__g_below_$i") + col(s"__g_cum_$i")
+      Seq(
+        min(when(inW && lo1 <= kLo && kLo <= hi1, wv)).as(s"__g_vlo_$i"),
+        min(when(inW && lo1 <= kHi && kHi <= hi1, wv)).as(s"__g_vhi_$i"),
+        first(r).as(s"__g_r_$i"), first(kLo).as(s"__g_klo_$i"))
+    }
+    val selected = wnd.groupBy(z).agg(aggs.head, aggs.tail: _*)
+      .select(Seq(z) ++ ps.indices.map { i =>
+        (col(s"__g_vlo_$i").cast("double") +
+          (col(s"__g_r_$i") - col(s"__g_klo_$i")) *
+            (col(s"__g_vhi_$i").cast("double") -
+              col(s"__g_vlo_$i").cast("double"))).as(s"__g_res_$i")
+      }: _*)
     // zones whose values are all null have no window rows but must stay
     // present (exact `percentile` emits them with a null result)
     bounds.select(z).join(broadcast(selected), Seq(zone), "left")
+  }
+
+  /** Public multi-quantile guided exact selection for query builders
+    * (winsor bounds, robust fences, decile sets): returns
+    * (zone, names(0) … names(k-1)) where names(i) = exact
+    * `percentile(value, ps(i))`. */
+  def guidedQuantiles(pixels: DataFrame, ps: Seq[Double], names: Seq[String],
+      zone: String = "asdf_id", value: String = "value",
+      accuracy: Int = 1000): DataFrame = {
+    require(ps.length == names.length, "one name per fraction")
+    guidedPercentiles(pixels, zone, value, ps, accuracy)
+      .select(Seq(col(zone)) ++ ps.indices.map(i =>
+        col(s"__g_res_$i").as(names(i))): _*)
   }
 }

@@ -159,6 +159,28 @@ object DriveScale10x {
       }
       s.stop(); return
     }
+    // --x100robust: the two REGISTERED robust-statistics queries that were
+    // rebuilt on sketch-guided exact selection (extract_winsor,
+    // outlier_robust) across the same two lineitem decades — the before
+    // numbers are the buffering forms' rows in the --x100extracts table
+    if (args.length > 1 && args(1) == "--x100robust") {
+      val big10li = "/tmp/graft_scale10li"
+      val big100 = if (args.length > 2) args(2) else "/tmp/graft_scale100li"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big10li/_READY")))
+        generateLineitem(s, base, big10li, 10)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big100/_READY")))
+        generateLineitem(s, base, big100, 100)
+      Seq("extract_winsor", "outlier_robust").foreach { op =>
+        run(op, base); val t1 = run(op, base)
+        run(op, big10li); val t10 = run(op, big10li)
+        run(op, big100); val t100 = run(op, big100)
+        val e1 = math.log(t10 / t1) / math.log(10.0)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+          f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+      }
+      s.stop(); return
+    }
     // --x100events: SECOND decade for the event-grain operators on a 100×
     // events corpus (whale users keep the 10× tier's 4× copy ratio). The
     // 10× leg reuses the main amplified corpus — its events transform is

@@ -100,7 +100,7 @@ class ExtractsSpec extends AnyFunSuite {
       val exact = Extracts.extract(df, "percentile", p = p)
         .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
       val guided = Extracts.extract(df, "percentile_guided", p = p,
-          accuracy = 50) // coarse sketch: the guarantee must not depend on accuracy
+          guidedAccuracy = 50) // coarse sketch: the guarantee must not depend on it
         .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
       assert(guided.keySet == exact.keySet, s"p=$p zone sets diverge")
       for ((zn, ev) <- exact)
@@ -128,6 +128,28 @@ class ExtractsSpec extends AnyFunSuite {
     val madG = Extracts.extract(px, "mad_guided").collect()
       .map(x => x.getInt(0) -> x.getDouble(1)).toMap
     assert(madE == madG)
+  }
+
+  test("guidedQuantiles: many fractions from one bracket equal the exact " +
+    "percentiles (winsor/fence/decile shape)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 600).map { _ =>
+      val zn = rnd.nextInt(3)
+      val v = if (rnd.nextInt(5) == 0) 25.0 else rnd.nextDouble() * 100
+      (zn, v)
+    }
+    val df = rows.toDF("asdf_id", "value")
+    val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val names = ps.map(p => s"q${(p * 100).toInt}")
+    val got = Extracts.guidedQuantiles(df, ps, names, accuracy = 60)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    for ((p, name) <- ps.zip(names)) {
+      val exact = Extracts.extract(df, "percentile", p = p)
+        .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      for ((zn, ev) <- exact)
+        assert(math.abs(got(zn).getAs[Double](name) - ev) < 1e-9,
+          s"$name zone $zn: ${got(zn).getAs[Double](name)} vs exact $ev")
+    }
   }
 
   test("constructing the mad extract launches no job (dry-run contract)") {
