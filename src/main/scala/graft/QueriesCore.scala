@@ -132,9 +132,14 @@ object QueriesCore {
         val px = Tables.pixels(s, d)
         val sk = Extracts.extract(px, "percentile_sketch", p = p, accuracy = acc)
           .withColumnRenamed("percentile_sketch", "approx")
-        val exact = px.groupBy(col("asdf_id"))
-          .agg(count(lit(1)).as("n"),
-            round(percentile(col("value"), lit(p)), 6).as("p95_r"))
+        // the exact side rides the guided selection (same values as the
+        // buffering percentile, bounded state) so the CONTRACT query
+        // itself scales — measured 81.9 s at 100x when this side buffered
+        val exact = px.groupBy(col("asdf_id")).agg(count(lit(1)).as("n"))
+          .join(broadcast(Extracts.guidedQuantiles(
+            px.select(col("asdf_id"), col("value")), Seq(p), Seq("pg"))),
+            "asdf_id")
+          .select(col("asdf_id"), col("n"), round(col("pg"), 6).as("p95_r"))
         val ranks = px.join(broadcast(sk), "asdf_id")
           .groupBy(col("asdf_id"))
           .agg(sum(when(col("value") <= col("approx"), 1L).otherwise(0L)).as("cnt_le"),

@@ -423,10 +423,15 @@ object QueriesExt {
         val base = ev.select(
           floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("wk_idx"),
           col("value"), col("user_id"))
+        // exact side via guided selection (identical values, bounded
+        // state) — a week's value buffer is the same wall as a zone's
         val exact = base.groupBy(col("wk_idx"))
-          .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50_r"),
-            round(percentile(col("value"), lit(0.95)), 6).as("p95_r"),
-            count_distinct(col("user_id")).as("uniq_users"))
+          .agg(count_distinct(col("user_id")).as("uniq_users"))
+          .join(broadcast(graft.ops.Extracts.guidedQuantiles(
+            base.select(col("wk_idx"), col("value")), Seq(0.5, 0.95),
+            Seq("q50", "q95"), zone = "wk_idx")), "wk_idx")
+          .select(col("wk_idx"), round(col("q50"), 6).as("p50_r"),
+            round(col("q95"), 6).as("p95_r"), col("uniq_users"))
         val ranks = base
           .join(broadcast(sk.select("wk_idx", "p50_sk", "p95_sk")), "wk_idx")
           .groupBy(col("wk_idx"))
@@ -2906,10 +2911,13 @@ object QueriesExt {
       (s, d) => {
         val wk = Tables.events(s, d)
           .select(to_date(date_trunc("week", col("ts"))).as("wk"), col("value"))
-        wk.groupBy(col("wk"))
-          .agg(count(lit(1)).as("n"),
-            round(percentile(col("value"), lit(0.5)), 6).as("p50_r"),
-            round(percentile(col("value"), lit(0.95)), 6).as("p95_r"))
+        // guided selection for the weekly percentiles: same values as the
+        // buffering aggregate with bounded state per week
+        wk.groupBy(col("wk")).agg(count(lit(1)).as("n"))
+          .join(broadcast(graft.ops.Extracts.guidedQuantiles(
+            wk, Seq(0.5, 0.95), Seq("q50", "q95"), zone = "wk")), "wk")
+          .select(col("wk"), col("n"), round(col("q50"), 6).as("p50_r"),
+            round(col("q95"), 6).as("p95_r"))
           .orderBy("wk")
       },
       Some("""SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
@@ -2928,12 +2936,19 @@ object QueriesExt {
         val acc = 1000
         val wk = Tables.events(s, d)
           .select(to_date(date_trunc("week", col("ts"))).as("wk"), col("value"))
+        // the exact bands ride guided selection (bounded state); only the
+        // GK sketch under test stays in the main aggregate
         val agg = wk.groupBy(col("wk"))
           .agg(count(lit(1)).as("n"),
-            round(percentile(col("value"), lit(0.5)), 6).as("p50_r"),
-            round(percentile(col("value"), lit(0.95)), 6).as("p95_r"),
-            percentile_approx(col("value"), lit(0.5), lit(acc)).as("a50"),
-            percentile_approx(col("value"), lit(0.95), lit(acc)).as("a95"))
+            percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+              lit(acc)).as("pa"))
+          .select(col("wk"), col("n"),
+            element_at(col("pa"), 1).as("a50"),
+            element_at(col("pa"), 2).as("a95"))
+          .join(broadcast(graft.ops.Extracts.guidedQuantiles(
+            wk, Seq(0.5, 0.95), Seq("q50", "q95"), zone = "wk")), "wk")
+          .select(col("wk"), col("n"), round(col("q50"), 6).as("p50_r"),
+            round(col("q95"), 6).as("p95_r"), col("a50"), col("a95"))
         val ranks = wk.join(broadcast(agg.select("wk", "a50", "a95")), "wk")
           .groupBy(col("wk"))
           .agg(sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
