@@ -135,9 +135,10 @@ object QueriesCore {
         // the exact side rides the guided selection (same values as the
         // buffering percentile, bounded state) so the CONTRACT query
         // itself scales — measured 81.9 s at 100x when this side buffered
-        val exact = px.groupBy(col("asdf_id")).agg(count(lit(1)).as("n"))
-          .join(broadcast(Extracts.guidedQuantiles(
-            px.select(col("asdf_id"), col("value")), Seq(p), Seq("pg"))),
+        val exact = Extracts.joinOnZone(
+            px.groupBy(col("asdf_id")).agg(count(lit(1)).as("n")),
+            Extracts.guidedQuantiles(
+              px.select(col("asdf_id"), col("value")), Seq(p), Seq("pg")),
             "asdf_id")
           .select(col("asdf_id"), col("n"), round(col("pg"), 6).as("p95_r"))
         val ranks = px.join(broadcast(sk), "asdf_id")

@@ -425,11 +425,12 @@ object QueriesExt {
           col("value"), col("user_id"))
         // exact side via guided selection (identical values, bounded
         // state) — a week's value buffer is the same wall as a zone's
-        val exact = base.groupBy(col("wk_idx"))
-          .agg(count_distinct(col("user_id")).as("uniq_users"))
-          .join(broadcast(graft.ops.Extracts.guidedQuantiles(
-            base.select(col("wk_idx"), col("value")), Seq(0.5, 0.95),
-            Seq("q50", "q95"), zone = "wk_idx")), "wk_idx")
+        val exact = Extracts.joinOnZone(
+            base.groupBy(col("wk_idx"))
+              .agg(count_distinct(col("user_id")).as("uniq_users")),
+            Extracts.guidedQuantiles(
+              base.select(col("wk_idx"), col("value")), Seq(0.5, 0.95),
+              Seq("q50", "q95"), zone = "wk_idx"), "wk_idx")
           .select(col("wk_idx"), round(col("q50"), 6).as("p50_r"),
             round(col("q95"), 6).as("p95_r"), col("uniq_users"))
         val ranks = base
@@ -2334,7 +2335,7 @@ object QueriesExt {
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
         val qs = Extracts.guidedQuantiles(px, Seq(0.05, 0.95),
           Seq("p05", "p95"))
-        px.join(broadcast(qs), Seq("asdf_id"))
+        Extracts.joinOnZone(px, qs, "asdf_id")
           .select(col("asdf_id"),
             greatest(col("p05"), least(col("p95"), col("value"))).as("wv"))
           .groupBy("asdf_id")
@@ -2913,9 +2914,10 @@ object QueriesExt {
           .select(to_date(date_trunc("week", col("ts"))).as("wk"), col("value"))
         // guided selection for the weekly percentiles: same values as the
         // buffering aggregate with bounded state per week
-        wk.groupBy(col("wk")).agg(count(lit(1)).as("n"))
-          .join(broadcast(graft.ops.Extracts.guidedQuantiles(
-            wk, Seq(0.5, 0.95), Seq("q50", "q95"), zone = "wk")), "wk")
+        Extracts.joinOnZone(
+            wk.groupBy(col("wk")).agg(count(lit(1)).as("n")),
+            Extracts.guidedQuantiles(
+              wk, Seq(0.5, 0.95), Seq("q50", "q95"), zone = "wk"), "wk")
           .select(col("wk"), col("n"), round(col("q50"), 6).as("p50_r"),
             round(col("q95"), 6).as("p95_r"))
           .orderBy("wk")
@@ -2937,16 +2939,19 @@ object QueriesExt {
         val wk = Tables.events(s, d)
           .select(to_date(date_trunc("week", col("ts"))).as("wk"), col("value"))
         // the exact bands ride guided selection (bounded state); only the
-        // GK sketch under test stays in the main aggregate
-        val agg = wk.groupBy(col("wk"))
-          .agg(count(lit(1)).as("n"),
-            percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
-              lit(acc)).as("pa"))
-          .select(col("wk"), col("n"),
-            element_at(col("pa"), 1).as("a50"),
-            element_at(col("pa"), 2).as("a95"))
-          .join(broadcast(graft.ops.Extracts.guidedQuantiles(
-            wk, Seq(0.5, 0.95), Seq("q50", "q95"), zone = "wk")), "wk")
+        // GK sketch under test stays in the main aggregate. joinOnZone =
+        // null-safe attach (a NULL week group must survive, as groupBy
+        // keeps it)
+        val agg = Extracts.joinOnZone(
+            wk.groupBy(col("wk"))
+              .agg(count(lit(1)).as("n"),
+                percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+                  lit(acc)).as("pa"))
+              .select(col("wk"), col("n"),
+                element_at(col("pa"), 1).as("a50"),
+                element_at(col("pa"), 2).as("a95")),
+            Extracts.guidedQuantiles(
+              wk, Seq(0.5, 0.95), Seq("q50", "q95"), zone = "wk"), "wk")
           .select(col("wk"), col("n"), round(col("q50"), 6).as("p50_r"),
             round(col("q95"), 6).as("p95_r"), col("a50"), col("a95"))
         val ranks = wk.join(broadcast(agg.select("wk", "a50", "a95")), "wk")
@@ -3278,12 +3283,12 @@ object QueriesExt {
         // 2-column scans replace the corpus-sized checkpoint outright.
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
         val med = Extracts.guidedQuantiles(px, Seq(0.5), Seq("med"))
-        val dev = px.join(broadcast(med), Seq("asdf_id"))
+        val dev = Extracts.joinOnZone(px, med, "asdf_id")
           .select(col("asdf_id"),
             abs(col("value") - col("med")).as("value"))
         val mad = Extracts.guidedQuantiles(dev, Seq(0.5), Seq("mad"))
-        val stats = med.join(mad, Seq("asdf_id"))
-        px.join(broadcast(stats), Seq("asdf_id"))
+        val stats = Extracts.joinOnZone(med, mad, "asdf_id")
+        Extracts.joinOnZone(px, stats, "asdf_id")
           .select(col("asdf_id"),
             when(col("mad") === 0, lit(0.0))
               .otherwise(round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))

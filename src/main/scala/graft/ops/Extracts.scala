@@ -165,7 +165,9 @@ object Extracts {
         val pv = pixels.select(z, v)
           .diskCheckpointLazy()
         val med = pv.groupBy(z).agg(median(v).as(medC))
-        pv.join(broadcast(med), zone)
+        // null-safe attach: groupBy keeps a NULL zone group (and DuckDB's
+        // mad() computes it), so an equi-join here would silently drop it
+        joinOnZone(pv, med, zone)
           .groupBy(z).agg(median(abs(v - col(medC))).as(method))
       case "geomean" =>
         // [EXT] geometric mean via exp(avg(ln v)) — identical formulation
@@ -192,7 +194,7 @@ object Extracts {
         // buffering `mad`, never more than O(n/accuracy) reducer state
         val med = guidedPercentile(pixels, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as("__g_med"))
-        val dev = pixels.join(broadcast(med), zone)
+        val dev = joinOnZone(pixels, med, zone)
           .select(z, abs(v - col("__g_med")).as(value))
         guidedPercentile(dev, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as(method))
@@ -284,8 +286,12 @@ object Extracts {
     def inWin(i: Int) = v.between(col(s"__g_lo_$i"), col(s"__g_hi_$i"))
     // window-aggregate pass: one scan, (zone, distinct-window-value)
     // grain over the UNION of windows. Rows outside every window collapse
-    // into the null group — kept only for the strictly-below counts
-    val g = pixels.join(broadcast(bounds), zone)
+    // into the null group — kept only for the strictly-below counts.
+    // NULL-SAFE zone join (joinOnZone): groupBy keeps a NULL zone group,
+    // and the buffering aggregates compute a real value for it — an
+    // equi-join here would silently drop that group and break the
+    // "identical output" contract for nullable zone keys
+    val g = joinOnZone(pixels, bounds, zone)
       .groupBy(z, when(ps.indices.map(inWin).reduce(_ || _), v).as("__g_wv"))
       .agg(count(lit(1)).as("__g_c"),
         ps.indices.map(i => sum(when(v < col(s"__g_lo_$i"), 1L).otherwise(0L))
@@ -298,12 +304,12 @@ object Extracts {
       ps.indices.map(i => sum(s"__g_b_$i").as(s"__g_below_$i")).head,
       ps.indices.map(i => sum(s"__g_b_$i").as(s"__g_below_$i")).tail: _*)
     val wOrd = Window.partitionBy(z).orderBy("__g_wv")
-    val wnd0 = g.filter(col("__g_wv").isNotNull)
-      // both attach sides are |zones|-row aggregates — broadcast them
-      // EXPLICITLY so the checkpoint-backed window frame (whose LogicalRDD
-      // stats are estimates) can never become the build side itself
-      .join(broadcast(below), zone)
-      .join(broadcast(bounds), zone)
+    // both attach sides are |zones|-row aggregates — broadcast them
+    // EXPLICITLY (inside joinOnZone) so the checkpoint-backed window
+    // frame (whose LogicalRDD stats are estimates) can never become the
+    // build side itself
+    val wnd0 = joinOnZone(joinOnZone(g.filter(col("__g_wv").isNotNull),
+      below, zone), bounds, zone)
     val wv = col("__g_wv")
     // per-fraction conditional cumulative over ONE sort: cum_i counts
     // window-i values ≤ wv, so in-window-i rank ranges are exact
@@ -334,7 +340,22 @@ object Extracts {
       }: _*)
     // zones whose values are all null have no window rows but must stay
     // present (exact `percentile` emits them with a null result)
-    bounds.select(z).join(broadcast(selected), Seq(zone), "left")
+    joinOnZone(bounds.select(z), selected, zone, "left")
+  }
+
+  /** Null-safe zone-key attach: joins `left` to the |zones|-row `right`
+    * on `zone` with `<=>` semantics (a NULL zone group matches its NULL
+    * counterpart instead of silently dropping — `groupBy` keeps NULL
+    * groups, so zone-keyed attaches must too), broadcasting the right
+    * side explicitly. Shared by the guided internals and every query
+    * that attaches a guided-quantile frame back onto its stream. */
+  def joinOnZone(left: DataFrame, right: DataFrame, zone: String,
+      how: String = "inner"): DataFrame = {
+    require(!left.columns.contains("__g_zk"),
+      "joinOnZone working column __g_zk collides with input")
+    val r = right.withColumnRenamed(zone, "__g_zk")
+    left.join(broadcast(r), left(zone) <=> r("__g_zk"), how)
+      .drop("__g_zk")
   }
 
   /** Public multi-quantile guided exact selection for query builders

@@ -71,7 +71,13 @@ object DriveScale10x {
       if (args.length > 1 && (args(1) == "--tier2" || args(1) == "--x100")) ops2
       else if (args.length > 1) args.drop(1).toSeq
       else ops
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
+    // generate the full multi-table 10x corpus ONLY for the tiers that
+    // read it (default ops, --tier2, --x100's 10x leg, --x100events's
+    // 10x leg); the lineitem-only tiers build their own corpora
+    val needsBig = args.length <= 1 ||
+      !Set("--x100extracts", "--x100robust").contains(args(1))
+    if (needsBig &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
 
     // timing INCLUDES query construction: several builders localCheckpoint
@@ -266,92 +272,36 @@ object DriveScale10x {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
-  /** Documents-only amplified corpus for the --x100 tier: documents at
-    * `copies`×, every other table a 1× copy from base (the doc ops read
-    * only `documents`; the copies keep incidental table reads working). */
-  def generateDocs(s: SparkSession, base: String, out: String, copies: Int): Unit = {
-    println(s"generating ${copies}x documents corpus at $out ...")
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** 1× copies of every base table except the one(s) being amplified —
+    * the amplified-corpus scaffolding shared by every single-table tier. */
+  private def copyOthers(base: String, out: String,
+      except: Set[String]): java.nio.file.Path = {
     val P = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(P)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "embeddings")) {
+    for (t <- AllTables if !except(t)) {
       val src = java.nio.file.Paths.get(s"$base/$t.parquet")
       if (java.nio.file.Files.isRegularFile(src))
         java.nio.file.Files.copy(src, P.resolve(s"$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    writeDocs(s, base, out, copies)
-    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
-    println(s"  documents: " +
-      s.read.parquet(s"$out/documents.parquet").count() + " rows")
+    P
   }
 
-  /** Lineitem-only amplified corpus for the --x100extracts tier: lineitem
-    * at `copies`× with the hot-zone skew ratio of the 10× corpus (nation-0
-    * supplier rows get 4× the copy count), every other table a 1× copy
-    * from base. */
-  def generateLineitem(s: SparkSession, base: String, out: String,
-      copies: Int): Unit = {
-    println(s"generating ${copies}x lineitem corpus at $out ...")
-    val P = java.nio.file.Paths.get(out)
-    java.nio.file.Files.createDirectories(P)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events", "documents", "embeddings")) {
-      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
-      if (java.nio.file.Files.isRegularFile(src))
-        java.nio.file.Files.copy(src, P.resolve(s"$t.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    val hotSupp = s.read.parquet(s"$base/supplier.parquet")
-      .filter(col("s_nationkey") === 0)
-      .select("s_suppkey").collect().map(_.getLong(0))
-    val li = s.read.parquet(s"$base/lineitem.parquet")
-    val hot = col("l_suppkey").isin(hotSupp.toSeq: _*)
-    li.select(col("*"),
-        explode(sequence(lit(0),
-          when(hot, lit(copies * 4 - 1)).otherwise(lit(copies - 1))))
-          .as("__copy"))
-      .select(
-        (col("l_orderkey") + col("__copy") * lit(100000000L)).as("l_orderkey"),
-        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
-        col("l_quantity"),
-        // per-copy value perturbation: exact percentile/median buffers are
-        // (value -> count) maps, so UNPERTURBED copies would compress to
-        // 1x state and the "exact forms buffer per-zone value sets" claim
-        // would go unmeasured; +copy*1e-4 keeps magnitudes and quantile
-        // positions while making every copy's values distinct
-        (col("l_extendedprice") + col("__copy") * lit(1e-4))
-          .as("l_extendedprice"),
-        col("l_discount"),
-        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-      .repartition((copies * 12 / 10).max(16))
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
-    println(s"  lineitem: " +
-      s.read.parquet(s"$out/lineitem.parquet").count() + " rows")
-  }
-
-  /** Events-only amplified corpus for the --x100events tier: events at
-    * `copies`× (disjoint users per copy except whales, who keep their id
-    * everywhere and get 4× the copy count — the 10× tier's skew ratio),
-    * every other table a 1× copy from base. */
-  def generateEvents(s: SparkSession, base: String, out: String,
-      copies: Int): Unit = {
-    println(s"generating ${copies}x events corpus at $out ...")
-    val P = java.nio.file.Paths.get(out)
-    java.nio.file.Files.createDirectories(P)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings")) {
-      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
-      if (java.nio.file.Files.isRegularFile(src))
-        java.nio.file.Files.copy(src, P.resolve(s"$t.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+  /** Events amplification: disjoint users per copy EXCEPT whales
+    * (`user_id % 997`), who keep their id in every copy and get
+    * `whaleCopies` total copies — the event-skew injection shared by the
+    * 10× corpus (10/40) and the --x100events corpus (100/400; same 4×
+    * skew ratio, so the decades compare like for like). */
+  private def amplifyEvents(s: SparkSession, base: String, out: String,
+      copies: Int, whaleCopies: Int, parts: Int): Unit = {
     val ev = s.read.parquet(s"$base/events.parquet")
     val whale = col("user_id") % 997 === 0
     ev.select(col("*"),
         explode(sequence(lit(0),
-          when(whale, lit(copies * 4 - 1)).otherwise(lit(copies - 1))))
+          when(whale, lit(whaleCopies - 1)).otherwise(lit(copies - 1))))
           .as("__copy"))
       .select(
         (col("event_id") + col("__copy") * lit(100000000L)).as("event_id"),
@@ -359,8 +309,75 @@ object DriveScale10x {
         when(whale, col("user_id"))
           .otherwise(col("user_id") + col("__copy") * lit(10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
-      .repartition((copies * 16 / 10).max(16))
+      .repartition(parts)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  /** Lineitem amplification: ×copies everywhere, ×hotCopies for nation-0
+    * suppliers (the hot zone). `perturb` adds +copy·1e-4 to the value so
+    * exact percentile's (value → count) buffers cannot compress duplicate
+    * copies — ON for the extract-decade corpora (the buffer growth is the
+    * thing under test), OFF for the main 10× corpus (its recorded drive
+    * hashes and exponents predate the perturbation and must stay stable). */
+  private def amplifyLineitem(s: SparkSession, base: String, out: String,
+      copies: Int, hotCopies: Int, parts: Int, perturb: Boolean): Unit = {
+    val hotSupp = s.read.parquet(s"$base/supplier.parquet")
+      .filter(col("s_nationkey") === 0)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val li = s.read.parquet(s"$base/lineitem.parquet")
+    val hot = col("l_suppkey").isin(hotSupp.toSeq: _*)
+    val price =
+      if (perturb) (col("l_extendedprice") + col("__copy") * lit(1e-4))
+        .as("l_extendedprice")
+      else col("l_extendedprice")
+    li.select(col("*"),
+        explode(sequence(lit(0),
+          when(hot, lit(hotCopies - 1)).otherwise(lit(copies - 1))))
+          .as("__copy"))
+      .select(
+        (col("l_orderkey") + col("__copy") * lit(100000000L)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), price, col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+
+  /** Documents-only amplified corpus for the --x100 tier: documents at
+    * `copies`×, every other table a 1× copy from base (the doc ops read
+    * only `documents`; the copies keep incidental table reads working). */
+  def generateDocs(s: SparkSession, base: String, out: String, copies: Int): Unit = {
+    println(s"generating ${copies}x documents corpus at $out ...")
+    val P = copyOthers(base, out, Set("documents"))
+    writeDocs(s, base, out, copies)
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  documents: " +
+      s.read.parquet(s"$out/documents.parquet").count() + " rows")
+  }
+
+  /** Lineitem-only amplified corpus for the --x100extracts/--x100robust
+    * tiers: lineitem at `copies`× with the 10× corpus's hot-zone skew
+    * ratio and per-copy value perturbation, every other table 1×. */
+  def generateLineitem(s: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    println(s"generating ${copies}x lineitem corpus at $out ...")
+    val P = copyOthers(base, out, Set("lineitem"))
+    amplifyLineitem(s, base, out, copies, copies * 4,
+      (copies * 12 / 10).max(16), perturb = true)
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  lineitem: " +
+      s.read.parquet(s"$out/lineitem.parquet").count() + " rows")
+  }
+
+  /** Events-only amplified corpus for the --x100events tier: events at
+    * `copies`× with the 10× corpus's whale-skew ratio, every other table
+    * 1×. */
+  def generateEvents(s: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    println(s"generating ${copies}x events corpus at $out ...")
+    val P = copyOthers(base, out, Set("events"))
+    amplifyEvents(s, base, out, copies, copies * 4,
+      (copies * 16 / 10).max(16))
     java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
     println(s"  events: " +
       s.read.parquet(s"$out/events.parquet").count() + " rows")
@@ -379,40 +396,12 @@ object DriveScale10x {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     writeDocs(s, base, big, COPIES)
-
-    // events: disjoint users per copy except whales (kept + 30 extra copies)
-    val ev = s.read.parquet(s"$base/events.parquet")
-    val whale = col("user_id") % 997 === 0
-    ev.select(col("*"),
-        explode(sequence(lit(0),
-          when(whale, lit(COPIES + EXTRA - 1)).otherwise(lit(COPIES - 1))))
-          .as("__copy"))
-      .select(
-        (col("event_id") + col("__copy") * lit(100000000L)).as("event_id"),
-        (col("ts") + expr("make_interval(0,0,0,0,0,0, __copy)")).as("ts"),
-        when(whale, col("user_id"))
-          .otherwise(col("user_id") + col("__copy") * lit(10000000L)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .repartition(16)
-      .write.mode("overwrite").parquet(s"$big/events.parquet")
-
-    // lineitem: ×10 everywhere, ×40 for nation-0 suppliers (hot zone)
-    val hotSupp = s.read.parquet(s"$base/supplier.parquet")
-      .filter(col("s_nationkey") === 0)
-      .select("s_suppkey").collect().map(_.getLong(0))
-    val li = s.read.parquet(s"$base/lineitem.parquet")
-    val hot = col("l_suppkey").isin(hotSupp.toSeq: _*)
-    li.select(col("*"),
-        explode(sequence(lit(0),
-          when(hot, lit(COPIES + EXTRA - 1)).otherwise(lit(COPIES - 1))))
-          .as("__copy"))
-      .select(
-        (col("l_orderkey") + col("__copy") * lit(100000000L)).as("l_orderkey"),
-        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    // events: disjoint users per copy except whales (kept + 30 extra
+    // copies); lineitem: ×10 everywhere, ×40 for nation-0 suppliers (hot
+    // zone) — UNPERTURBED values (recorded drive hashes depend on them)
+    amplifyEvents(s, base, big, COPIES, COPIES + EXTRA, 16)
+    amplifyLineitem(s, base, big, COPIES, COPIES + EXTRA, 32,
+      perturb = false)
 
     // embeddings: ×10, ids shifted (vectors identical — distance work is
     // what's being measured, and identical points are the degenerate

@@ -127,7 +127,35 @@ class ExtractsSpec extends AnyFunSuite {
       .map(x => x.getInt(0) -> x.getDouble(1)).toMap
     val madG = Extracts.extract(px, "mad_guided").collect()
       .map(x => x.getInt(0) -> x.getDouble(1)).toMap
-    assert(madE == madG)
+    // 1e-9 tolerance, not ==: the two interpolation formulas are
+    // algebraically equal but can differ by an ulp on interpolating zones
+    assert(madE.keySet == madG.keySet)
+    for ((zn, ev) <- madE)
+      assert(math.abs(madG(zn) - ev) < 1e-9, s"mad zone $zn: ${madG(zn)} vs $ev")
+  }
+
+  test("guided forms keep the NULL zone group (null-safe attaches)") {
+    // groupBy keeps a NULL group and the buffering aggregates compute a
+    // real value for it; every zone attach in the guided path must be
+    // null-safe or that group silently vanishes
+    val df = Seq((Option(1), 1.0), (Option(1), 2.0), (Option(1), 7.0),
+      (Option.empty[Int], 5.0), (Option.empty[Int], 7.0),
+      (Option.empty[Int], 9.0), (Option.empty[Int], 11.0))
+      .toDF("asdf_id", "value")
+    for (m <- Seq("median_guided", "percentile_guided", "mad_guided")) {
+      val buffering = m.stripSuffix("_guided") match {
+        case "percentile" => "percentile"
+        case b => b
+      }
+      val g = Extracts.extract(df, m).collect()
+        .map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+      val e = Extracts.extract(df, buffering).collect()
+        .map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+      assert(g.keySet == e.keySet, s"$m zone sets diverge: $g vs $e")
+      for ((zn, ev) <- e)
+        assert(math.abs(g(zn) - ev) < 1e-9, s"$m zone $zn: ${g(zn)} vs $ev")
+      assert(g.contains(None), s"$m dropped the NULL zone group")
+    }
   }
 
   test("guidedQuantiles: many fractions from one bracket equal the exact " +
