@@ -55,7 +55,12 @@ object QueriesCore {
     // the oracle IS the exact quantile/mad — with bounded state at scale
     // (SCALE.md --x100extracts: exact exponents 1.22-1.38 at 100x; these
     // replace the per-zone value buffer with a GK bracket + windowed
-    // count aggregate)
+    // count aggregate). Since round 7 the catalog names extract_median /
+    // extract_percentile / extract_mad above run this SAME guided engine
+    // (the r6 verdict's top task: the registered default a user gets must
+    // be the bounded-state plan); these _guided keys remain as aliases,
+    // and the old buffering forms survive only as `*_buffer` test
+    // baselines (ExtractsSpec parity fuzz).
     exQ("percentile_guided", """quantile_cont(value, 0.95) AS "percentile_guided""""),
     exQ("median_guided", """quantile_cont(value, 0.5) AS "median_guided""""),
     exQ("mad_guided", """mad(value) AS "mad_guided""""),

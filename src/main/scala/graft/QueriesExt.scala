@@ -182,18 +182,44 @@ object QueriesExt {
   /** Banded two-phase GLOBAL rank — the gini_spend shape promoted to a
     * helper: rank within a band via a partitioned window, then add
     * |bands|-row running offsets broadcast back; never a single-task
-    * population sort. `bandExpr` must be monotone in the (asc-ordered)
-    * key so per-band offsets compose into a global rank; `tie` fully
-    * tiebreaks within the key for engine-independent ranks. Adds `out`
-    * and drops its working columns. */
-  private def bandedRank(df: DataFrame, key: String, bandExpr: String,
-      tie: String, asc: Boolean, out: String): DataFrame = {
+    * population sort. `tie` fully tiebreaks within the key for
+    * engine-independent ranks. Adds `out` and drops its working columns.
+    *
+    * Bands are EQUI-DEPTH since round 7: edges are the key's
+    * (nBands−1)-quantiles from one percentile_approx pass over the frame
+    * (broadcast back as a 1-row array), replacing the caller-supplied
+    * fixed-width content bands ($10k spend / 64-token / 10-minute) whose
+    * skew SCALE.md admitted "degrades toward the naive sort" — a
+    * distribution where one content band held ~90% of the population now
+    * still sorts ~n/nBands rows per task (measured flat in the
+    * DriveScale10x `--x10bandskew` tier). Edge VALUES may vary with GK
+    * partial-merge order, but band assignment is monotone in the key and
+    * equal keys always share a band (band = #edges strictly below key),
+    * so per-band offsets compose into the SAME global rank for any edge
+    * set — the output is deterministic even though the banding isn't. */
+  private def bandedRank(df: DataFrame, key: String,
+      tie: String, asc: Boolean, out: String, nBands: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // working-column clash would silently clobber + drop caller data
-    val clash = df.columns.toSet.intersect(Set("band", "wi", "off", out))
+    val clash = df.columns.toSet.intersect(Set("band", "wi", "off", "edges", out))
     require(clash.isEmpty,
       s"bandedRank working columns collide with input: ${clash.mkString(", ")}")
-    val banded = df.withColumn("band", expr(bandExpr))
+    val fracs = (1 until nBands).map(i => lit(i.toDouble / nBands))
+    // LAZY DISK_ONLY checkpoint of the input: the edges aggregate, the
+    // banded fact side, and the offsets rollup all read it — without the
+    // sever, each consumer re-derives the caller's upstream (a user-grain
+    // rollup, or a PREVIOUS bandedRank in rfm_scores' triple nesting,
+    // where plan subtrees multiplied to 153 textual exchanges). The frame
+    // is population-grain (|users|/|docs|), so DISK_ONLY per Ckpt policy.
+    val base = df.diskCheckpointLazy()
+    // accuracy 1000: edges only balance the bands, never touch values —
+    // GK compression cost scales with accuracy (the guidedAccuracy note)
+    val edges = base.agg(
+      percentile_approx(col(key), array(fracs: _*), lit(1000)).as("edges"))
+    val banded = base.crossJoin(broadcast(edges))
+      .withColumn("band",
+        expr(s"aggregate(edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))
+      .drop("edges")
     val ord =
       if (asc) Seq(col(key).asc, col(tie).asc)
       else Seq(col(key).desc, col(tie).asc)
@@ -208,6 +234,57 @@ object QueriesExt {
       .join(broadcast(offs), Seq("band"))
       .withColumn(out, col("off") + col("wi"))
       .drop("band", "wi", "off")
+  }
+
+  /** Per-zone equi-depth ntile — reproduces
+    * `ntile(k) OVER (PARTITION BY zone ORDER BY key, ties…)` exactly,
+    * WITHOUT ever serializing a zone into one window task (the
+    * hot-zone escape SCALE.md X75/X33 used to describe only in prose).
+    * Mechanics: per-zone quantile edges (one percentile_approx
+    * aggregate, |zones|-row broadcast via the null-safe
+    * [[Extracts.joinOnZone]]) split each zone into ~n/nBands-row
+    * (zone, band) window partitions; a |zones|×nBands-row running
+    * offset rebuilds the exact per-zone row_number; the closed-form
+    * ntile remainder rule (first n mod k tiles take ⌈n/k⌉ rows) maps
+    * rank → tile. Ties share a band (band = #edges strictly below
+    * key), so the rank — and therefore every tile — is identical to
+    * the single-window formulation for any edge set. */
+  private def zonedNtile(df: DataFrame, zone: String, key: String,
+      ties: Seq[String], k: Int, out: String, nBands: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val work = Set("__zn", "__edges", "__band", "__bn", "__off", "__wi", "__i", out)
+    val clash = df.columns.toSet.intersect(work)
+    require(clash.isEmpty,
+      s"zonedNtile working columns collide with input: ${clash.mkString(", ")}")
+    val fracs = (1 until nBands).map(i => lit(i.toDouble / nBands))
+    val bounds = df.groupBy(col(zone)).agg(
+      count(lit(1)).as("__zn"),
+      percentile_approx(col(key), array(fracs: _*), lit(1000)).as("__edges"))
+    val banded = Extracts.joinOnZone(df, bounds, zone)
+      .withColumn("__band",
+        expr(s"aggregate(__edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))
+      .drop("__edges")
+    val wIn = Window.partitionBy(col(zone), col("__band"))
+      .orderBy((key +: ties).map(col(_).asc): _*)
+    val offs = banded.groupBy(col(zone), col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(
+        Window.partitionBy(col(zone)).orderBy(col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(zone), col("__band"), col("__off"))
+    // ntile's remainder rule: q = n div k, rem = n mod k; the first rem
+    // tiles hold q+1 rows — rank i maps in closed form. q = 0 collapses
+    // to tile = i via the IF's first branch (i ≤ n = rem), so the else
+    // branch's `div q` never evaluates on a zero q (If is lazy).
+    banded.withColumn("__wi", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), Seq(zone, "__band"))
+      .withColumn("__i", col("__off") + col("__wi"))
+      .withColumn(out, expr(
+        s"""CAST(IF(__i <= (__zn % $k) * ((__zn div $k) + 1),
+           (__i - 1) div ((__zn div $k) + 1) + 1,
+           (__zn % $k) + (__i - (__zn % $k) * ((__zn div $k) + 1) - 1)
+             div (__zn div $k) + 1) AS BIGINT)"""))
+      .drop("__zn", "__band", "__bn", "__off", "__wi", "__i")
   }
 
   /** Value of one md5 hex digit (0-15) — the engine-portable bucket
@@ -239,6 +316,80 @@ object QueriesExt {
       val nodes = docs(s, d).select(col("doc_id").as("node"))
       LlmOps.connectedComponents(nodes, dupPairs(s, d))
     }
+
+  /** Embedding near-dup candidate pairs (vec_a, vec_b, cos_r), memoized —
+    * shared by the pair listing (dedup_embed_cosine) and the bounded-
+    * output cluster resolution (dedup_embed_clusters). Random-hyperplane
+    * (sign) LSH banding: each vector gets 6 deterministic sign bits
+    * against Walsh/Hadamard hyperplanes (plane j flips sign with index
+    * bit j — mutually orthogonal, engine-portable integer construction),
+    * grouped into 3 bands × 2 bits; candidates are pairs sharing
+    * (label, band, cell) — a bucketed equi-join whose bucket sizes bound
+    * the pair space — then the exact rounded cosine >= 0.3 gate.
+    * Standard LSH candidate generation: recall < 1 by design (same trade
+    * as MinHash banding, X2); the DuckDB oracle mirrors the identical
+    * construction ([[embedPairCtes]]). NOT memoized (unlike [[dupPairs]]):
+    * each consumer pays its own pipeline, so bench rows stay
+    * order-independent and the candidate join stays visible in every
+    * consumer's plan (PlanSpec pins its (label, band, cell) key). */
+  private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+      // the checkpointed banding frame is SLIM — ids and cell keys only,
+      // never the vector payloads (materializing corpus-sized vectors is
+      // the 100 TB anti-pattern); candidate pairs are deduped across
+      // bands first, then the two vectors attach by id-keyed joins and
+      // the exact cosine runs once per unique pair
+      val cells = emb(s, d)
+        .withColumn("bc", explode(LlmOps.signLshCells(col("v"))))
+        .select(col("vec_id"), col("label"), col("bc.band"), col("bc.cell"))
+        .diskCheckpoint()
+      // the checkpointed cell frame is corpus-proportional with ESTIMATE
+      // stats — hint the self-join so the planner never broadcasts it
+      // (SCALE.md LogicalRDD-stats lesson). The vector attaches below
+      // are deliberately UNhinted: their build side is the parquet scan,
+      // whose stats grow accurately with file size, so broadcast is
+      // correct at fixture scale and self-corrects to a shuffle at 100 TB.
+      val pairs = cells.toDF("vec_a", "label", "band", "cell")
+        .join(cells.toDF("vec_b", "label", "band", "cell")
+          .hint("shuffle_hash"), Seq("label", "band", "cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      val vecs = emb(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      pairs
+        .join(vecs.toDF("vec_a", "va", "na"), Seq("vec_a"))
+        .join(vecs.toDF("vec_b", "vb", "nb"), Seq("vec_b"))
+        .withColumn("cos_r",
+          round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos_r") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), col("cos_r"))
+    }
+
+  /** Oracle CTE chain mirroring [[embedDupPairs]]: embeddings → Walsh
+    * sign bits → 3 LSH band cells → distinct cosine-gated pairs
+    * (`epairs(vec_a, vec_b, cos_r)`). */
+  private val embedPairCtes: String =
+    s"""e AS ($embSql),
+      ebits AS (SELECT vec_id, label, v,
+        CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 1) % 2)))) >= 0 THEN 1 ELSE 0 END AS b0,
+        CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 2) % 2)))) >= 0 THEN 1 ELSE 0 END AS b1,
+        CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 4) % 2)))) >= 0 THEN 1 ELSE 0 END AS b2,
+        CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 8) % 2)))) >= 0 THEN 1 ELSE 0 END AS b3,
+        CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 16) % 2)))) >= 0 THEN 1 ELSE 0 END AS b4,
+        CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 32) % 2)))) >= 0 THEN 1 ELSE 0 END AS b5
+      FROM e),
+      ecells AS (SELECT vec_id, label, v,
+        unnest([0, 1, 2]) AS band,
+        unnest([b0*2+b1, b2*2+b3, b4*2+b5]) AS cell
+      FROM ebits),
+      epairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
+          (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+           sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_r
+      FROM ecells a JOIN ecells b
+        ON a.label = b.label AND a.band = b.band AND a.cell = b.cell
+        AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
+          (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+           sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.3)"""
 
   /** Shared oracle CTE chain: documents → bigram shingles → 8 MinHash
     * signatures (4 per md5 digest via disjoint hex windows) → 2 LSH bands →
@@ -897,72 +1048,41 @@ object QueriesExt {
           AND abs(a.n_chars - b.n_chars) <= 3
         ORDER BY doc_a, doc_b""")),
     "dedup_embed_cosine" -> Q(
-      // Embedding near-dup via random-hyperplane (sign) LSH banding — the
-      // scale-safe replacement for the old label-only self-join (10 distinct
-      // labels → N²/10 candidate pairs, a cartesian in disguise). Each vector
-      // gets 6 deterministic sign bits against Walsh/Hadamard hyperplanes
-      // (plane j flips sign with index bit j — mutually orthogonal, engine-
-      // portable integer construction), grouped into 3 bands × 2 bits.
-      // Candidates are pairs sharing (label, band, cell) — a bucketed
-      // equi-join whose bucket sizes bound the pair space — then the exact
-      // rounded cosine >= 0.3 gate. Standard LSH candidate generation:
-      // recall < 1 by design (same trade as MinHash banding, X2); the
-      // DuckDB oracle mirrors the identical construction.
+      // Embedding near-dup pair LISTING over [[embedDupPairs]] (sign-LSH
+      // banding + exact cosine gate). NB output semantics: a duplicated
+      // corpus lists pairs quadratically in the duplication factor —
+      // that's the measured 1.25 exponent in SCALE.md, a property of the
+      // LISTING, not the candidate generation; the bounded-output
+      // companion is dedup_embed_clusters below (CC labels, |vectors|
+      // rows at any duplication).
+      (s, d) => embedDupPairs(s, d).orderBy("vec_a", "vec_b"),
+      Some(s"""WITH $embedPairCtes
+        SELECT vec_a, vec_b, cos_r FROM epairs ORDER BY vec_a, vec_b""")),
+    "dedup_embed_clusters" -> Q(
+      // Bounded-output embedding dedup (r6 verdict task #9): the same
+      // sign-LSH + cosine-gate candidate pairs, resolved to duplicate-
+      // cluster labels by pointer-jumping connected components — output
+      // is ONE row per vector (node → min-id keeper) no matter how
+      // duplicated the corpus is, which is what a purge/retention
+      // pipeline actually consumes (the SCALE.md recommendation for the
+      // pair listing's 1.25 output exponent, previously advice-only,
+      // now a wired path mirroring the text-side dedup_clusters).
       (s, d) => {
-        // the checkpointed banding frame is SLIM — ids and cell keys only,
-        // never the vector payloads (materializing corpus-sized vectors is
-        // the 100 TB anti-pattern); candidate pairs are deduped across
-        // bands first, then the two vectors attach by id-keyed joins and
-        // the exact cosine runs once per unique pair
-        val cells = emb(s, d)
-          .withColumn("bc", explode(LlmOps.signLshCells(col("v"))))
-          .select(col("vec_id"), col("label"), col("bc.band"), col("bc.cell"))
-          .diskCheckpoint()
-        // the checkpointed cell frame is corpus-proportional with ESTIMATE
-        // stats — hint the self-join so the planner never broadcasts it
-        // (SCALE.md LogicalRDD-stats lesson). The vector attaches below
-        // are deliberately UNhinted: their build side is the parquet scan,
-        // whose stats grow accurately with file size, so broadcast is
-        // correct at fixture scale and self-corrects to a shuffle at 100 TB.
-        val pairs = cells.toDF("vec_a", "label", "band", "cell")
-          .join(cells.toDF("vec_b", "label", "band", "cell")
-            .hint("shuffle_hash"), Seq("label", "band", "cell"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b")).distinct()
-        val vecs = emb(s, d).select(col("vec_id"), col("v"), col("nrm"))
-        pairs
-          .join(vecs.toDF("vec_a", "va", "na"), Seq("vec_a"))
-          .join(vecs.toDF("vec_b", "vb", "nb"), Seq("vec_b"))
-          .withColumn("cos_r",
-            round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-          .filter(col("cos_r") >= 0.3)
-          .select(col("vec_a"), col("vec_b"), col("cos_r"))
-          .orderBy("vec_a", "vec_b")
+        val nodes = emb(s, d).select(col("vec_id").as("node"))
+        LlmOps.connectedComponents(nodes, embedDupPairs(s, d)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("node").as("vec_id"), col("rep"))
+          .orderBy("vec_id")
       },
-      Some(s"""WITH e AS ($embSql),
-        bits AS (SELECT vec_id, label, v,
-          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 1) % 2)))) >= 0 THEN 1 ELSE 0 END AS b0,
-          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 2) % 2)))) >= 0 THEN 1 ELSE 0 END AS b1,
-          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 4) % 2)))) >= 0 THEN 1 ELSE 0 END AS b2,
-          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 8) % 2)))) >= 0 THEN 1 ELSE 0 END AS b3,
-          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 16) % 2)))) >= 0 THEN 1 ELSE 0 END AS b4,
-          CASE WHEN list_sum(list_transform(range(len(v)), i -> v[i+1] * (1 - 2*((i // 32) % 2)))) >= 0 THEN 1 ELSE 0 END AS b5
-        FROM e),
-        cells AS (SELECT vec_id, label, v,
-          unnest([0, 1, 2]) AS band,
-          unnest([b0*2+b1, b2*2+b3, b4*2+b5]) AS cell
-        FROM bits)
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
-            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
-             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos_r
-        FROM cells a JOIN cells b
-          ON a.label = b.label AND a.band = b.band AND a.cell = b.cell
-          AND a.vec_id < b.vec_id
-        WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) /
-            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
-             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.3
-        ORDER BY vec_a, vec_b""")),
+      Some(s"""WITH RECURSIVE $embedPairCtes,
+        eedges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
+                   UNION ALL SELECT vec_b, vec_a FROM epairs),
+        ewalk(node, rep) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.src, w.rep FROM eedges e JOIN ewalk w ON e.dst = w.node)
+        SELECT node AS vec_id, min(rep) AS rep FROM ewalk
+        GROUP BY node ORDER BY vec_id""")),
     "dedup_lines" -> Q(
       // X15 corpus-wide line-level exact dedup (the C4 rule): first
       // occurrence in (doc, position) order keeps each 12-word line, all
@@ -1210,39 +1330,31 @@ object QueriesExt {
           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand ASC) AS rn
           FROM sims) t
         WHERE rn <= 5 ORDER BY qid, rn""")),
-    "sim_topk_ivf_kmeans" -> Q(
-      (s, d) => {
-        // real IVF: KMeans coarse cells + 4-of-8-probe search (no SQL
-        // oracle — KMeans isn't DuckDB-expressible; driver records
-        // rows-only, so IvfSpec gates recall@5 >= 0.6 at THIS setting at
-        // both fixture and verify scale). nprobe/k is the recall/cost
-        // dial: the measured curve on the fixtures is ~0.40-0.57 recall
-        // at 2/8 probes vs 0.70-0.86 at 4/8 (DriveIvfProbe) — probe
-        // fraction, not corpus size, governs recall.
-        val e = emb(s, d)
-        val (assigned, centroids) = LlmOps.ivfAssign(e)
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)
-          .orderBy("qid", "rn")
-      },
-      None),
-    "sim_topk_ivf_check" -> Q(
-      // Contract oracle for sim_topk_ivf_kmeans (the one row above that
-      // KMeans keeps out of DuckDB): whatever candidate set IVF emits,
-      // its VALUES are exactly recomputable — so re-run the identical
-      // pipeline, join the emitted (qid, cand) pairs back to a FRESH
-      // read of the embeddings parquet (pipeline-independent columns),
-      // and assert per query: all 5 slots filled, every emitted cos_r
-      // equal to the source-recomputed cosine, and ranks 1..n contiguous
-      // with non-increasing cosine. The oracle recomputes the query-id
-      // set (vec_id % 50) and asserts the three contract booleans TRUE —
-      // a Spark-side false (or a short/dup qid list) hash-mismatches.
-      // Ranking QUALITY stays covered by the IvfSpec recall gates
-      // (recall@5 ≥ 0.6 at sf0.001 AND sf0.01); this row makes the
-      // returned values hard-checked in CORRECTNESS, closing the last
-      // rows-only row. Same sketch-family pattern as
-      // extract_percentile_sketch's bound gate (ops/Extracts.scala).
+    // Contract oracle for the KMeans IVF pipeline (the one query family
+    // KMeans keeps out of DuckDB): whatever candidate set IVF emits, its
+    // VALUES are exactly recomputable — so run the real pipeline, join
+    // the emitted (qid, cand) pairs back to a FRESH read of the
+    // embeddings parquet (pipeline-independent columns), and assert per
+    // query: all 5 slots filled, every emitted cos_r equal to the
+    // source-recomputed cosine, and ranks 1..n contiguous with
+    // non-increasing cosine. The oracle recomputes the query-id set
+    // (vec_id % 50) and asserts the three contract booleans TRUE — a
+    // Spark-side false (or a short/dup qid list) hash-mismatches.
+    // Ranking QUALITY stays covered by the IvfSpec recall gates
+    // (recall@5 ≥ 0.6 at THIS 4-of-8-probe setting at sf0.001 AND
+    // sf0.01; DriveIvfProbe's curve shows probe fraction, not corpus
+    // size, governs recall). Same sketch-family pattern as
+    // extract_percentile_sketch's bound gate (ops/Extracts.scala).
+    //
+    // Since round 7 the registered `sim_topk_ivf_kmeans` row ITSELF
+    // emits this contract output (r6 verdict task #8: zero `no_oracle`
+    // rows in CORRECTNESS); the raw top-k listing API remains
+    // LlmOps.ivfSearch, exercised by IvfSpec and by this builder, and
+    // `sim_topk_ivf_check` stays registered as the historical alias.
+    "sim_topk_ivf_kmeans" -> ivfKmeansContractQ,
+    "sim_topk_ivf_check" -> ivfKmeansContractQ)
+
+  private lazy val ivfKmeansContractQ: Q = Q(
       (s, d) => {
         val e = emb(s, d)
         val (assigned, centroids) = LlmOps.ivfAssign(e)
@@ -1277,7 +1389,7 @@ object QueriesExt {
       },
       Some("""SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_cands,
           TRUE AS cos_ok, TRUE AS rank_ok
-        FROM embeddings WHERE vec_id % 50 = 0 ORDER BY qid""")))
+        FROM embeddings WHERE vec_id % 50 = 0 ORDER BY qid"""))
 
   // ---- §2.11 text analysis --------------------------------------------
   private val textQueries: Seq[(String, Q)] = Seq(
@@ -2482,17 +2594,18 @@ object QueriesExt {
         FROM ds JOIN ts ON ds.source = ts.source
         ORDER BY source""")),
     "quality_tiles" -> Q(
-      // Quantile binning (X33): per-language size quartiles via ntile —
-      // the distribution companion to the histogram (equal-POPULATION
-      // buckets instead of equal-width). Deterministic full-key ordering
-      // (n_chars, doc_id) makes both engines cut identical tiles; the
-      // rollup is exact integer arithmetic. One window shuffle on lang,
-      // one tiny (lang × 4) aggregate.
+      // Quantile binning (X33): per-language size quartiles with ntile
+      // semantics — the distribution companion to the histogram
+      // (equal-POPULATION buckets instead of equal-width). Deterministic
+      // full-key ordering (n_chars, doc_id) makes both engines cut
+      // identical tiles; the rollup is exact integer arithmetic. Since
+      // round 7 the tile rides [[zonedNtile]] (per-language equi-depth
+      // banded rank), so one giant language never serializes into a
+      // single window task — the hot-zone escape SCALE.md X33 used to
+      // leave as prose; the exact-ntile oracle is unchanged.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("tile", ntile(4).over(w).cast("long"))
+        zonedNtile(docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", Seq("doc_id"), 4, "tile")
           .groupBy(col("lang"), col("tile"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("n_chars")).as("min_chars"),
@@ -3575,6 +3688,47 @@ object QueriesExt {
           max(round(abs(CAST(cuma AS DOUBLE) / na
             - CAST(cumb AS DOUBLE) / nb), 6)) AS ks_d
         FROM c GROUP BY asdf_id ORDER BY asdf_id""")),
+    "ks_drift_binned" -> Q(
+      // X73's degrade path, made code (r6 verdict task #4): the exact
+      // ks_drift keeps each zone's DISTINCT-VALUE support as its window
+      // state — fine for quantized measurements, data-sized for a
+      // continuous tie-free stream, where one hot zone's support would
+      // serialize into a single window task. This row runs the same KS
+      // over [[Analytics.ksBinned]]'s fixed 256-cell integer-cent grid:
+      // per-zone state is ≤ 256 rows at ANY scale (the wide-support
+      // ScaleSpec case pins the bound), and the oracle mirrors the
+      // integer grid arithmetic exactly — what's pinned is the binned
+      // statistic's own deterministic value, with the resolution loss
+      // (≤ densest cell's CDF mass) documented rather than hidden.
+      (s, d) => {
+        val px = Tables.pixels(s, d)
+          .filter(col("temporal").isin(1996, 2000))
+          .select(col("asdf_id"), cents(col("value")).as("c"),
+            when(col("temporal") === 1996, 1L).otherwise(0L).as("a"),
+            when(col("temporal") === 2000, 1L).otherwise(0L).as("b"))
+        Analytics.ksBinned(px, "asdf_id", 256).orderBy("asdf_id")
+      },
+      Some(s"""WITH pixels AS (${Tables.pixelsSql}),
+          f AS (SELECT asdf_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+              CASE WHEN temporal = 1996 THEN 1 ELSE 0 END AS a,
+              CASE WHEN temporal = 2000 THEN 1 ELSE 0 END AS b
+            FROM pixels WHERE temporal IN (1996, 2000)),
+          bd AS (SELECT min(c) AS glo, max(c) AS ghi FROM f),
+          bn AS (SELECT asdf_id, ((c - glo) * 256) // (ghi - glo + 1) AS bin,
+              a, b FROM f, bd),
+          g AS (SELECT asdf_id, bin, CAST(sum(a) AS BIGINT) AS ca,
+              CAST(sum(b) AS BIGINT) AS cb FROM bn GROUP BY 1, 2),
+          c AS (SELECT asdf_id,
+              sum(ca) OVER (PARTITION BY asdf_id ORDER BY bin) AS cuma,
+              sum(cb) OVER (PARTITION BY asdf_id ORDER BY bin) AS cumb,
+              sum(ca) OVER (PARTITION BY asdf_id) AS na,
+              sum(cb) OVER (PARTITION BY asdf_id) AS nb
+            FROM g)
+        SELECT asdf_id, CAST(max(na) AS BIGINT) AS n_a,
+          CAST(max(nb) AS BIGINT) AS n_b,
+          max(round(abs(CAST(cuma AS DOUBLE) / na
+            - CAST(cumb AS DOUBLE) / nb), 6)) AS ks_d
+        FROM c GROUP BY asdf_id ORDER BY asdf_id""")),
     "benford_audit" -> Q(
       // Benford first-digit audit (X74): leading-digit distribution of
       // the monetary column vs Benford's law, with per-digit chi-square
@@ -3630,21 +3784,21 @@ object QueriesExt {
     "hist_equidepth" -> Q(
       // Equi-depth histogram (X75): 10 per-zone tiles with (within one
       // row) equal population — the selectivity-estimation histogram,
-      // complementing the equal-WIDTH hist_values. ntile(10) over a
-      // fully-tiebroken per-zone sort (value, then the row's natural
-      // key, so both engines assign identical tiles even on duplicated
-      // values); tile bounds + counts are exact integer/min/max output.
-      // The window is PARTITIONED by zone — parallel across zones, one
-      // sort-shuffle, no global single-partition window; a zone too hot
-      // for one task would move to the sketch boundary path
-      // (percentile_approx), which this query's exact tiles oracle.
+      // complementing the equal-WIDTH hist_values. Tiles follow ntile(10)
+      // semantics over a fully-tiebroken per-zone sort (value, then the
+      // row's natural key, so both engines assign identical tiles even
+      // on duplicated values); tile bounds + counts are exact
+      // integer/min/max output. Since round 7 the tile comes from
+      // [[zonedNtile]] — the per-zone equi-depth banded rank — so a HOT
+      // zone never serializes into one window task (the escape SCALE.md
+      // used to describe only in prose is now the implementation; the
+      // hot-zone DriveScale10x tier measures it). The exact-ntile oracle
+      // is unchanged: banding alters parallelism, never a tile.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("asdf_id")
-          .orderBy(col("value"), col("l_orderkey"), col("l_linenumber"))
-        Tables.pixels(s, d)
-          .select(col("asdf_id"), col("value"), col("l_orderkey"), col("l_linenumber"))
-          .withColumn("tile", ntile(10).over(w).cast("long"))
+        zonedNtile(
+          Tables.pixels(s, d).select(col("asdf_id"), col("value"),
+            col("l_orderkey"), col("l_linenumber")),
+          "asdf_id", "value", Seq("l_orderkey", "l_linenumber"), 10, "tile")
           .groupBy(col("asdf_id"), col("tile"))
           .agg(count(lit(1)).as("n"), min("value").as("lo_v"), max("value").as("hi_v"))
           .orderBy("asdf_id", "tile")
@@ -3730,8 +3884,8 @@ object QueriesExt {
       // cents, the Gini comes from the ranked-sum identity
       // G = 2·Σ(i·sᵢ)/(n·Σs) − (n+1)/n whose every sum is an exact
       // integer, and ranks are GLOBAL without a global sort — the
-      // queue_rank two-phase trick (rank within a $10k spend band via a
-      // band-partitioned window, plus per-band offsets from a
+      // queue_rank two-phase trick (rank within an EQUI-DEPTH spend band
+      // via a band-partitioned window, plus per-band offsets from a
       // |bands|-row running sum, broadcast back). Largest product
       // Σi·sᵢ ≈ 10¹⁵ at sf0.1 — Long headroom ~10⁴; all the integer
       // products stay under 2⁵³ so the final double arithmetic is exact
@@ -3741,8 +3895,7 @@ object QueriesExt {
           .select(col("user_id"), cents(col("value")).as("c"))
           .groupBy("user_id").agg(sum("c").as("sc"))
         val nt = sp.agg(count(lit(1)).as("n"), sum("sc").as("tot"))
-        bandedRank(sp, "sc", "CAST(floor(sc / 1000000) AS BIGINT)",
-            "user_id", asc = true, "i")
+        bandedRank(sp, "sc", "user_id", asc = true, "i")
           .crossJoin(broadcast(nt))
           .agg(max("n").as("n_users"), max("tot").as("total_cents"),
             sum(col("i") * col("sc")).as("t1"),
@@ -3923,7 +4076,7 @@ object QueriesExt {
       // first view to the first purchase at-or-after it, closed into
       // exact order statistics — lower-rank p50/p90 selected by GLOBAL
       // row index, computed with the gini_spend two-phase banded rank
-      // (10-minute latency bands sort independently; offsets are a
+      // (equi-depth latency bands sort independently; offsets are a
       // |bands|-row broadcast) so no single-partition sort exists at any
       // scale. Latency truncates to whole seconds (integer `div`), so
       // every emitted value is an exact long.
@@ -3938,7 +4091,7 @@ object QueriesExt {
           .select(col("user_id"), expr("lat_us div 1000000").as("lat_s"))
         val tot = lat.agg(count(lit(1)).as("n_conv"),
           min("lat_s").as("min_s"), max("lat_s").as("max_s"))
-        bandedRank(lat, "lat_s", "lat_s div 600", "user_id", asc = true, "i")
+        bandedRank(lat, "lat_s", "user_id", asc = true, "i")
           .crossJoin(broadcast(tot))
           .agg(max("n_conv").as("n_conv"),
             max("min_s").as("min_s"), max("max_s").as("max_s"),
@@ -4294,15 +4447,15 @@ object QueriesExt {
       // training shards by token count — rank docs largest-first, deal
       // ranks 1..16 boustrophedon (0..7 then 7..0), repeat — the greedy
       // layout that bounds shard skew without a driver-side loop. The
-      // global rank uses the gini two-phase banded trick (64-token bands
-      // sort independently, offsets broadcast); the descending index is
+      // global rank uses the gini two-phase banded trick (equi-depth
+      // token bands sort independently, offsets broadcast); the descending index is
       // n+1−i so the banded ascending rank serves directly. Everything
       // is integer; the output is the 8-row shard audit.
       (s, d) => {
         val nt = docs(s, d).select(col("doc_id"),
           size(split(LlmOps.normText(col("text")), " ")).cast("long").as("n_tok"))
         val tot = nt.agg(count(lit(1)).as("nn"))
-        bandedRank(nt, "n_tok", "n_tok div 64", "doc_id", asc = true, "i")
+        bandedRank(nt, "n_tok", "doc_id", asc = true, "i")
           .crossJoin(broadcast(tot))
           .withColumn("idesc", col("nn") + 1 - col("i"))
           .withColumn("pos", (col("idesc") - 1) % 16)
@@ -4958,8 +5111,8 @@ object QueriesExt {
       // Global ranks come from the shared [[bandedRank]] helper (the
       // gini_spend two-phase shape), one per metric: a band-partitioned
       // row_number + |bands|-row broadcast offsets — never a single-task
-      // whole-population sort. Bands: recency by day (calendar-bounded),
-      // frequency by count value, monetary by $10k cents band.
+      // whole-population sort; bands are each metric's own equi-depth
+      // quantile edges (see [[bandedRank]]).
       (s, d) => {
         val u = Tables.events(s, d)
           .select(col("user_id"), to_date(col("ts")).as("day"),
@@ -4972,9 +5125,9 @@ object QueriesExt {
           .withColumn("r_days", datediff(col("gmax"), col("last_day")).cast("long"))
           .select("user_id", "r_days", "n_events", "cents", "nu")
         val ranked = bandedRank(bandedRank(bandedRank(m,
-          "r_days", "r_days", "user_id", asc = true, "rr"),
-          "n_events", "n_events", "user_id", asc = false, "rf"),
-          "cents", "cents div 1000000", "user_id", asc = false, "rm")
+          "r_days", "user_id", asc = true, "rr"),
+          "n_events", "user_id", asc = false, "rf"),
+          "cents", "user_id", asc = false, "rm")
         ranked
           .withColumn("r_s", (lit(5) - expr("(5*(rr-1)) div nu")).cast("int"))
           .withColumn("f_s", (lit(5) - expr("(5*(rf-1)) div nu")).cast("int"))
@@ -5041,8 +5194,14 @@ object QueriesExt {
         val nt = bagg.agg(sum(col("bn")).as("n"), sum(col("bg")).as("g"))
         val gr = (col("n_good") + 0.5) / (col("g_tot") + 5.0)
         val br = (col("n_bad") + 0.5) / (col("b_tot") + 5.0)
-        banded.withColumn("wi", row_number().over(wIn).cast("long"))
-          .join(broadcast(offs), Seq("band"))
+        // joinOnZone, not a bare broadcast join: the checkpointed offs
+        // frame's HashAggregate lineage is severed, so the (now
+        // AQE-descending) broadcast audit would flag a raw broadcast of
+        // it — the |bands|-row attach is exactly the class joinOnZone
+        // marks as legitimate (and it keeps the long-key fast path)
+        Extracts.joinOnZone(
+            banded.withColumn("wi", row_number().over(wIn).cast("long")),
+            offs, "band")
           .crossJoin(broadcast(nt))
           .withColumn("bin", (expr("(10*(off+wi-1)) div n") + 1).cast("int"))
           .groupBy(col("bin"))

@@ -59,4 +59,44 @@ object Analytics {
         floor(datediff(col("day"), col("cohort_day")) / 7).cast("long").as("week_off"))
       .agg(countDistinct(col("user_id")).as("users"))
   }
+
+  /** Binned two-sample Kolmogorov-Smirnov D — the exact `ks_drift`
+    * query's BOUNDED-STATE degrade path (X73). The exact form collapses
+    * each zone to its distinct-value support before the CDF window; a
+    * zone whose support is itself data-sized (continuous measurements,
+    * no ties) would serialize that support into one window task. This
+    * form first quantizes values onto a fixed `bins`-cell grid between
+    * the GLOBAL integer-cent bounds (one 1-row broadcast), so per-zone
+    * CDF state is ≤ `bins` rows NO MATTER the support — the price is
+    * resolution: binned D underestimates exact D by at most the largest
+    * in-bin CDF mass (≈ the densest cell's share). All grid arithmetic
+    * is integer (`(c − lo)·bins div (hi − lo + 1)` — monotone,
+    * tie-preserving, overflow-safe to ~3·10¹⁶ cent-range·bins), so both
+    * engines bin identically and the only floats are the two final CDF
+    * divisions, rounded before the max (round-before-rank rule).
+    *
+    * Input: one row per observation with `zone`, integer-cent value `c`,
+    * and indicator columns `a`/`b` (1 for membership in each sample).
+    * Output: (zone, n_a, n_b, ks_d). */
+  def ksBinned(samples: DataFrame, zone: String = "asdf_id",
+      bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = samples.agg(min("c").as("glo"), max("c").as("ghi"))
+    val g = samples.crossJoin(broadcast(bounds))
+      .select(col(zone),
+        expr(s"((c - glo) * $bins) div (ghi - glo + 1)").as("bin"),
+        col("a"), col("b"))
+      .groupBy(col(zone), col("bin"))
+      .agg(sum("a").as("ca"), sum("b").as("cb"))
+    val w = Window.partitionBy(zone).orderBy("bin")
+    val tot = Window.partitionBy(zone)
+    g.withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(tot))
+      .withColumn("nb", sum("cb").over(tot))
+      .groupBy(col(zone))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max(round(abs(col("cuma").cast("double") / col("na")
+          - col("cumb").cast("double") / col("nb")), 6)).as("ks_d"))
+  }
 }

@@ -119,7 +119,9 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
     } else if (spark.catalog.tableExists(bucketTable(key))) {
       queueMark(key)
       spark.table(bucketTable(key)) // entry materialized in the bucketed layout
-    } else if (dryRun) compute
+    } else if (dryRun) Ckpt.planOnly(compute) // probe-only: no checkpoint
+    // materialization — under AQE even a lazy localCheckpoint would run
+    // every upstream stage during frame CONSTRUCTION (see Ckpt.planOnly)
     else {
       compute.write.mode("overwrite").parquet(dir(key))
       queueMark(key)

@@ -31,13 +31,44 @@ import org.apache.spark.storage.StorageLevel
   * round-5 argument for checkpoint over persist/unpersist bookkeeping).
   */
 object Ckpt {
+
+  /** Plan-only (dry-run) suppression. Even a LAZY `localCheckpoint` is not
+    * job-free under AQE: constructing the LogicalRDD calls
+    * `physicalPlan.execute()`, and an AdaptiveSparkPlanExec materializes
+    * every upstream shuffle stage right there — measured 18 jobs just
+    * BUILDING the guided mad frame. A checkpoint is purely a
+    * materialization-reuse optimization (semantics identical without it),
+    * so probe-only constructions (Cache.getOrCompute(dryRun = true)) run
+    * inside [[planOnly]], under which every checkpoint helper is the
+    * identity and frame construction launches zero jobs. */
+  private val suppress: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Run `body` with all checkpoint helpers suppressed (plan building
+    * only — the returned frames recompute shared subtrees if executed,
+    * which a dry-run never does). */
+  def planOnly[A](body: => A): A = {
+    val prev = suppress.get()
+    suppress.set(java.lang.Boolean.TRUE)
+    try body finally suppress.set(prev)
+  }
+
+  private def active: Boolean = !suppress.get()
+
   implicit class DiskCheckpoint[T](private val ds: Dataset[T]) extends AnyVal {
     /** Eager DISK_ONLY local checkpoint for corpus-sized shared frames. */
     def diskCheckpoint(): Dataset[T] =
-      ds.localCheckpoint(true, StorageLevel.DISK_ONLY)
+      if (active) ds.localCheckpoint(true, StorageLevel.DISK_ONLY) else ds
 
     /** Lazy variant (first consumer materializes). */
     def diskCheckpointLazy(): Dataset[T] =
-      ds.localCheckpoint(false, StorageLevel.DISK_ONLY)
+      if (active) ds.localCheckpoint(false, StorageLevel.DISK_ONLY) else ds
+
+    /** Lazy MEMORY_AND_DISK local checkpoint for key-bounded SMALL frames
+      * (|zones|-row aggregates): pinning a few KB in the pool is free and
+      * strictly faster than disk, but the construction must still honor
+      * [[planOnly]]. */
+    def smallCheckpointLazy(): Dataset[T] =
+      if (active) ds.localCheckpoint(false) else ds
   }
 }

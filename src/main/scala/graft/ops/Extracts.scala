@@ -46,7 +46,12 @@ object Extracts {
     // more scan counts the strictly-below mass and aggregates the window
     // at (zone, value) grain — both map-combinable — and the exact
     // interpolated answer falls out of the window's cumulative counts.
-    "percentile_guided", "median_guided", "mad_guided")
+    // Since round 7 this IS the implementation behind the catalog names
+    // `median`/`percentile`/`mad` (the `_guided` aliases are retained);
+    // the old per-zone value-buffering aggregates live on as `*_buffer`,
+    // kept solely as test-side parity baselines (ExtractsSpec fuzz).
+    "percentile_guided", "median_guided", "mad_guided",
+    "percentile_buffer", "median_buffer", "mad_buffer")
 
   /** Zonal aggregate of `value` (weighted by `weight` where applicable),
     * grouped by `zone`. Output column is named `method` (aliased by callers
@@ -95,8 +100,8 @@ object Extracts {
       case "weighted_sum"   => agg1(sum(v * w))
       case "std"            => agg1(stddev_samp(v))
       case "var"            => agg1(var_samp(v))
-      case "median"         => agg1(median(v))
-      case "percentile"     => agg1(percentile(v, lit(p)))
+      case "median_buffer"  => agg1(median(v))
+      case "percentile_buffer" => agg1(percentile(v, lit(p)))
       case "percentile_sketch" =>
         // [EXT] sketch percentile (Greenwald-Khanna via percentile_approx):
         // partial sketches merge map-side, so a hot zone with 10⁹ values
@@ -143,7 +148,7 @@ object Extracts {
           .groupBy(z)
           .agg(min(struct(col("cnt"), col(cls).as("pick"))).as("m"))
           .select(z, col("m.pick").as(method))
-      case "mad" =>
+      case "mad_buffer" =>
         // [EXT] median absolute deviation — the robust dispersion screen
         // (outlier-insensitive, unlike std). Two stages: per-zone exact
         // median (|zones| rows), broadcast back over the pixel stream, then
@@ -182,16 +187,19 @@ object Extracts {
         pixels.groupBy(z)
           .agg(sum(v).as("sum"), sum(w).as("potential"))
           .withColumn(method, col("sum") / col("potential"))
-      case "percentile_guided" =>
+      // registered defaults since round 7: the catalog names run the
+      // sketch-guided EXACT engine (identical values to the `*_buffer`
+      // forms, bounded state at 100×); `_guided` stays as an alias
+      case "percentile" | "percentile_guided" =>
         guidedPercentile(pixels, zone, value, p, guidedAccuracy)
           .select(z, col("__g_res").as(method))
-      case "median_guided" =>
+      case "median" | "median_guided" =>
         guidedPercentile(pixels, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as(method))
-      case "mad_guided" =>
+      case "mad" | "mad_guided" =>
         // two guided medians: per-zone median, broadcast back (|zones|
         // rows), then the guided median of |v − med| — same answer as the
-        // buffering `mad`, never more than O(n/accuracy) reducer state
+        // buffering `mad_buffer`, never more than O(n/accuracy) reducer state
         val med = guidedPercentile(pixels, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as("__g_med"))
         val dev = joinOnZone(pixels, med, zone)
@@ -225,8 +233,9 @@ object Extracts {
     *      exact interpolated result falls out.
     *
     * Returns (zone, __g_res). A window that failed to cover the target
-    * ranks (impossible while GK honors its bound) yields null, which any
-    * value-parity test catches loudly rather than silently mis-ranking. */
+    * ranks (impossible while GK honors its bound) RAISES at runtime via
+    * `raise_error` — never a silent null that would flow into downstream
+    * clamps/scores as a dropped statistic. */
   /** Single-fraction convenience over [[guidedPercentiles]]. */
   private def guidedPercentile(pixels: DataFrame, zone: String,
       value: String, p: Double, accuracy: Int): DataFrame =
@@ -281,8 +290,9 @@ object Extracts {
       }: _*)
       // |zones|-row frame referenced three times (window join, n attach,
       // zone-retention join): LAZY checkpoint so one sketch pass serves
-      // all of them — and construction stays job-free (dry-run contract)
-      .localCheckpoint(false)
+      // all of them — via the Ckpt helper so a dry-run (planOnly)
+      // construction stays job-free even under AQE
+      .smallCheckpointLazy()
     def inWin(i: Int) = v.between(col(s"__g_lo_$i"), col(s"__g_hi_$i"))
     // window-aggregate pass: one scan, (zone, distinct-window-value)
     // grain over the UNION of windows. Rows outside every window collapse
@@ -333,10 +343,22 @@ object Extracts {
     }
     val selected = wnd.groupBy(z).agg(aggs.head, aggs.tail: _*)
       .select(Seq(z) ++ ps.indices.map { i =>
-        (col(s"__g_vlo_$i").cast("double") +
-          (col(s"__g_r_$i") - col(s"__g_klo_$i")) *
-            (col(s"__g_vhi_$i").cast("double") -
-              col(s"__g_vlo_$i").cast("double"))).as(s"__g_res_$i")
+        val vlo = col(s"__g_vlo_$i").cast("double")
+        val vhi = col(s"__g_vhi_$i").cast("double")
+        val interp = vlo + (col(s"__g_r_$i") - col(s"__g_klo_$i")) * (vhi - vlo)
+        // runtime coverage guard: every zone reaching `selected` has ≥1
+        // non-null value, so a null interpolation neighbor here means the
+        // GK bracket VIOLATED its rank bound (e.g. a merged-summary edge
+        // case). Fail loudly instead of emitting null — a silent null
+        // would flow into downstream clamps/scores (winsor, robust
+        // fences, weekly percentile rows) as a dropped statistic with no
+        // error anywhere but an oracle-parity test.
+        when(vlo.isNull || vhi.isNull,
+          raise_error(format_string(
+            s"guided quantile window missed rank (p=${ps(i)}) for zone %s" +
+              " — GK bracket bound violated",
+            coalesce(z.cast("string"), lit("NULL")))))
+          .otherwise(interp).as(s"__g_res_$i")
       }: _*)
     // zones whose values are all null have no window rows but must stay
     // present (exact `percentile` emits them with a null result)
@@ -347,12 +369,16 @@ object Extracts {
     * on `zone` with null-matching semantics (a NULL zone group matches
     * its NULL counterpart instead of silently dropping — `groupBy` keeps
     * NULL groups, so zone-keyed attaches must too), broadcasting the
-    * right side explicitly. Implemented by wrapping the key in a
-    * one-field struct: struct equality treats null fields as EQUAL, and
-    * the plain equi-join on the struct key keeps the fast
-    * BroadcastHashJoin path — an explicit `<=>` condition instead forces
-    * the null-safe key rewrite, measured 10× slower per fact-side scan
-    * (7.3 s vs 0.8 s on the 69M-row corpus). Shared by the guided
+    * right side explicitly. Implemented as an equi-join on
+    * `xxhash64(zone)` — a single non-null LONG key, so the broadcast
+    * build side stays a LongHashedRelation (the fast primitive-long
+    * path) — with the null-safe zone comparison demoted to a residual
+    * predicate on hash-matched pairs (see the inline comment for why the
+    * residual is spelled `coalesce(=, isnull&&isnull)` rather than
+    * `<=>`). Rejected alternatives, both measured ~8-10× slower per
+    * fact-side scan (7.3 s vs 0.8 s on the 69M-row corpus): a
+    * struct-wrapped key and an explicit `<=>` join key — each degrades
+    * the build side to generic-row keys. Shared by the guided
     * internals and every query that attaches a guided-quantile frame
     * back onto its stream. */
   def joinOnZone(left: DataFrame, right: DataFrame, zone: String,

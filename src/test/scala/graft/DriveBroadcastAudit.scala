@@ -14,9 +14,23 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   *   Test/runMain graft.DriveBroadcastAudit <sfDir>
   */
 object DriveBroadcastAudit {
+  /** Descend through AQE wrappers: with AQE on (the default), the
+    * executedPlan root is an AdaptiveSparkPlanExec LEAF — matching only
+    * `p.children` sees nothing and the audit is vacuous (it returned 0
+    * suspects for every query while the AQE inner plan held 2-4). Same
+    * descent PlanSpec.flatten performs; QueryStageExec is handled for
+    * post-execution plans. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
   /** Every subtree the plan broadcasts (build sides + bare exchanges). */
-  def broadcastSides(p: SparkPlan): Seq[SparkPlan] = {
-    val here = p match {
+  def broadcastSides(p: SparkPlan): Seq[SparkPlan] =
+    flatten(p).flatMap {
       case b: BroadcastHashJoinExec =>
         Seq(if (b.buildSide.toString.contains("Right")) b.right else b.left)
       case b: BroadcastNestedLoopJoinExec =>
@@ -24,18 +38,22 @@ object DriveBroadcastAudit {
       case e: BroadcastExchangeExec => Seq(e.child)
       case _ => Seq.empty
     }
-    here ++ p.children.flatMap(broadcastSides)
-  }
 
   /** A broadcast side is suspect if it scans a checkpointed RDD and is
     * NOT collapsed by an aggregate (aggregate outputs are key-cardinality,
     * independent of corpus size — zone maps, scalar totals, vocab rollups
-    * are fine to broadcast). Shared with PlanSpec's gate so the drive and
-    * the gate cannot diverge. */
+    * are fine to broadcast). Exemption: joinOnZone build sides (marker
+    * column `__g_jh`) — those are |zones|-row aggregate frames by the
+    * [[graft.ops.Extracts.joinOnZone]] contract whose HashAggregate
+    * lineage a checkpoint legitimately severs (the guided-path bounds
+    * frames); the marker is a private working column no corpus-sized
+    * frame carries. Shared with PlanSpec's gate so the drive and the
+    * gate cannot diverge. */
   def suspectSides(p: SparkPlan): Seq[SparkPlan] =
     broadcastSides(p).filter { side =>
       val txt = side.toString
-      txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate")
+      txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate") &&
+        !side.output.exists(_.name == "__g_jh")
     }
 
   def main(args: Array[String]): Unit = {

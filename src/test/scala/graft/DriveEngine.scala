@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.model._
 import graft.ops.Tables
 
-/** Manual drive: full engine lifecycle on sf0.001 real data. */
+/** Manual drive: full engine lifecycle on sf0.001 real data.
+  * `--x10` runs the lifecycle stress tier instead (round-7 verdict #5). */
 object DriveEngine {
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "--x10") { x10(); return }
     val s = TestSpark.spark
     s.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
@@ -28,6 +30,66 @@ object DriveEngine {
     e.bundle("r-hi", zip.toString)
     println("ZIP_BYTES=" + java.nio.file.Files.size(zip))
     println("TICK2=" + e.tick(base, Tables.pixels(s, d), locs))
+    s.stop()
+  }
+
+  /** Full-lifecycle stress at 10× (round-7 verdict #5): the flagship
+    * request (release + raster selections) through submit → tick →
+    * cache fill → merge → artifacts on sf0.1 and on the 10× adversarial
+    * corpus (hot-zone lineitem), bench-shaped session. Measures the tick
+    * exponent, the cache-hit no-op tick, and the driver heap after each
+    * cycle — the round-5 claim that the semi-join body load keeps the
+    * driver heap queue-head-sized (corpus-independent), finally
+    * measured. Byte-golden artifact parity stays pinned at fixture scale
+    * by EngineSpec; this tier asserts completion + non-empty results. */
+  def x10(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val baseDir = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_scale10x"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
+      DriveScale10x.generate(s, baseDir, big)
+    def heapMb(): Long = {
+      System.gc(); Thread.sleep(300); System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) / (1024 * 1024)
+    }
+    def cycle(d: String, tag: String): Double = {
+      val e = new Engine(s,
+        java.nio.file.Files.createTempDirectory(s"eng_$tag").toString)
+      e.submit(Request(id = "r-flag", priority = 5, boundary = Boundary("nga"),
+        release_data = Seq(ReleaseSelection("nigeriaaims",
+          filters = Map("donors" -> Seq("AFDB")))),
+        raster_data = Seq(RasterSelection("udel_precip_v401", Seq("mean", "sum"),
+          Seq(RasterFile("udel_precip_v401_1995"))))))
+      val baseF = Tables.nation(s, d)
+        .select(col("n_nationkey").as("asdf_id"), col("n_name"))
+      val locs = Tables.locations(s, d)
+        .withColumn("asdf_id", col("cell_id") % 25)
+        .withColumn("alloc", col("amount") * lit(0.9))
+        .withColumn("donors", lit("AFDB"))
+      val t0 = System.nanoTime()
+      val out = e.tick(baseF, Tables.pixels(s, d), locs)
+      val t = (System.nanoTime() - t0) / 1e9
+      require(out.values.forall(_ == 1), s"tick outcomes not complete: $out")
+      val res = e.results("r-flag").get
+      require(res.count() > 0, "empty flagship result")
+      val t1 = System.nanoTime()
+      e.tick(baseF, Tables.pixels(s, d), locs) // everything cache-hit
+      val tNoop = (System.nanoTime() - t1) / 1e9
+      println(f"$tag%-4s tick=$t%8.2f s  noop_tick=$tNoop%6.2f s" +
+        f"  cols=${res.columns.length}%3d  driver_heap=${heapMb()}%5d MB")
+      t
+    }
+    val t1 = cycle(baseDir, "1x")
+    val t10 = cycle(big, "10x")
+    println(f"lifecycle exponent=${math.log(t10 / t1) / math.log(10.0)}%5.2f")
     s.stop()
   }
 }

@@ -75,7 +75,7 @@ object DriveScale10x {
     // read it (default ops, --tier2, --x100's 10x leg, --x100events's
     // 10x leg); the lineitem-only tiers build their own corpora
     val needsBig = args.length <= 1 ||
-      !Set("--x100extracts", "--x100robust").contains(args(1))
+      !Set("--x100extracts", "--x100robust", "--x10bandskew").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -151,9 +151,14 @@ object DriveScale10x {
           .agg(expr("bit_xor(h)")).head()
         (System.nanoTime() - t0) / 1e9
       }
+      // `median`/`mad`/`percentile` are the REGISTERED catalog names —
+      // since round 7 they run the guided engine, so their exponents here
+      // are what a catalog user actually gets; the `*_buffer` rows are
+      // the retired per-zone value-buffering forms, kept as the
+      // super-linear "before" baseline this table originally condemned
       val exOps = Seq("mean", "median", "mad", "percentile",
-        "percentile_sketch", "percentile_guided", "mad_guided",
-        "unique", "unique_sketch")
+        "median_buffer", "mad_buffer", "percentile_buffer",
+        "percentile_sketch", "unique", "unique_sketch")
       exOps.foreach { op =>
         runOp(op, base); val t1 = runOp(op, base)
         runOp(op, big10li); val t10 = runOp(op, big10li)
@@ -210,6 +215,51 @@ object DriveScale10x {
         val e2 = math.log(t100 / t10) / math.log(10.0)
         println(f"$op%-22s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
           f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+      }
+      s.stop(); return
+    }
+    // --x10hotzone: the round-7 zonedNtile rewires under their motivating
+    // adversarial shape — hist_equidepth on the hot-zone lineitem corpus
+    // (nation-0 suppliers at 4× copies: ONE zone holds ~14% of all
+    // pixels) and quality_tiles on the 10× documents corpus (|langs| is
+    // fixed, so every language partition grows 10× — the "giant
+    // language" case). Before the rewire both rows ran ntile over one
+    // window partition per zone/lang, so a hot partition serialized into
+    // one task; the equi-depth banded rank must hold the exponent at the
+    // scan floor instead.
+    if (args.length > 1 && args(1) == "--x10hotzone") {
+      val big10li = "/tmp/graft_scale10li"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big10li/_READY")))
+        generateLineitem(s, base, big10li, 10)
+      Seq(("hist_equidepth", big10li), ("quality_tiles", big)).foreach {
+        case (op, dir) =>
+          run(op, base); val t1 = run(op, base)
+          run(op, dir); val t10 = run(op, dir)
+          val e = math.log(t10 / t1) / math.log(10.0)
+          println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  exponent=$e%5.2f")
+      }
+      s.stop(); return
+    }
+    // --x10bandskew: the round-7 equi-depth bandedRank edges under the
+    // adversarial spend distribution SCALE.md's old fixed-width bands
+    // admitted degrading on — 90% of users' event values ×0.001, so
+    // under the retired $10k content bands ~90% of the population landed
+    // in ONE band (the near-naive-sort case). Both decades carry the
+    // same squash and the same 4× whale ratio, so the exponent isolates
+    // the banded rank's own growth; oracle parity is untouched because
+    // banding never moves a rank.
+    if (args.length > 1 && args(1) == "--x10bandskew") {
+      val sk1 = "/tmp/graft_skew1ev"
+      val sk10 = "/tmp/graft_skew10ev"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sk1/_READY")))
+        generateEventsSkewed(s, base, sk1, 1)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sk10/_READY")))
+        generateEventsSkewed(s, base, sk10, 10)
+      Seq("gini_spend", "rfm_scores", "funnel_latency").foreach { op =>
+        run(op, sk1); val t1 = run(op, sk1)
+        run(op, sk10); val t10 = run(op, sk10)
+        val e = math.log(t10 / t1) / math.log(10.0)
+        println(f"$op%-18s skew1x=$t1%6.2f s  skew10x=$t10%7.2f s  exponent=$e%5.2f")
       }
       s.stop(); return
     }
@@ -367,6 +417,27 @@ object DriveScale10x {
     java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
     println(s"  lineitem: " +
       s.read.parquet(s"$out/lineitem.parquet").count() + " rows")
+  }
+
+  /** Spend-skew events corpus for the --x10bandskew tier: 90% of users'
+    * values ×0.001 (user_id % 10 != 0) BEFORE amplification, so under
+    * the retired fixed $10k content bands ~90% of per-user spend totals
+    * landed in band 0; both decades (copies = 1 and 10) carry the same
+    * squash and the same 4× whale ratio. */
+  def generateEventsSkewed(s: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    println(s"generating ${copies}x spend-skew events corpus at $out ...")
+    val P = copyOthers(base, out, Set("events"))
+    val tmp = s"$out/__squashbase"
+    s.read.parquet(s"$base/events.parquet")
+      .withColumn("value",
+        when(col("user_id") % 10 =!= 0, col("value") * 0.001)
+          .otherwise(col("value")))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    amplifyEvents(s, tmp, out, copies, copies * 4, (copies * 16 / 10).max(16))
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  events: " +
+      s.read.parquet(s"$out/events.parquet").count() + " rows")
   }
 
   /** Events-only amplified corpus for the --x100events tier: events at

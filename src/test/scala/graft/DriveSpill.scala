@@ -49,8 +49,14 @@ object DriveSpill {
       else col(f.name)
     }
     val r = df.select(cols.toSeq: _*)
+    // fold with an order-insensitive SUM, not bit_xor: xor cancels rows
+    // with even multiplicity, so a starved run that dropped or duplicated
+    // a matching PAIR of identical rows would still hash equal — a sum
+    // shifts on any multiplicity change. Decimal(38,0) accumulator so the
+    // fold can't overflow (Spark 4 ANSI sum throws on Long overflow).
     r.select(xxhash64(r.columns.map(col): _*).as("h"))
-      .agg(expr("bit_xor(h)")).head().getLong(0)
+      .agg(sum(col("h").cast("decimal(38,0)")).as("s")).head()
+      .getDecimal(0).longValue()
   }
 
   def main(args: Array[String]): Unit = {

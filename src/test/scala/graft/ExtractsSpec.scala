@@ -97,7 +97,7 @@ class ExtractsSpec extends AnyFunSuite {
     // zones (n=1,2 exercise the interpolation edge), and extreme p
     val rnd = new scala.util.Random(7)
     def check(df: org.apache.spark.sql.DataFrame, p: Double): Unit = {
-      val exact = Extracts.extract(df, "percentile", p = p)
+      val exact = Extracts.extract(df, "percentile_buffer", p = p)
         .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
       val guided = Extracts.extract(df, "percentile_guided", p = p,
           guidedAccuracy = 50) // coarse sketch: the guarantee must not depend on it
@@ -123,7 +123,7 @@ class ExtractsSpec extends AnyFunSuite {
     val t = Seq((9, 1.0), (9, 2.0), (9, 4.0), (9, 10.0)).toDF("asdf_id", "value")
     assert(Extracts.extract(t, "median_guided").collect().head.getDouble(1) == 3.0)
     assert(Extracts.extract(t, "mad_guided").collect().head.getDouble(1) == 1.5)
-    val madE = Extracts.extract(px, "mad").collect()
+    val madE = Extracts.extract(px, "mad_buffer").collect()
       .map(x => x.getInt(0) -> x.getDouble(1)).toMap
     val madG = Extracts.extract(px, "mad_guided").collect()
       .map(x => x.getInt(0) -> x.getDouble(1)).toMap
@@ -143,10 +143,7 @@ class ExtractsSpec extends AnyFunSuite {
       (Option.empty[Int], 9.0), (Option.empty[Int], 11.0))
       .toDF("asdf_id", "value")
     for (m <- Seq("median_guided", "percentile_guided", "mad_guided")) {
-      val buffering = m.stripSuffix("_guided") match {
-        case "percentile" => "percentile"
-        case b => b
-      }
+      val buffering = m.stripSuffix("_guided") + "_buffer"
       val g = Extracts.extract(df, m).collect()
         .map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
       val e = Extracts.extract(df, buffering).collect()
@@ -172,7 +169,7 @@ class ExtractsSpec extends AnyFunSuite {
     val got = Extracts.guidedQuantiles(df, ps, names, accuracy = 60)
       .collect().map(r => r.getInt(0) -> r).toMap
     for ((p, name) <- ps.zip(names)) {
-      val exact = Extracts.extract(df, "percentile", p = p)
+      val exact = Extracts.extract(df, "percentile_buffer", p = p)
         .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
       for ((zn, ev) <- exact)
         assert(math.abs(got(zn).getAs[Double](name) - ev) < 1e-9,
@@ -182,8 +179,10 @@ class ExtractsSpec extends AnyFunSuite {
 
   test("constructing the mad extract launches no job (dry-run contract)") {
     // Cache.getOrCompute(dryRun = true) forces the compute block to BUILD
-    // the frame but must stay probe-only; an eager checkpoint inside the
-    // mad constructor would scan the corpus during a shadow probe.
+    // the frame but must stay probe-only — it runs constructions inside
+    // Ckpt.planOnly, because under AQE even a LAZY localCheckpoint
+    // materializes every upstream stage at construction time (measured:
+    // 18 jobs just building the guided mad frame without the guard).
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val l = new SparkListener {
@@ -192,7 +191,10 @@ class ExtractsSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(l)
     try {
-      Extracts.extract(px, "mad") // construct only — no action
+      graft.ops.Ckpt.planOnly {
+        Extracts.extract(px, "mad")        // guided (registered) form
+        Extracts.extract(px, "mad_buffer") // buffering parity baseline
+      }
       Thread.sleep(500) // listener events drain async
       assert(jobs.get() == 0,
         s"mad construction ran ${jobs.get()} job(s); dry-run would scan")

@@ -64,10 +64,12 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("recall@5 gate holds at verify scale (sf0.01) — the per-round number") {
-    // sim_topk_ivf_kmeans is the one rows-only (non-oracled) query, so its
-    // quality number must be MEASURED per round, and at verify scale, not
-    // just on the 500-vector fixture: a sampled quantizer fit that went
-    // degenerate only at larger corpus sizes would pass sf0.001 and ship.
+    // The registered sim_topk_ivf_kmeans row is CONTRACT-oracled (emitted
+    // cosines recomputed from source, slots/rank monotonicity), which
+    // says nothing about ranking QUALITY — so the recall number must be
+    // MEASURED per round, and at verify scale, not just on the
+    // 500-vector fixture: a sampled quantizer fit that went degenerate
+    // only at larger corpus sizes would pass sf0.001 and ship.
     // Set SPARK_GRAFT_IVF_SF=/root/testdata/sf0.1 to run the same gate at
     // bench scale (float-sensitive-op rule from the verify recipe).
     // Measured curve (DriveIvfProbe, sf0.01 + sf0.1): 2/8 probes sits at

@@ -450,11 +450,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"total join became a cartesian:\n$p")
   }
 
-  test("hist_equidepth: the ntile window partitions by zone (parallel " +
-    "across zones, no single-partition global sort)") {
+  test("hist_equidepth: the rank window partitions by (zone, band) — " +
+    "parallel across zones AND within a hot zone (zonedNtile)") {
     val p = plan("hist_equidepth")
     assert(p.contains("windowspecdefinition(asdf_id"),
       s"the tile window must partition by zone:\n$p")
+    // the round-7 hot-zone escape: the row_number window key carries the
+    // equi-depth band, so one hot zone splits across ~n/32-row tasks
+    assert("windowspecdefinition\\(asdf_id[^)]*__band".r.findFirstIn(p).isDefined,
+      s"the rank window must also partition by the equi-depth band:\n$p")
   }
 
   test("survival_km: the user-grain aggregate partial-aggregates and the " +

@@ -266,4 +266,50 @@ class ScaleSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("ksBinned: a tie-free 200k-distinct hot zone keeps ≤ bins rows of " +
+      "CDF state and brackets the exact KS D from below") {
+    // the wide-support case the exact ks_drift can't bound: every value
+    // distinct, so its (zone, value) support IS the data. ksBinned's
+    // whole contract is (a) per-zone CDF state ≤ bins regardless of
+    // support, (b) the binned D is exact-D minus at most the largest
+    // in-bin CDF mass. Sample a = 200k evens, sample b = odds shifted by
+    // +10% of the range → exact D = 0.1 up to grid granularity.
+    val n = 200000
+    val bins = 256
+    val rows = (0 until n).map { i =>
+      // a: cents 2i; b: cents 2i + 0.1·range (range = 2n)
+      if (i % 2 == 0) ("hot", i.toLong * 2, 1L, 0L)
+      else ("hot", i.toLong * 2 + (n / 5), 0L, 1L)
+    }
+    val df = rows.toDF("asdf_id", "c", "a", "b")
+    // state bound: reconstruct the helper's exact grid rule and count
+    // distinct bins
+    val glo = rows.map(_._2).min
+    val ghi = rows.map(_._2).max
+    val nBins = df.select(
+        expr(s"((c - $glo) * $bins) div ($ghi - $glo + 1)").as("bin"))
+      .distinct().count()
+    assert(nBins <= bins, s"grid produced $nBins bins (> $bins)")
+    // exact D computed locally over the full support
+    val vals = rows.map(r => (r._2, r._3, r._4)).sortBy(_._1)
+    val na = vals.map(_._2).sum.toDouble
+    val nb = vals.map(_._3).sum.toDouble
+    var ca = 0L; var cb = 0L; var exactD = 0.0
+    vals.foreach { case (_, a, b) =>
+      ca += a; cb += b
+      exactD = math.max(exactD, math.abs(ca / na - cb / nb))
+    }
+    val got = graft.ops.Analytics.ksBinned(df, "asdf_id", bins)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).head
+    assert(got._2 == n / 2 && got._3 == n / 2)
+    // the binned statistic never exceeds exact D, and undershoots by at
+    // most the densest cell's CDF mass (uniform grid → ~2/bins here,
+    // doubled for the two interleaved samples)
+    assert(got._4 <= exactD + 1e-9,
+      s"binned D ${got._4} exceeds exact $exactD")
+    assert(exactD - got._4 <= 2.0 / bins + 1e-9,
+      s"binned D ${got._4} lost more than a cell's mass vs exact $exactD")
+  }
 }

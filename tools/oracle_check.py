@@ -2,7 +2,7 @@
 """Local mirror of the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf parquet tables and compare with the Verify parquet
 output (columns sorted by name; doubles compared with tolerance)."""
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pandas as pd
 
@@ -14,7 +14,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        # Spark-written amplified corpora are part-file DIRECTORIES
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+    else:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
