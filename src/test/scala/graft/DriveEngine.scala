@@ -87,6 +87,7 @@ object DriveEngine {
         f"  cols=${res.columns.length}%3d  driver_heap=${heapMb()}%5d MB")
       t
     }
+    cycle(baseDir, "warm") // JVM warm-up: a cold first tick pays ~6 s JIT
     val t1 = cycle(baseDir, "1x")
     val t10 = cycle(big, "10x")
     println(f"lifecycle exponent=${math.log(t10 / t1) / math.log(10.0)}%5.2f")

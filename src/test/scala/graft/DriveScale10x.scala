@@ -144,12 +144,22 @@ object DriveScale10x {
         generateLineitem(s, base, big10li, 10)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big100/_READY")))
         generateLineitem(s, base, big100, 100)
-      def runOp(method: String, d: String): Double = {
+      def runOp1(method: String, d: String): Double = {
         val t0 = System.nanoTime()
         val df = graft.ops.Extracts.extract(Tables.pixels(s, d), method)
         df.select(xxhash64(df.columns.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)")).head()
         (System.nanoTime() - t0) / 1e9
+      }
+      // warm + best-of-2 measured: the QuantileSummaries path is
+      // JIT-sensitive (verify-skill lesson — first runs 3-4× slower;
+      // re-measured this round: a cold 100× guided median runs 16.6 s,
+      // steady state 4.6-4.7 s). One warm run is NOT steady state when
+      // an op lands on the big corpus with little prior JIT traffic, and
+      // the resulting exponent is a JIT artifact, not a growth law.
+      def runOp(method: String, d: String): Double = {
+        runOp1(method, d)
+        math.min(runOp1(method, d), runOp1(method, d))
       }
       // `median`/`mad`/`percentile` are the REGISTERED catalog names —
       // since round 7 they run the guided engine, so their exponents here
@@ -160,9 +170,9 @@ object DriveScale10x {
         "median_buffer", "mad_buffer", "percentile_buffer",
         "percentile_sketch", "unique", "unique_sketch")
       exOps.foreach { op =>
-        runOp(op, base); val t1 = runOp(op, base)
-        runOp(op, big10li); val t10 = runOp(op, big10li)
-        runOp(op, big100); val t100 = runOp(op, big100)
+        val t1 = runOp(op, base)
+        val t10 = runOp(op, big10li)
+        val t100 = runOp(op, big100)
         val e1 = math.log(t10 / t1) / math.log(10.0)
         val e2 = math.log(t100 / t10) / math.log(10.0)
         println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
