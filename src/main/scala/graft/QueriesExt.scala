@@ -212,10 +212,12 @@ object QueriesExt {
     // where plan subtrees multiplied to 153 textual exchanges). The frame
     // is population-grain (|users|/|docs|), so DISK_ONLY per Ckpt policy.
     val base = df.diskCheckpointLazy()
-    // accuracy 1000: edges only balance the bands, never touch values —
-    // GK compression cost scales with accuracy (the guidedAccuracy note)
+    // accuracy 100 (coarse): edges only BALANCE the bands, never touch a
+    // rank — GK compression cost scales with accuracy (the
+    // guidedAccuracy note), and a rank error of n/100 against an n/64
+    // band width costs at most ~2/3 of a band of imbalance
     val edges = base.agg(
-      percentile_approx(col(key), array(fracs: _*), lit(1000)).as("edges"))
+      percentile_approx(col(key), array(fracs: _*), lit(100)).as("edges"))
     val banded = base.crossJoin(broadcast(edges))
       .withColumn("band",
         expr(s"aggregate(edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))
@@ -257,9 +259,12 @@ object QueriesExt {
     require(clash.isEmpty,
       s"zonedNtile working columns collide with input: ${clash.mkString(", ")}")
     val fracs = (1 until nBands).map(i => lit(i.toDouble / nBands))
+    // accuracy 100: as in [[bandedRank]], edges only balance — a coarse
+    // sketch costs a fraction of the GK compression and the worst case
+    // is mild band imbalance, never a wrong tile
     val bounds = df.groupBy(col(zone)).agg(
       count(lit(1)).as("__zn"),
-      percentile_approx(col(key), array(fracs: _*), lit(1000)).as("__edges"))
+      percentile_approx(col(key), array(fracs: _*), lit(100)).as("__edges"))
     val banded = Extracts.joinOnZone(df, bounds, zone)
       .withColumn("__band",
         expr(s"aggregate(__edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))

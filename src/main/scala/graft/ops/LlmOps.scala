@@ -158,7 +158,19 @@ object LlmOps {
       .union(edges.select(col("doc_b"), col("doc_a")))
       .repartition(w)
       .diskCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("rep"))
+    // Only edge ENDPOINTS can ever move off their self-label, so the
+    // propagation loop runs over them alone — on a healthy corpus that
+    // is a small fraction of |nodes| (most docs/vectors appear in no
+    // candidate pair), and every per-round join then scales with the
+    // duplicate-involved subgraph rather than the whole corpus. The
+    // isolated nodes rejoin as their own reps after the loop — output
+    // identical to propagating over the full node set (an isolated
+    // node's min reachable label is itself, round after round).
+    val endpoints = sym.select(col("src").as("node")).distinct()
+      .repartition(w).diskCheckpoint()
+    var labels = nodes
+      .join(endpoints.hint("shuffle_hash"), Seq("node"), "left_semi")
+      .select(col("node"), col("node").as("rep"))
       .repartition(w).diskCheckpoint()
     var i = 0
     var converged = false
@@ -206,7 +218,9 @@ object LlmOps {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
           "(component min-label distance exceeds the bound); raise maxIter")
-    labels
+    labels.union(
+      nodes.join(endpoints.hint("shuffle_hash"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("rep")))
   }
 
   /** IVF coarse quantization (X3 scale path): KMeans centroids as inverted-
