@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt._
 
 /** [EXT] batch event analytics (SURVEY.md §2.11): ordered-funnel stage
   * resolution and weekly cohort retention over the batch view of `events`.
@@ -58,6 +59,119 @@ object Analytics {
       .groupBy(col("cohort_day"),
         floor(datediff(col("day"), col("cohort_day")) / 7).cast("long").as("week_off"))
       .agg(countDistinct(col("user_id")).as("users"))
+  }
+
+  /** Banded two-phase GLOBAL rank — the gini_spend shape promoted to a
+    * helper: rank within a band via a partitioned window, then add
+    * |bands|-row running offsets broadcast back; never a single-task
+    * population sort. `tie` fully tiebreaks within the key for
+    * engine-independent ranks. Adds `out` and drops its working columns.
+    *
+    * Bands are EQUI-DEPTH since round 7: edges are the key's
+    * (nBands−1)-quantiles from one percentile_approx pass over the frame
+    * (broadcast back as a 1-row array), replacing the caller-supplied
+    * fixed-width content bands ($10k spend / 64-token / 10-minute) whose
+    * skew SCALE.md admitted "degrades toward the naive sort" — a
+    * distribution where one content band held ~90% of the population now
+    * still sorts ~n/nBands rows per task (measured flat in the
+    * DriveScale10x `--x10bandskew` tier). Edge VALUES may vary with GK
+    * partial-merge order, but band assignment is monotone in the key and
+    * equal keys always share a band (band = #edges strictly below key),
+    * so per-band offsets compose into the SAME global rank for any edge
+    * set — the output is deterministic even though the banding isn't. */
+  def bandedRank(df: DataFrame, key: String,
+      tie: String, asc: Boolean, out: String, nBands: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // working-column clash would silently clobber + drop caller data
+    val clash = df.columns.toSet.intersect(Set("band", "wi", "off", "edges", out))
+    require(clash.isEmpty,
+      s"bandedRank working columns collide with input: ${clash.mkString(", ")}")
+    val fracs = (1 until nBands).map(i => lit(i.toDouble / nBands))
+    // LAZY DISK_ONLY checkpoint of the input: the edges aggregate, the
+    // banded fact side, and the offsets rollup all read it — without the
+    // sever, each consumer re-derives the caller's upstream (a user-grain
+    // rollup, or a PREVIOUS bandedRank in rfm_scores' triple nesting,
+    // where plan subtrees multiplied to 153 textual exchanges). The frame
+    // is population-grain (|users|/|docs|), so DISK_ONLY per Ckpt policy.
+    val base = df.diskCheckpointLazy()
+    // accuracy 100 (coarse): edges only BALANCE the bands, never touch a
+    // rank — GK compression cost scales with accuracy (the
+    // guidedAccuracy note), and a rank error of n/100 against an n/64
+    // band width costs at most ~2/3 of a band of imbalance
+    val edges = base.agg(
+      percentile_approx(col(key), array(fracs: _*), lit(100)).as("edges"))
+    val banded = base.crossJoin(broadcast(edges))
+      .withColumn("band",
+        expr(s"aggregate(edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))
+      .drop("edges")
+    val ord =
+      if (asc) Seq(col(key).asc, col(tie).asc)
+      else Seq(col(key).desc, col(tie).asc)
+    val wIn = Window.partitionBy("band").orderBy(ord: _*)
+    val bandOrd = if (asc) col("band").asc else col("band").desc
+    val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(
+        Window.orderBy(bandOrd).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("band", "off")
+    banded.withColumn("wi", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), Seq("band"))
+      .withColumn(out, col("off") + col("wi"))
+      .drop("band", "wi", "off")
+  }
+
+  /** Per-zone equi-depth ntile — reproduces
+    * `ntile(k) OVER (PARTITION BY zone ORDER BY key, ties…)` exactly,
+    * WITHOUT ever serializing a zone into one window task (the
+    * hot-zone escape SCALE.md X75/X33 used to describe only in prose).
+    * Mechanics: per-zone quantile edges (one percentile_approx
+    * aggregate, |zones|-row broadcast via the null-safe
+    * [[Extracts.joinOnZone]]) split each zone into ~n/nBands-row
+    * (zone, band) window partitions; a |zones|×nBands-row running
+    * offset rebuilds the exact per-zone row_number; the closed-form
+    * ntile remainder rule (first n mod k tiles take ⌈n/k⌉ rows) maps
+    * rank → tile. Ties share a band (band = #edges strictly below
+    * key), so the rank — and therefore every tile — is identical to
+    * the single-window formulation for any edge set. */
+  def zonedNtile(df: DataFrame, zone: String, key: String,
+      ties: Seq[String], k: Int, out: String, nBands: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val work = Set("__zn", "__edges", "__band", "__bn", "__off", "__wi", "__i", out)
+    val clash = df.columns.toSet.intersect(work)
+    require(clash.isEmpty,
+      s"zonedNtile working columns collide with input: ${clash.mkString(", ")}")
+    val fracs = (1 until nBands).map(i => lit(i.toDouble / nBands))
+    // accuracy 100: as in [[bandedRank]], edges only balance — a coarse
+    // sketch costs a fraction of the GK compression and the worst case
+    // is mild band imbalance, never a wrong tile
+    val bounds = df.groupBy(col(zone)).agg(
+      count(lit(1)).as("__zn"),
+      percentile_approx(col(key), array(fracs: _*), lit(100)).as("__edges"))
+    val banded = Extracts.joinOnZone(df, bounds, zone)
+      .withColumn("__band",
+        expr(s"aggregate(__edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))
+      .drop("__edges")
+    val wIn = Window.partitionBy(col(zone), col("__band"))
+      .orderBy((key +: ties).map(col(_).asc): _*)
+    val offs = banded.groupBy(col(zone), col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(
+        Window.partitionBy(col(zone)).orderBy(col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(zone), col("__band"), col("__off"))
+    // ntile's remainder rule: q = n div k, rem = n mod k; the first rem
+    // tiles hold q+1 rows — rank i maps in closed form. q = 0 collapses
+    // to tile = i via the IF's first branch (i ≤ n = rem), so the else
+    // branch's `div q` never evaluates on a zero q (If is lazy).
+    banded.withColumn("__wi", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), Seq(zone, "__band"))
+      .withColumn("__i", col("__off") + col("__wi"))
+      .withColumn(out, expr(
+        s"""CAST(IF(__i <= (__zn % $k) * ((__zn div $k) + 1),
+           (__i - 1) div ((__zn div $k) + 1) + 1,
+           (__zn % $k) + (__i - (__zn % $k) * ((__zn div $k) + 1) - 1)
+             div (__zn div $k) + 1) AS BIGINT)"""))
+      .drop("__zn", "__band", "__bn", "__off", "__wi", "__i")
   }
 
   /** Binned two-sample Kolmogorov-Smirnov D — the exact `ks_drift`

@@ -1585,4 +1585,47 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(sup > 0 && p > 0 && w > 0)
     }
   }
+
+  test("public bandedRank equals a plain global row_number for any band " +
+    "edge set (adversarial: 95% of keys tied in one clump)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    // 95% of the population in one value clump — the shape where a bad
+    // banding rule (non-monotone, or tie-splitting) would mis-rank
+    val rows = (0 until 2000).map { i =>
+      val v = if (rnd.nextInt(20) != 0) 500L else rnd.nextInt(100000).toLong
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val got = Analytics.bandedRank(df, "v", "id", asc, "r")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val ord = if (asc) Seq(col("v").asc, col("id").asc)
+                else Seq(col("v").desc, col("id").asc)
+      val want = df.withColumn("r",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"asc=$asc banded ranks diverge from global sort")
+    }
+  }
+
+  test("public zonedNtile equals ntile() for every k on skewed zones " +
+    "(one hot zone, tiny zones, heavy ties)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 3000).map { i =>
+      val z = if (rnd.nextInt(10) != 0) "hot" else s"z${rnd.nextInt(5)}"
+      val v = if (rnd.nextInt(3) == 0) 42L else rnd.nextInt(1000).toLong
+      (z, v, i.toLong)
+    } :+ (("solo", 7L, 99999L)) // n=1 zone: ntile(k) of one row is 1
+    val df = rows.toDF("zone", "v", "id")
+    for (k <- Seq(2, 4, 10)) {
+      val got = Analytics.zonedNtile(df, "zone", "v", Seq("id"), k, "tile")
+        .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+      val w = Window.partitionBy("zone").orderBy(col("v"), col("id"))
+      val want = df.withColumn("tile", ntile(k).over(w).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got == want, s"k=$k tiles diverge from ntile")
+    }
+  }
 }

@@ -38,7 +38,12 @@ object DriveSpill {
     // build rows track the partition target ~1:1 (unlike string/array
     // payloads), so the rigid hash builds are expected to fit — this is
     // the measured proof of that distinction
-    "dedup_simhash_pairs", "dedup_minhash", "dup_pagerank")
+    "dedup_simhash_pairs", "dedup_minhash", "dup_pagerank",
+    // round-7 shapes: the zonedNtile rank machinery under a hot zone
+    // (band-partitioned sorts + |zones|x32 offsets), the CC loop over
+    // LSH endpoints with its per-round checkpoints, and the guided-
+    // engine registered median (GK bracket + windowed count passes)
+    "hist_equidepth", "dedup_embed_clusters", "extract_median")
 
   /** Order-insensitive whole-result hash; doubles rounded to 1e-6 so a
     * spill-reordered float sum cannot flip the verdict. */
