@@ -3690,22 +3690,19 @@ object QueriesExt {
       // Equi-depth histogram (X75): 10 per-zone tiles with (within one
       // row) equal population — the selectivity-estimation histogram,
       // complementing the equal-WIDTH hist_values. Tiles follow ntile(10)
-      // semantics over a fully-tiebroken per-zone sort (value, then the
-      // row's natural key, so both engines assign identical tiles even
-      // on duplicated values); tile bounds + counts are exact
-      // integer/min/max output. Since round 7 the tile comes from
-      // [[zonedNtile]] — the per-zone equi-depth banded rank — so a HOT
-      // zone never serializes into one window task (the escape SCALE.md
-      // used to describe only in prose is now the implementation; the
-      // hot-zone DriveScale10x tier measures it). The exact-ntile oracle
-      // is unchanged: banding alters parallelism, never a tile.
+      // semantics over a fully-tiebroken per-zone sort; tile bounds +
+      // counts are exact integer/min/max output. Since round 7 the tile
+      // SUMMARY comes straight from [[Extracts.guidedTileBounds]]: tile
+      // counts are closed-form from n, and each tile edge is the dataset
+      // value at an integer boundary rank (tie-break independent), so
+      // the whole histogram is TWO aggregate passes — no per-row rank,
+      // no window sort, and a hot zone never serializes into one task.
+      // The exact-ntile oracle is unchanged; row-level tile assignment
+      // (when a caller needs it) is [[Analytics.zonedNtile]], which
+      // quality_tiles exercises.
       (s, d) => {
-        zonedNtile(
-          Tables.pixels(s, d).select(col("asdf_id"), col("value"),
-            col("l_orderkey"), col("l_linenumber")),
-          "asdf_id", "value", Seq("l_orderkey", "l_linenumber"), 10, "tile")
-          .groupBy(col("asdf_id"), col("tile"))
-          .agg(count(lit(1)).as("n"), min("value").as("lo_v"), max("value").as("hi_v"))
+        Extracts.guidedTileBounds(
+          Tables.pixels(s, d).select(col("asdf_id"), col("value")), 10)
           .orderBy("asdf_id", "tile")
       },
       Some(s"""WITH pixels AS (${Tables.pixelsSql}),

@@ -417,4 +417,119 @@ object Extracts {
       .select(Seq(col(zone)) ++ ps.indices.map(i =>
         col(s"__g_res_$i").as(names(i))): _*)
   }
+
+  /** Sketch-guided EXACT equi-depth tile bounds — per zone, the tile
+    * summary `(tile 1..k, n_t, lo_v, hi_v)` that
+    * `ntile(k) OVER (PARTITION BY zone ORDER BY value, ties…)` followed
+    * by `groupBy(zone, tile).agg(count, min(value), max(value))` would
+    * produce, computed WITHOUT ranking a single row: the tile counts are
+    * closed-form from n (ntile's remainder rule), and each tile edge is
+    * the dataset VALUE AT AN INTEGER RANK (b_t = last rank of tile t,
+    * a_{t+1} = b_t + 1) — values at ranks are tie-break independent, so
+    * the summary is too, for ANY tie columns. Rank→value extraction
+    * rides the guided machinery: a GK bracket pass windows each interior
+    * boundary fraction j/k, one (zone, value)-grain count pass computes
+    * in-window cumulative ranks, and the boundary values fall out —
+    * two aggregate passes over the data, no sort, no window, bounded
+    * state. This is strictly cheaper than the banded-rank ntile
+    * ([[graft.ops.Analytics.zonedNtile]]) when only the per-tile SUMMARY
+    * is needed; use zonedNtile when every row needs its tile.
+    *
+    * Coverage: the widen threshold is (k+4)·accuracy/3 — above it the GK
+    * margin 3n/accuracy exceeds the ≤(k+1)-rank gap between a boundary
+    * rank and its bracketing fraction, below it the window is the full
+    * [min,max] (state ≤ widen-threshold distinct values, still bounded).
+    * A window that still missed a target rank raises at runtime (same
+    * loud-failure contract as the percentile engine). `value` must be
+    * non-null (ntile ranks null values; a value-windowed aggregate
+    * cannot — callers pre-filter, as the histogram relations do). */
+  def guidedTileBounds(pixels: DataFrame, k: Int, zone: String = "asdf_id",
+      value: String = "value", accuracy: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "need at least two tiles")
+    val reserved = (1 until k).flatMap(j => Seq(s"__t_lo_$j", s"__t_hi_$j",
+      s"__t_b_$j", s"__t_blo_$j", s"__t_cum_$j", s"__t_va_$j", s"__t_vb_$j")) ++
+      Seq("__t_n", "__t_mn", "__t_mx", "__t_pa", "__t_wv", "__t_c", "t")
+    val clash = pixels.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"guidedTileBounds working columns collide: ${clash.mkString(", ")}")
+    val z = col(zone)
+    val v = col(value)
+    val e = 3.0 / accuracy
+    val pls = (1 until k).map(j => math.max(0.0, j.toDouble / k - e))
+    val phs = (1 until k).map(j => math.min(1.0, j.toDouble / k + e))
+    val widen = col("__t_n") <= ((k + 4) * accuracy) / 3
+    val bounds = pixels.groupBy(z).agg(
+        count(v).as("__t_n"), min(v).as("__t_mn"), max(v).as("__t_mx"),
+        percentile_approx(v, array((pls ++ phs).map(lit(_)): _*),
+          lit(accuracy)).as("__t_pa"))
+      .select(Seq(z, col("__t_n"), col("__t_mn"), col("__t_mx")) ++
+        (1 until k).flatMap { j =>
+          Seq(when(widen, col("__t_mn"))
+                .otherwise(element_at(col("__t_pa"), j)).as(s"__t_lo_$j"),
+              when(widen, col("__t_mx"))
+                .otherwise(element_at(col("__t_pa"), k - 1 + j)).as(s"__t_hi_$j"))
+        }: _*)
+      .smallCheckpointLazy()
+    def inWin(j: Int) = v.between(col(s"__t_lo_$j"), col(s"__t_hi_$j"))
+    val g = joinOnZone(pixels, bounds, zone)
+      .groupBy(z, when((1 until k).map(inWin).reduce(_ || _), v).as("__t_wv"))
+      .agg(count(lit(1)).as("__t_c"),
+        (1 until k).map(j => sum(when(v < col(s"__t_lo_$j"), 1L).otherwise(0L))
+          .as(s"__t_b_$j")): _*)
+      .diskCheckpointLazy()
+    val below = g.groupBy(z).agg(
+      (1 until k).map(j => sum(s"__t_b_$j").as(s"__t_blo_$j")).head,
+      (1 until k).map(j => sum(s"__t_b_$j").as(s"__t_blo_$j")).tail: _*)
+    val wOrd = Window.partitionBy(z).orderBy("__t_wv")
+    val wnd0 = joinOnZone(joinOnZone(g.filter(col("__t_wv").isNotNull),
+      below, zone), bounds, zone)
+    val wv = col("__t_wv")
+    val wnd = (1 until k).foldLeft(wnd0) { (df, j) =>
+      df.withColumn(s"__t_cum_$j",
+        sum(when(wv.between(col(s"__t_lo_$j"), col(s"__t_hi_$j")),
+          col("__t_c")).otherwise(0L)).over(wOrd))
+    }
+    // boundary ranks from ntile's remainder rule (q = n div k,
+    // rem = n mod k): tile t ends at rank b_t = t·q + least(t, rem);
+    // tile t+1 starts at a_{t+1} = b_t + 1 — both extracted from
+    // window j = t
+    val nC = col("__t_n")
+    val aggs = (1 until k).flatMap { j =>
+      val bRank = lit(j.toLong) * expr(s"__t_n div $k") +
+        least(lit(j.toLong), nC % k)
+      val aRank = bRank + 1L
+      val inW = wv.between(col(s"__t_lo_$j"), col(s"__t_hi_$j"))
+      val lo1 = col(s"__t_blo_$j") + col(s"__t_cum_$j") - col("__t_c") + 1
+      val hi1 = col(s"__t_blo_$j") + col(s"__t_cum_$j")
+      Seq(
+        min(when(inW && lo1 <= bRank && bRank <= hi1, wv)).as(s"__t_vb_$j"),
+        min(when(inW && lo1 <= aRank && aRank <= hi1, wv)).as(s"__t_va_$j"))
+    }
+    val selected = wnd.groupBy(z).agg(aggs.head, aggs.tail: _*)
+    // assemble: explode tiles 1..k; counts closed-form; edges from the
+    // boundary values (tile 1 starts at the zone min, tile k ends at the
+    // zone max); empty tiles (n < k) drop like ntile's missing tiles
+    val assembled = joinOnZone(
+        bounds.select(z, col("__t_n"), col("__t_mn"), col("__t_mx")),
+        selected, zone, "left")
+      .select(col("*"), explode(expr(s"sequence(1L, $k)")).as("t"))
+      .withColumn("__t_nt", expr(s"(__t_n div $k) + IF(t <= __t_n % $k, 1L, 0L)"))
+      .filter(col("__t_nt") > 0)
+    def guarded(c: Column, what: String): Column =
+      when(c.isNull, raise_error(format_string(
+        s"guidedTileBounds missed the $what boundary rank for zone %s" +
+          " — GK bracket bound violated",
+        coalesce(z.cast("string"), lit("NULL"))))).otherwise(c)
+    val loV = (2 to k - 1).foldLeft(
+        when(col("t") === 1, col("__t_mn"))) { (acc, t) =>
+        acc.when(col("t") === t, col(s"__t_va_${t - 1}"))
+      }.otherwise(col(s"__t_va_${k - 1}"))
+    val hiV = (1 until k).foldLeft(
+        when(col("t") === k, col("__t_mx"))) { (acc, t) =>
+        acc.when(col("t") === t, col(s"__t_vb_$t"))
+      }.otherwise(lit(null))
+    assembled.select(z, col("t").as("tile"), col("__t_nt").as("n"),
+      guarded(loV, "lower").as("lo_v"), guarded(hiV, "upper").as("hi_v"))
+  }
 }

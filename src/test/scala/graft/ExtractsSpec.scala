@@ -177,6 +177,49 @@ class ExtractsSpec extends AnyFunSuite {
     }
   }
 
+  test("guidedTileBounds equals the brute-force ntile tile summary on " +
+    "randomized/adversarial distributions (ties, tiny zones, many k)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{ntile => sntile, col => scol,
+      count => scount, min => smin, max => smax, lit => slit,
+      monotonically_increasing_id}
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val rows = (0 until 500).map { _ =>
+        val zn = rnd.nextInt(4)
+        // heavy tie mass (tile boundaries inside tie runs are the case
+        // where a value-windowed extraction could mis-pick an edge)
+        val v =
+          if (rnd.nextInt(10) < 4) (rnd.nextInt(4) * 10).toDouble
+          else rnd.nextDouble() * 100
+        (if (zn == 3 && rnd.nextInt(60) != 0) 0 else zn, v)
+      } :+ ((9, 42.0)) // n=1 zone
+      val df = rows.toDF("asdf_id", "value")
+      for (k <- Seq(2, 3, 10)) {
+        // tie-break for the brute force is an arbitrary synthetic id: the
+        // tile SUMMARY must be identical for any tie-break column
+        val tb = Extracts.guidedTileBounds(df, k, accuracy = 40)
+          .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+            (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        val w = Window.partitionBy("asdf_id")
+          .orderBy(scol("value"), scol("rid"))
+        val want = df.withColumn("rid", monotonically_increasing_id())
+          .withColumn("tile", sntile(k).over(w).cast("long"))
+          .groupBy(scol("asdf_id"), scol("tile"))
+          .agg(scount(slit(1)).as("n"), smin("value").as("lo"), smax("value").as("hi"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+            (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        assert(tb.keySet == want.keySet, s"k=$k tile sets diverge")
+        for ((key, (n, lo, hi)) <- want) {
+          val (gn, glo, ghi) = tb(key)
+          assert(gn == n, s"k=$k $key count $gn vs $n")
+          assert(glo == lo, s"k=$k $key lo $glo vs $lo")
+          assert(ghi == hi, s"k=$k $key hi $ghi vs $hi")
+        }
+      }
+    }
+  }
+
   test("constructing the mad extract launches no job (dry-run contract)") {
     // Cache.getOrCompute(dryRun = true) forces the compute block to BUILD
     // the frame but must stay probe-only — it runs constructions inside

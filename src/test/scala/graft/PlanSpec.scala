@@ -450,15 +450,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"total join became a cartesian:\n$p")
   }
 
-  test("hist_equidepth: the rank window partitions by (zone, band) — " +
-    "parallel across zones AND within a hot zone (zonedNtile)") {
+  test("hist_equidepth: NO rank machinery at all — the tile summary is " +
+    "two aggregate passes (guidedTileBounds), never a row rank") {
     val p = plan("hist_equidepth")
-    assert(p.contains("windowspecdefinition(asdf_id"),
-      s"the tile window must partition by zone:\n$p")
+    assert(!p.contains("ntile(") && !p.contains("row_number"),
+      s"the histogram must not rank rows:\n$p")
+    // the only window is the in-window cumulative over the (zone,
+    // window-value) frame — |zones|×O(accuracy) rows, zone-partitioned
+    assert("windowspecdefinition\\(asdf_id[^)]*__t_wv".r.findFirstIn(p).isDefined,
+      s"boundary extraction must ride the windowed count frame:\n$p")
+  }
+
+  test("quality_tiles: the rank window partitions by (lang, band) — " +
+    "parallel across languages AND within a giant language (zonedNtile)") {
+    val p = plan("quality_tiles")
     // the round-7 hot-zone escape: the row_number window key carries the
-    // equi-depth band, so one hot zone splits across ~n/32-row tasks
-    assert("windowspecdefinition\\(asdf_id[^)]*__band".r.findFirstIn(p).isDefined,
-      s"the rank window must also partition by the equi-depth band:\n$p")
+    // equi-depth band, so one giant language splits across ~n/32-row tasks
+    assert("windowspecdefinition\\(lang[^)]*__band".r.findFirstIn(p).isDefined,
+      s"the rank window must partition by (lang, equi-depth band):\n$p")
   }
 
   test("survival_km: the user-grain aggregate partial-aggregates and the " +
