@@ -222,9 +222,11 @@ object QueriesExt {
       LlmOps.connectedComponents(nodes, dupPairs(s, d))
     }
 
-  /** Embedding near-dup candidate pairs (vec_a, vec_b, cos_r), memoized —
-    * shared by the pair listing (dedup_embed_cosine) and the bounded-
-    * output cluster resolution (dedup_embed_clusters). Random-hyperplane
+  /** Embedding near-dup candidate pairs (vec_a, vec_b, cos_r) — the
+    * shared BUILDER behind the pair listing (dedup_embed_cosine) and the
+    * bounded-output cluster resolution (dedup_embed_clusters); each
+    * caller constructs its own pipeline (see the NOT-memoized note
+    * below). Random-hyperplane
     * (sign) LSH banding: each vector gets 6 deterministic sign bits
     * against Walsh/Hadamard hyperplanes (plane j flips sign with index
     * bit j — mutually orthogonal, engine-portable integer construction),

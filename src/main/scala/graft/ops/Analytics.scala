@@ -100,9 +100,14 @@ object Analytics {
     // band width costs at most ~2/3 of a band of imbalance
     val edges = base.agg(
       percentile_approx(col(key), array(fracs: _*), lit(100)).as("edges"))
+    // coalesce(-1): an all-NULL key column makes percentile_approx return
+    // a NULL edge array — every row then lands in one (-1) band, which is
+    // the correct degenerate single-band rank, instead of a NULL band
+    // that a null-unsafe offsets join would silently drop
     val banded = base.crossJoin(broadcast(edges))
-      .withColumn("band",
-        expr(s"aggregate(edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))
+      .withColumn("band", coalesce(
+        expr(s"aggregate(edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"),
+        lit(-1)))
       .drop("edges")
     val ord =
       if (asc) Seq(col(key).asc, col(tie).asc)
@@ -136,7 +141,8 @@ object Analytics {
   def zonedNtile(df: DataFrame, zone: String, key: String,
       ties: Seq[String], k: Int, out: String, nBands: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val work = Set("__zn", "__edges", "__band", "__bn", "__off", "__wi", "__i", out)
+    val work = Set("__zn", "__edges", "__band", "__bn", "__off", "__wi",
+      "__i", "__zb", out)
     val clash = df.columns.toSet.intersect(work)
     require(clash.isEmpty,
       s"zonedNtile working columns collide with input: ${clash.mkString(", ")}")
@@ -147,9 +153,12 @@ object Analytics {
     val bounds = df.groupBy(col(zone)).agg(
       count(lit(1)).as("__zn"),
       percentile_approx(col(key), array(fracs: _*), lit(100)).as("__edges"))
+    // coalesce(-1): NULL edges (all-NULL key in a zone) collapse to one
+    // band rather than a NULL band — see [[bandedRank]]
     val banded = Extracts.joinOnZone(df, bounds, zone)
-      .withColumn("__band",
-        expr(s"aggregate(__edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"))
+      .withColumn("__band", coalesce(
+        expr(s"aggregate(__edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"),
+        lit(-1)))
       .drop("__edges")
     val wIn = Window.partitionBy(col(zone), col("__band"))
       .orderBy((key +: ties).map(col(_).asc): _*)
@@ -163,8 +172,18 @@ object Analytics {
     // tiles hold q+1 rows — rank i maps in closed form. q = 0 collapses
     // to tile = i via the IF's first branch (i ≤ n = rem), so the else
     // branch's `div q` never evaluates on a zero q (If is lazy).
+    // NULL-SAFE offsets attach: the composite (zone, band) key rides ONE
+    // struct column through Extracts.joinOnZone — struct equality treats
+    // null fields as equal, so a NULL zone group keeps its offsets (a
+    // plain equi-join here silently dropped it, violating the
+    // identical-to-ntile contract; groupBy keeps NULL zone groups and so
+    // must every attach)
     banded.withColumn("__wi", row_number().over(wIn).cast("long"))
-      .join(broadcast(offs), Seq(zone, "__band"))
+      .withColumn("__zb", struct(col(zone), col("__band")))
+      .transform(Extracts.joinOnZone(_,
+        offs.withColumn("__zb", struct(col(zone), col("__band")))
+          .select(col("__zb"), col("__off")), "__zb"))
+      .drop("__zb")
       .withColumn("__i", col("__off") + col("__wi"))
       .withColumn(out, expr(
         s"""CAST(IF(__i <= (__zn % $k) * ((__zn div $k) + 1),

@@ -1613,11 +1613,15 @@ class AnalyticsSpec extends AnyFunSuite {
     "(one hot zone, tiny zones, heavy ties)") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(17)
-    val rows = (0 until 3000).map { i =>
+    val rows: Seq[(String, Long, Long)] = (0 until 3000).map { i =>
       val z = if (rnd.nextInt(10) != 0) "hot" else s"z${rnd.nextInt(5)}"
       val v = if (rnd.nextInt(3) == 0) 42L else rnd.nextInt(1000).toLong
       (z, v, i.toLong)
-    } :+ (("solo", 7L, 99999L)) // n=1 zone: ntile(k) of one row is 1
+    } :+ (("solo", 7L, 99999L)) :+ // n=1 zone: ntile(k) of one row is 1
+      // NULL zone group: groupBy/ntile both keep it — every attach in
+      // zonedNtile must be null-safe or these rows silently vanish
+      ((null: String, 3L, 99998L)) :+ ((null: String, 9L, 99997L)) :+
+      ((null: String, 5L, 99996L))
     val df = rows.toDF("zone", "v", "id")
     for (k <- Seq(2, 4, 10)) {
       val got = Analytics.zonedNtile(df, "zone", "v", Seq("id"), k, "tile")

@@ -445,6 +445,12 @@ object DriveScale10x {
           .otherwise(col("value")))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     amplifyEvents(s, tmp, out, copies, copies * 4, (copies * 16 / 10).max(16))
+    // drop the full-size squashed base copy — only the amplified output
+    // belongs in the corpus dir
+    import scala.jdk.CollectionConverters._
+    val tmpP = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.walk(tmpP).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
     java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
     println(s"  events: " +
       s.read.parquet(s"$out/events.parquet").count() + " rows")
