@@ -237,6 +237,8 @@ class ExtractsSpec extends AnyFunSuite {
       graft.ops.Ckpt.planOnly {
         Extracts.extract(px, "mad")        // guided (registered) form
         Extracts.extract(px, "mad_buffer") // buffering parity baseline
+        Extracts.guidedTileBounds(px, 4)   // histogram builder (same
+        // checkpoint helpers — must stay job-free under planOnly too)
       }
       Thread.sleep(500) // listener events drain async
       assert(jobs.get() == 0,
