@@ -1259,7 +1259,27 @@ object QueriesExt {
     // LlmOps.ivfSearch, exercised by IvfSpec and by this builder, and
     // `sim_topk_ivf_check` stays registered as the historical alias.
     "sim_topk_ivf_kmeans" -> ivfKmeansContractQ,
-    "sim_topk_ivf_check" -> ivfKmeansContractQ)
+    "sim_topk_ivf_check" -> ivfKmeansContractQ,
+    // The actual NEIGHBOR LISTING from the KMeans IVF pipeline, kept
+    // registered so the capability the name family promises — top-k
+    // results per query — is reachable through the catalog (round-7
+    // advice: folding the listing into the contract row made the real
+    // similarity-search output unreachable for catalog consumers).
+    // KMeans centroids are not DuckDB-expressible, so this row carries
+    // NO oracle SQL (driver records the weaker rows-only check); its
+    // VALUES are covered transitively — `sim_topk_ivf_kmeans` recomputes
+    // every emitted cosine from a fresh source read and pins rank
+    // contiguity, and IvfSpec gates recall@5 at two scales.
+    "sim_topk_ivf_list" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val (assigned, centroids) = LlmOps.ivfAssign(e)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)
+          .orderBy("qid", "rn")
+      },
+      None))
 
   private lazy val ivfKmeansContractQ: Q = Q(
       (s, d) => {
@@ -1472,7 +1492,11 @@ object QueriesExt {
         val totals = toks.agg(count(lit(1)).as("total"))
         val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("token")).limit(20)
-        top.crossJoin(totals)
+        // broadcast the 1-row totals explicitly: every other 1-row attach
+        // in this file spells crossJoin(broadcast(...)) so no build side
+        // ever rests on stats ESTIMATES (the LogicalRDD broadcast-cliff
+        // lesson) — this one was the odd bare site out
+        top.crossJoin(broadcast(totals))
           .select(col("token"), col("cnt"), col("total"), explode(rows).as("row"))
           .withColumn("bucket", bucket)
           .join(broadcast(sketch), Seq("row", "bucket"))
@@ -3475,7 +3499,9 @@ object QueriesExt {
         val stats = deg.agg(
           (sum(col("deg")) / 2).cast("long").as("n_edges"),
           sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-        stats.crossJoin(tri)
+        // broadcast the 1-row triangle total explicitly (estimate-proof
+        // build side, same rule as every other 1-row attach in the file)
+        stats.crossJoin(broadcast(tri))
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             when(col("n_wedges") === 0, lit(0.0))
               .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
@@ -4506,7 +4532,9 @@ object QueriesExt {
         val nodes = edges.select(col("src").as("doc_id")).distinct()
         val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
         val withDeg = edges.join(deg, Seq("src"))
-        var r = nodes.crossJoin(nDf)
+        // broadcast the 1-row node count explicitly (estimate-proof build
+        // side — same rule as every other scalar attach)
+        var r = nodes.crossJoin(broadcast(nDf))
           .select(col("doc_id"), expr("1000000 div n_nodes").as("r"))
         for (_ <- 1 to 3) {
           // the rank frame is |nodes|-proportional with estimate-only
@@ -4516,7 +4544,7 @@ object QueriesExt {
               col("src") === col("doc_id"))
             .select(col("dst"), expr("r div deg").as("c"))
           r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-            .crossJoin(nDf)
+            .crossJoin(broadcast(nDf))
             .select(col("dst").as("doc_id"),
               (expr("150000 div n_nodes") + expr("(85 * sc) div 100")).as("r"))
         }
@@ -4610,7 +4638,11 @@ object QueriesExt {
         val types = ev.select(col("event_type")).distinct()
         val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        types.crossJoin(hours)
+        // spine = hours × types: stream the hour spine (it grows with the
+        // covered time range), hint-broadcast the |event_types| side (a
+        // handful of rows at any corpus size) — a bare crossJoin left the
+        // build-side choice to stats estimates
+        hours.crossJoin(broadcast(types))
           .join(byHour, Seq("event_type", "h"), "left")
           .select(col("event_type"), col("h"),
             last(col("v_obs"), ignoreNulls = true).over(w).as("v_filled"),
@@ -4964,9 +4996,13 @@ object QueriesExt {
       // would each re-run the corpus vote otherwise); every margin
       // derives from that tiny frame.
       (s, d) => {
+        // smallCheckpointLazy (Ckpt helper), not a raw eager
+        // localCheckpoint: registers the ≤|langs|²-row frame with the
+        // broadcast audit and keeps CONSTRUCTION job-free (an eager
+        // checkpoint here ran the corpus vote during plan-only drives)
         val conf = langidFrame(s, d)
           .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
+          .smallCheckpointLazy()
         // empty-input guard (the gini_spend class): Spark's grand
         // aggregate over an empty confusion frame yields NULL sums where
         // the oracle's count(*) yields 0 — coalesce every margin to 0 on
@@ -5087,9 +5123,13 @@ object QueriesExt {
         // global totals (localCheckpointed |bands|-row frame) — a
         // separate corpus-grain totals aggregate would re-run the gate's
         // text pipeline a third full time
+        // smallCheckpointLazy, not a raw localCheckpoint: the Ckpt helper
+        // REGISTERS the |bands|-row frame as a small checkpoint (the
+        // tightened broadcast audit exempts by registered RDD id, not by
+        // marker column) and stays job-free under planOnly dry runs
         val bagg = banded.groupBy("band")
           .agg(count(lit(1)).as("bn"), sum(col("pass")).cast("long").as("bg"))
-          .localCheckpoint(true)
+          .smallCheckpointLazy()
         val offs = bagg
           .withColumn("off", coalesce(sum("bn").over(
             Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),

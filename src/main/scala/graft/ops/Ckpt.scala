@@ -55,6 +55,28 @@ object Ckpt {
 
   private def active: Boolean = !suppress.get()
 
+  /** RDD ids of frames checkpointed through [[DiskCheckpoint.smallCheckpointLazy]]
+    * — the helper whose CONTRACT is "key-bounded SMALL frame". The
+    * broadcast audit (DriveBroadcastAudit / PlanSpec) exempts a
+    * checkpoint-backed broadcast build side ONLY if its scan's RDD id is
+    * registered here: the aggregate lineage a checkpoint severs is thereby
+    * re-established by the code that declared the bound, instead of by a
+    * spoofable marker column (a corpus-sized frame routed through
+    * joinOnZone would NOT be registered and gets flagged). Ids are ints;
+    * the set is session-lifetime bookkeeping, a few bytes per frame. */
+  private val smallIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Is `rddId` a small-frame checkpoint registered by [[DiskCheckpoint.smallCheckpointLazy]]? */
+  def isSmallCheckpoint(rddId: Int): Boolean = smallIds.contains(rddId)
+
+  private def registerSmall[T](ds: Dataset[T]): Dataset[T] = {
+    ds.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => smallIds.add(l.rdd.id)
+      case _ => ()
+    }
+    ds
+  }
+
   implicit class DiskCheckpoint[T](private val ds: Dataset[T]) extends AnyVal {
     /** Eager DISK_ONLY local checkpoint for corpus-sized shared frames. */
     def diskCheckpoint(): Dataset[T] =
@@ -69,6 +91,6 @@ object Ckpt {
       * strictly faster than disk, but the construction must still honor
       * [[planOnly]]. */
     def smallCheckpointLazy(): Dataset[T] =
-      if (active) ds.localCheckpoint(false) else ds
+      if (active) registerSmall(ds.localCheckpoint(false)) else ds
   }
 }

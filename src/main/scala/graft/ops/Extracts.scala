@@ -65,7 +65,9 @@ object Extracts {
     * @param guidedAccuracy bracket accuracy for the `*_guided` methods.
     *                 EXACTNESS never depends on it — it only sizes the
     *                 value window (~6n/guidedAccuracy rows per zone) the
-    *                 selection pass aggregates. Kept an order coarser than
+    *                 selection pass aggregates. Contract floor 100
+    *                 (enforced by require): below it the widen path and
+    *                 window mass silently approach full buffering. Kept an order coarser than
     *                 the sketch default because GK compression cost scales
     *                 with accuracy (measured 6.5 s vs 2.0 s per 69M-row
     *                 bracket scan at 10⁴ vs 10³) while the window stays
@@ -254,6 +256,20 @@ object Extracts {
       value: String, ps: Seq[Double], accuracy: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.nonEmpty, "guidedPercentiles needs at least one fraction")
+    // ACCURACY CONTRACT FLOOR (API, not just scaladoc): exactness never
+    // depends on accuracy — the widen threshold n ≤ 2·accuracy and the
+    // 3/accuracy bracket margin are derived so the target ranks are
+    // covered at ANY accuracy — but STATE does: widen zones buffer every
+    // distinct value (≤ 2·accuracy of them) and narrow-path zones
+    // aggregate ~6n/accuracy window rows. A coarse accuracy therefore
+    // degrades the bounded-state contract SILENTLY (correct answers,
+    // full-buffering cost). Floor 100 caps the silent regime: ≤ 200-value
+    // widen buffers, ≤ 6% of a zone in any window.
+    require(accuracy >= 100,
+      s"guided accuracy $accuracy is below the contract floor 100 — " +
+        "results stay exact at any accuracy, but windows cover " +
+        "~6n/accuracy rows and zones with n <= 2*accuracy fully buffer, " +
+        "so coarser settings silently abandon the bounded-state contract")
     val reserved = Set("__g_n", "__g_wv", "__g_c", "__g_cum") ++
       ps.indices.flatMap(i => Seq(s"__g_lo_$i", s"__g_hi_$i", s"__g_b_$i",
         s"__g_below_$i", s"__g_res_$i"))
@@ -435,10 +451,15 @@ object Extracts {
     * ([[graft.ops.Analytics.zonedNtile]]) when only the per-tile SUMMARY
     * is needed; use zonedNtile when every row needs its tile.
     *
-    * Coverage: the widen threshold is (k+4)·accuracy/3 — above it the GK
-    * margin 3n/accuracy exceeds the ≤(k+1)-rank gap between a boundary
-    * rank and its bracketing fraction, below it the window is the full
-    * [min,max] (state ≤ widen-threshold distinct values, still bounded).
+    * Coverage: the widen threshold is accuracy·(k+3)/2. The fraction
+    * margin 3/accuracy is worth 3n/accuracy ranks, but GK's own rank
+    * error consumes n/accuracy of it, leaving post-sketch slack
+    * 2n/accuracy; the boundary rank b_j (ntile remainder rule) sits
+    * within k+1 ranks of n·j/k and the window must also reach the
+    * a_{j+1} = b_j+1 neighbor, so coverage needs
+    * 2n/accuracy ≥ k+3 ⇔ n ≥ accuracy·(k+3)/2. Below the threshold the
+    * window is the full [min,max] (state ≤ widen-threshold distinct
+    * values, still bounded).
     * A window that still missed a target rank raises at runtime (same
     * loud-failure contract as the percentile engine). `value` must be
     * non-null (ntile ranks null values; a value-windowed aggregate
@@ -447,6 +468,16 @@ object Extracts {
       value: String = "value", accuracy: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, "need at least two tiles")
+    // same accuracy contract floor as the percentile engine (see
+    // guidedPercentiles): exact at any accuracy, but the widen threshold
+    // accuracy·(k+3)/2 and the ~6n/accuracy windows make coarse settings
+    // silently full-buffering
+    require(accuracy >= 100,
+      s"guided accuracy $accuracy is below the contract floor 100 — " +
+        "tile bounds stay exact at any accuracy, but zones with " +
+        "n <= accuracy*(k+3)/2 fully buffer and windows cover " +
+        "~6n/accuracy rows, so coarser settings silently abandon the " +
+        "bounded-state contract")
     val reserved = (1 until k).flatMap(j => Seq(s"__t_lo_$j", s"__t_hi_$j",
       s"__t_b_$j", s"__t_blo_$j", s"__t_cum_$j", s"__t_va_$j", s"__t_vb_$j")) ++
       Seq("__t_n", "__t_mn", "__t_mx", "__t_pa", "__t_wv", "__t_c", "t")
@@ -458,7 +489,10 @@ object Extracts {
     val e = 3.0 / accuracy
     val pls = (1 until k).map(j => math.max(0.0, j.toDouble / k - e))
     val phs = (1 until k).map(j => math.min(1.0, j.toDouble / k + e))
-    val widen = col("__t_n") <= ((k + 4) * accuracy) / 3
+    // see the Coverage paragraph above: 2n/accuracy post-GK slack must
+    // cover the ≤(k+3)-rank gap between a bracketing fraction and the
+    // boundary ranks it serves
+    val widen = col("__t_n") <= (accuracy.toLong * (k + 3)) / 2
     val bounds = pixels.groupBy(z).agg(
         count(v).as("__t_n"), min(v).as("__t_mn"), max(v).as("__t_mx"),
         percentile_approx(v, array((pls ++ phs).map(lit(_)): _*),

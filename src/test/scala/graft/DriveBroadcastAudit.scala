@@ -42,18 +42,26 @@ object DriveBroadcastAudit {
   /** A broadcast side is suspect if it scans a checkpointed RDD and is
     * NOT collapsed by an aggregate (aggregate outputs are key-cardinality,
     * independent of corpus size — zone maps, scalar totals, vocab rollups
-    * are fine to broadcast). Exemption: joinOnZone build sides (marker
-    * column `__g_jh`) — those are |zones|-row aggregate frames by the
-    * [[graft.ops.Extracts.joinOnZone]] contract whose HashAggregate
-    * lineage a checkpoint legitimately severs (the guided-path bounds
-    * frames); the marker is a private working column no corpus-sized
-    * frame carries. Shared with PlanSpec's gate so the drive and the
-    * gate cannot diverge. */
+    * are fine to broadcast). Exemption: checkpoint scans whose RDD id is
+    * REGISTERED as a small-frame checkpoint ([[graft.ops.Ckpt]]
+    * `smallCheckpointLazy` — the helper whose contract is "key-bounded
+    * SMALL frame", used for the guided-path |zones|-row bounds frames
+    * whose HashAggregate lineage the checkpoint legitimately severs).
+    * Keying on the registered id, not a marker column, means a future
+    * corpus-sized frame routed through joinOnZone (which attaches its
+    * `__g_jh` working column to WHATEVER right side a caller passes)
+    * still gets flagged — only the code site that declared the bound can
+    * exempt. Shared with PlanSpec's gate so the drive and the gate
+    * cannot diverge. */
   def suspectSides(p: SparkPlan): Seq[SparkPlan] =
     broadcastSides(p).filter { side =>
+      val scans = flatten(side).collect {
+        case r: org.apache.spark.sql.execution.RDDScanExec => r
+      }
       val txt = side.toString
       txt.contains("Scan ExistingRDD") && !txt.contains("HashAggregate") &&
-        !side.output.exists(_.name == "__g_jh")
+        !(scans.nonEmpty &&
+          scans.forall(r => graft.ops.Ckpt.isSmallCheckpoint(r.rdd.id)))
     }
 
   def main(args: Array[String]): Unit = {

@@ -100,7 +100,10 @@ class ExtractsSpec extends AnyFunSuite {
       val exact = Extracts.extract(df, "percentile_buffer", p = p)
         .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
       val guided = Extracts.extract(df, "percentile_guided", p = p,
-          guidedAccuracy = 50) // coarse sketch: the guarantee must not depend on it
+          // the CONTRACT FLOOR (coarsest allowed sketch): the exactness
+          // guarantee must not depend on the sketch being fine, and this
+          // is the weakest setting the API admits
+          guidedAccuracy = 100)
         .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
       assert(guided.keySet == exact.keySet, s"p=$p zone sets diverge")
       for ((zn, ev) <- exact)
@@ -108,7 +111,11 @@ class ExtractsSpec extends AnyFunSuite {
           s"p=$p zone $zn: guided ${guided(zn)} vs exact $ev")
     }
     for (trial <- 0 until 5) {
-      val rows = (0 until 400).map { _ =>
+      // 1200 rows over ~3 fat zones: at the floor accuracy the widen
+      // threshold is n ≤ 200, so the fat zones (~350-400 rows) exercise
+      // the NARROW-window path while zone 3 / the n=1 zone keep the
+      // widen + interpolation edges covered
+      val rows = (0 until 1200).map { _ =>
         val zn = rnd.nextInt(4)
         // 30% tie mass at a handful of magnets, tiny zones via zone 3
         val v =
@@ -119,6 +126,13 @@ class ExtractsSpec extends AnyFunSuite {
       val df = rows.toDF("asdf_id", "value")
       for (p <- Seq(0.0, 0.01, 0.5, 0.95, 0.99, 1.0)) check(df, p)
     }
+    // below the floor the API must refuse loudly (the silent
+    // correct-but-buffering regime is exactly what the floor forbids)
+    val tiny = Seq((1, 1.0), (1, 2.0)).toDF("asdf_id", "value")
+    val ex = intercept[IllegalArgumentException] {
+      Extracts.extract(tiny, "percentile_guided", guidedAccuracy = 99)
+    }
+    assert(ex.getMessage.contains("contract floor"))
     // median/mad wrappers ride the same machinery
     val t = Seq((9, 1.0), (9, 2.0), (9, 4.0), (9, 10.0)).toDF("asdf_id", "value")
     assert(Extracts.extract(t, "median_guided").collect().head.getDouble(1) == 3.0)
@@ -158,7 +172,9 @@ class ExtractsSpec extends AnyFunSuite {
   test("guidedQuantiles: many fractions from one bracket equal the exact " +
     "percentiles (winsor/fence/decile shape)") {
     val rnd = new scala.util.Random(11)
-    val rows = (0 until 600).map { _ =>
+    // ~500 rows per zone: above the floor's n ≤ 200 widen threshold, so
+    // the multi-fraction NARROW windows are what's under test
+    val rows = (0 until 1500).map { _ =>
       val zn = rnd.nextInt(3)
       val v = if (rnd.nextInt(5) == 0) 25.0 else rnd.nextDouble() * 100
       (zn, v)
@@ -166,7 +182,7 @@ class ExtractsSpec extends AnyFunSuite {
     val df = rows.toDF("asdf_id", "value")
     val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
     val names = ps.map(p => s"q${(p * 100).toInt}")
-    val got = Extracts.guidedQuantiles(df, ps, names, accuracy = 60)
+    val got = Extracts.guidedQuantiles(df, ps, names, accuracy = 100)
       .collect().map(r => r.getInt(0) -> r).toMap
     for ((p, name) <- ps.zip(names)) {
       val exact = Extracts.extract(df, "percentile_buffer", p = p)
@@ -185,7 +201,10 @@ class ExtractsSpec extends AnyFunSuite {
       monotonically_increasing_id}
     val rnd = new scala.util.Random(23)
     for (trial <- 0 until 3) {
-      val rows = (0 until 500).map { _ =>
+      // 3000 rows over ~3 fat zones: at the floor accuracy the k=10 widen
+      // threshold is n ≤ 650, so the fat zones run the NARROW boundary
+      // windows while zone 3 / the n=1 zone keep the widen path covered
+      val rows = (0 until 3000).map { _ =>
         val zn = rnd.nextInt(4)
         // heavy tie mass (tile boundaries inside tie runs are the case
         // where a value-windowed extraction could mis-pick an edge)
@@ -197,8 +216,9 @@ class ExtractsSpec extends AnyFunSuite {
       val df = rows.toDF("asdf_id", "value")
       for (k <- Seq(2, 3, 10)) {
         // tie-break for the brute force is an arbitrary synthetic id: the
-        // tile SUMMARY must be identical for any tie-break column
-        val tb = Extracts.guidedTileBounds(df, k, accuracy = 40)
+        // tile SUMMARY must be identical for any tie-break column;
+        // accuracy = the contract floor (coarsest allowed sketch)
+        val tb = Extracts.guidedTileBounds(df, k, accuracy = 100)
           .collect().map(r => (r.getInt(0), r.getLong(1)) ->
             (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
         val w = Window.partitionBy("asdf_id")

@@ -417,6 +417,23 @@ class PlanSpec extends AnyFunSuite {
     assert(badBnlj.isEmpty, s"non-scalar nested-loop join:\n$p")
   }
 
+  test("every 1-row cross attach is HINT-broadcast, never estimate-" +
+    "broadcast (vocab_heavy_sketch totals, triangle_count tri — the two " +
+    "formerly bare sites — plus the scalar-attach family)") {
+    // crossJoin(broadcast(x)) leaves strategy=broadcast on the logical
+    // Join; a bare crossJoin relies on the planner's size ESTIMATE to
+    // pick BNLJ — the exact failure class the spill drive's
+    // LogicalRDD-stats cliff documented. Pin: no un-hinted cross join.
+    for (q <- Seq("vocab_heavy_sketch", "triangle_count", "dup_pagerank",
+        "gap_fill_locf")) {
+      val op = SparkEntry.queries(q)(spark, d)
+        .queryExecution.optimizedPlan.toString
+      val bare = op.linesIterator.filter(_.contains("Join Cross"))
+        .filterNot(_.contains("strategy=broadcast")).toSeq
+      assert(bare.isEmpty, s"$q: un-hinted cross join(s):\n${bare.mkString("\n")}")
+    }
+  }
+
   test("dedup_incremental: the store check is ONE join against the " +
     "materialized line store (a plain parquet scan, prunable)") {
     val p = plan("dedup_incremental")
