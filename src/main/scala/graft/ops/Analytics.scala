@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.Ckpt._
 
@@ -61,32 +61,86 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("users"))
   }
 
+  /** Count of `edges` entries strictly below `key`, by an UNROLLED binary
+    * search: log2(maxBands) dynamic `element_at` probes per row instead
+    * of a (maxBands−1)-element linear `aggregate` scan — what makes a
+    * 4096-cell fine grid affordable per row. Classic power-of-two
+    * descent: pos ends as the largest 1-based index with
+    * edges(pos) < key, i.e. the strictly-below count; equal keys land on
+    * the SAME pos, so ties always share a band. Requires `edges` sorted
+    * ascending (callers array_sort the percentile_approx output — GK
+    * query order is monotone, but the sort makes it a guarantee, one
+    * O(maxBands·log) pass per EDGE ROW, never per data row). A null
+    * probe (null key, or the NULL edges array from an all-null key
+    * column) never advances — those rows land at pos 0, the degenerate
+    * first-band placement the rank machinery already handles.
+    *
+    * Spelled as ONE `aggregate` fold over the descent-step array rather
+    * than an unrolled when-chain: each unrolled level would reference
+    * the previous level's expression three times, tripling the tree per
+    * step (3^12 nodes at maxBands = 4096 — measured OOM at plan time);
+    * the fold keeps the expression linear and iterates at runtime. */
+  private def belowCount(edgesCol: String, keyCol: String,
+      maxBands: Int): Column = {
+    val steps = Iterator.iterate(maxBands / 2)(_ / 2).takeWhile(_ >= 1)
+      .mkString(",")
+    expr(s"""aggregate(array($steps), 0, (pos, step) ->
+      IF(pos + step <= ${maxBands - 1}
+           AND `$keyCol` > element_at(`$edgesCol`, pos + step),
+         pos + step, pos))""")
+  }
+
+  /** In-plan effective band count: k = clamp(ceil(n/target), 1, maxBands)
+    * — the ADAPTIVE piece. n comes from the same aggregate row that
+    * carries the edges, so the band count is derived from the data's own
+    * count at runtime (rows-per-band budget), never a hard-coded
+    * band-count constant, and construction stays job-free (no driver
+    * count — the dry-run contract). */
+  private def kBands(nCol: String, target: Long, maxBands: Int): Column =
+    expr(s"least(CAST($maxBands AS BIGINT), " +
+      s"greatest(1L, ($nCol + ${target - 1}L) div ${target}L))")
+
   /** Banded two-phase GLOBAL rank — the gini_spend shape promoted to a
     * helper: rank within a band via a partitioned window, then add
     * |bands|-row running offsets broadcast back; never a single-task
     * population sort. `tie` fully tiebreaks within the key for
     * engine-independent ranks. Adds `out` and drops its working columns.
     *
-    * Bands are EQUI-DEPTH since round 7: edges are the key's
-    * (nBands−1)-quantiles from one percentile_approx pass over the frame
-    * (broadcast back as a 1-row array), replacing the caller-supplied
-    * fixed-width content bands ($10k spend / 64-token / 10-minute) whose
-    * skew SCALE.md admitted "degrades toward the naive sort" — a
-    * distribution where one content band held ~90% of the population now
-    * still sorts ~n/nBands rows per task (measured flat in the
-    * DriveScale10x `--x10bandskew` tier). Edge VALUES may vary with GK
-    * partial-merge order, but band assignment is monotone in the key and
-    * equal keys always share a band (band = #edges strictly below key),
-    * so per-band offsets compose into the SAME global rank for any edge
-    * set — the output is deterministic even though the banding isn't. */
+    * Bands are EQUI-DEPTH (round 7) and the band COUNT is
+    * SCALE-ADAPTIVE (round 8): one percentile_approx pass computes the
+    * key's (maxBands−1)-quantile fine grid AND the row count n; the
+    * effective band count k = clamp(⌈n/target⌉, 1, maxBands) is derived
+    * from n INSIDE the plan, and each row's band is its fine-grid cell
+    * (binary search, [[belowCount]]) down-mapped by (fine·k) div
+    * maxBands. The per-window-task row budget is therefore
+    * ≈ max(target, n/maxBands) — a ROWS constant until n exceeds
+    * target·maxBands (2⁴⁴ rows at the defaults), not the 1/64th-of-
+    * population constant the round-7 form hard-coded — with GK rank
+    * error adding at most ~n/maxBands per band (accuracy = 2·maxBands),
+    * so the worst task holds ≤ ~2× the budget. Edge VALUES may vary with
+    * GK partial-merge order, but band assignment is monotone in the key
+    * and equal keys always share a band, so per-band offsets compose
+    * into the SAME global rank for any edge set — the output is
+    * deterministic even though the banding isn't.
+    *
+    * @param target   rows-per-band budget: the most rows one window task
+    *                 should sort. 64k rows ≈ a few MB / ms-scale task.
+    * @param maxBands fine-grid resolution cap (power of two): caps edge
+    *                 state at maxBands−1 doubles per frame and sets the
+    *                 post-cap per-task share n/maxBands. */
   def bandedRank(df: DataFrame, key: String,
-      tie: String, asc: Boolean, out: String, nBands: Int = 64): DataFrame = {
+      tie: String, asc: Boolean, out: String,
+      target: Long = 1L << 16, maxBands: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(target >= 1, "rows-per-band target must be positive")
+    require(maxBands >= 2 && (maxBands & (maxBands - 1)) == 0,
+      s"maxBands must be a power of two (binary-search descent), got $maxBands")
     // working-column clash would silently clobber + drop caller data
-    val clash = df.columns.toSet.intersect(Set("band", "wi", "off", "edges", out))
+    val clash = df.columns.toSet.intersect(
+      Set("band", "wi", "off", "edges", "__rr_n", "__rr_fine", "__rr_k", out))
     require(clash.isEmpty,
       s"bandedRank working columns collide with input: ${clash.mkString(", ")}")
-    val fracs = (1 until nBands).map(i => lit(i.toDouble / nBands))
+    val fracs = (1 until maxBands).map(i => lit(i.toDouble / maxBands))
     // LAZY DISK_ONLY checkpoint of the input: the edges aggregate, the
     // banded fact side, and the offsets rollup all read it — without the
     // sever, each consumer re-derives the caller's upstream (a user-grain
@@ -94,21 +148,23 @@ object Analytics {
     // where plan subtrees multiplied to 153 textual exchanges). The frame
     // is population-grain (|users|/|docs|), so DISK_ONLY per Ckpt policy.
     val base = df.diskCheckpointLazy()
-    // accuracy 100 (coarse): edges only BALANCE the bands, never touch a
-    // rank — GK compression cost scales with accuracy (the
-    // guidedAccuracy note), and a rank error of n/100 against an n/64
-    // band width costs at most ~2/3 of a band of imbalance
+    // accuracy 2·maxBands: edges only BALANCE the bands, never touch a
+    // rank, but the GK rank error n/accuracy must stay under a fine-cell
+    // width n/maxBands or the equi-depth grid degrades toward noise
     val edges = base.agg(
-      percentile_approx(col(key), array(fracs: _*), lit(100)).as("edges"))
-    // coalesce(-1): an all-NULL key column makes percentile_approx return
-    // a NULL edge array — every row then lands in one (-1) band, which is
-    // the correct degenerate single-band rank, instead of a NULL band
-    // that a null-unsafe offsets join would silently drop
+      count(lit(1)).as("__rr_n"),
+      array_sort(percentile_approx(col(key), array(fracs: _*),
+        lit(2 * maxBands))).as("edges"))
+    // null keys and the all-NULL-key-column case (NULL edges array) both
+    // leave the binary search at pos 0 — the degenerate first-band
+    // placement (asc orders nulls first there; desc offsets compose the
+    // same way since band assignment stays monotone)
     val banded = base.crossJoin(broadcast(edges))
-      .withColumn("band", coalesce(
-        expr(s"aggregate(edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"),
-        lit(-1)))
-      .drop("edges")
+      .withColumn("__rr_fine",
+        belowCount("edges", key, maxBands).cast("long"))
+      .withColumn("__rr_k", kBands("__rr_n", target, maxBands))
+      .withColumn("band", expr(s"(__rr_fine * __rr_k) div $maxBands"))
+      .drop("edges", "__rr_n", "__rr_fine", "__rr_k")
     val ord =
       if (asc) Seq(col(key).asc, col(tie).asc)
       else Seq(col(key).desc, col(tie).asc)
@@ -129,37 +185,46 @@ object Analytics {
     * `ntile(k) OVER (PARTITION BY zone ORDER BY key, ties…)` exactly,
     * WITHOUT ever serializing a zone into one window task (the
     * hot-zone escape SCALE.md X75/X33 used to describe only in prose).
-    * Mechanics: per-zone quantile edges (one percentile_approx
-    * aggregate, |zones|-row broadcast via the null-safe
-    * [[Extracts.joinOnZone]]) split each zone into ~n/nBands-row
-    * (zone, band) window partitions; a |zones|×nBands-row running
-    * offset rebuilds the exact per-zone row_number; the closed-form
-    * ntile remainder rule (first n mod k tiles take ⌈n/k⌉ rows) maps
-    * rank → tile. Ties share a band (band = #edges strictly below
-    * key), so the rank — and therefore every tile — is identical to
-    * the single-window formulation for any edge set. */
+    * Mechanics: per-zone quantile edges at the maxBands fine grid (one
+    * percentile_approx aggregate, |zones|-row broadcast via the
+    * null-safe [[Extracts.joinOnZone]]) split each zone into (zone,
+    * band) window partitions, with the PER-ZONE effective band count
+    * derived from that zone's own count — clamp(⌈__zn/target⌉, 1,
+    * maxBands), the [[bandedRank]] adaptive rule — so every window task
+    * holds ≈ max(target, zn/maxBands) rows no matter how hot the zone; a
+    * |zones|×bands-row running offset rebuilds the exact per-zone
+    * row_number; the closed-form ntile remainder rule (first n mod k
+    * tiles take ⌈n/k⌉ rows) maps rank → tile. Ties share a band (equal
+    * keys hit the same fine cell, [[belowCount]]), so the rank — and
+    * therefore every tile — is identical to the single-window
+    * formulation for any edge set. */
   def zonedNtile(df: DataFrame, zone: String, key: String,
-      ties: Seq[String], k: Int, out: String, nBands: Int = 32): DataFrame = {
+      ties: Seq[String], k: Int, out: String,
+      target: Long = 1L << 16, maxBands: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(target >= 1, "rows-per-band target must be positive")
+    require(maxBands >= 2 && (maxBands & (maxBands - 1)) == 0,
+      s"maxBands must be a power of two (binary-search descent), got $maxBands")
     val work = Set("__zn", "__edges", "__band", "__bn", "__off", "__wi",
-      "__i", "__zb", out)
+      "__i", "__zb", "__fine", "__k", out)
     val clash = df.columns.toSet.intersect(work)
     require(clash.isEmpty,
       s"zonedNtile working columns collide with input: ${clash.mkString(", ")}")
-    val fracs = (1 until nBands).map(i => lit(i.toDouble / nBands))
-    // accuracy 100: as in [[bandedRank]], edges only balance — a coarse
-    // sketch costs a fraction of the GK compression and the worst case
-    // is mild band imbalance, never a wrong tile
+    val fracs = (1 until maxBands).map(i => lit(i.toDouble / maxBands))
+    // accuracy 2·maxBands: as in [[bandedRank]], edges only balance —
+    // but the GK rank error must stay under a fine-cell width
     val bounds = df.groupBy(col(zone)).agg(
       count(lit(1)).as("__zn"),
-      percentile_approx(col(key), array(fracs: _*), lit(100)).as("__edges"))
-    // coalesce(-1): NULL edges (all-NULL key in a zone) collapse to one
-    // band rather than a NULL band — see [[bandedRank]]
+      array_sort(percentile_approx(col(key), array(fracs: _*),
+        lit(2 * maxBands))).as("__edges"))
+    // null keys / NULL edges (all-NULL key in a zone) stay at fine cell
+    // 0 — the degenerate first-band placement — see [[belowCount]]
     val banded = Extracts.joinOnZone(df, bounds, zone)
-      .withColumn("__band", coalesce(
-        expr(s"aggregate(__edges, 0, (acc, e) -> acc + IF($key > e, 1, 0))"),
-        lit(-1)))
-      .drop("__edges")
+      .withColumn("__fine",
+        belowCount("__edges", key, maxBands).cast("long"))
+      .withColumn("__k", kBands("__zn", target, maxBands))
+      .withColumn("__band", expr(s"(__fine * __k) div $maxBands"))
+      .drop("__edges", "__fine", "__k")
     val wIn = Window.partitionBy(col(zone), col("__band"))
       .orderBy((key +: ties).map(col(_).asc): _*)
     val offs = banded.groupBy(col(zone), col("__band"))

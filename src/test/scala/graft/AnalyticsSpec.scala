@@ -1632,4 +1632,40 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got == want, s"k=$k tiles diverge from ntile")
     }
   }
+
+  test("adaptive band count: ranks/tiles identical for ANY rows-per-band " +
+    "target and grid resolution (k=1 degenerate, mid, clamped at maxBands)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(29)
+    // ties + a hot clump so band boundaries land inside tie runs
+    val rows = (0 until 2500).map { i =>
+      val v = if (rnd.nextInt(4) == 0) 77L else rnd.nextInt(500).toLong
+      (i.toLong, v, if (rnd.nextInt(5) != 0) "hot" else s"z${rnd.nextInt(3)}")
+    }
+    val df = rows.toDF("id", "v", "zone")
+    val wantRank = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val wNt = Window.partitionBy("zone").orderBy(col("v"), col("id"))
+    val wantTile = df.withColumn("t", ntile(7).over(wNt).cast("long"))
+      .collect().map(r => (r.getString(2), r.getLong(0)) -> r.getLong(3)).toMap
+    // (target, maxBands): default-budget degenerate single band; a mid
+    // setting where k = ceil(n/target) is adaptive; target=1 where k
+    // CLAMPS at maxBands (every fine cell its own band); tiny grid
+    for ((tgt, mb) <- Seq((1L << 16, 4096), (256L, 4096), (1L, 64), (64L, 16))) {
+      val gotR = Analytics.bandedRank(df, "v", "id", asc = true, "r",
+          target = tgt, maxBands = mb)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(gotR == wantRank, s"bandedRank diverges at target=$tgt maxBands=$mb")
+      val gotT = Analytics.zonedNtile(df, "zone", "v", Seq("id"), 7, "t",
+          target = tgt, maxBands = mb)
+        .collect().map(r => (r.getString(2), r.getLong(0)) -> r.getLong(3)).toMap
+      assert(gotT == wantTile, s"zonedNtile diverges at target=$tgt maxBands=$mb")
+    }
+    // the descent requires a power-of-two grid — reject loudly
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.bandedRank(df, "v", "id", asc = true, "r", maxBands = 48)
+    }
+    assert(ex.getMessage.contains("power of two"))
+  }
 }

@@ -75,7 +75,8 @@ object DriveScale10x {
     // read it (default ops, --tier2, --x100's 10x leg, --x100events's
     // 10x leg); the lineitem-only tiers build their own corpora
     val needsBig = args.length <= 1 ||
-      !Set("--x100extracts", "--x100robust", "--x10bandskew").contains(args(1))
+      !Set("--x100extracts", "--x100robust", "--x10bandskew",
+        "--x100bandskew").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -271,6 +272,42 @@ object DriveScale10x {
         val e = math.log(t10 / t1) / math.log(10.0)
         println(f"$op%-18s skew1x=$t1%6.2f s  skew10x=$t10%7.2f s  exponent=$e%5.2f")
       }
+      s.stop(); return
+    }
+    // --x100bandskew: SECOND decade for the banded-rank family (round-8
+    // verdict #1 — the adaptive rows-per-band budget replacing the
+    // hard-coded 64/32 band counts). Event-grain ranked ops run on the
+    // spend-skew corpus at ×1/×10/×100 (same 90%-one-content-band squash
+    // and 4× whale ratio at every scale); the doc-grain banded ops
+    // (shard_balance token bands, quality_tiles per-language ntile) run
+    // across the documents decades. At ×100 the user population crosses
+    // the 64k rows-per-band target, so the measurement exercises the
+    // ADAPTIVE k = ⌈n/target⌉ path, not just a wider constant.
+    if (args.length > 1 && args(1) == "--x100bandskew") {
+      val sk1 = "/tmp/graft_skew1ev"
+      val sk10 = "/tmp/graft_skew10ev"
+      val sk100 = "/tmp/graft_skew100ev"
+      val doc10 = "/tmp/graft_scale10doc"
+      val doc100 = "/tmp/graft_scale100x"
+      for ((d, c) <- Seq((sk1, 1), (sk10, 10), (sk100, 100)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateEventsSkewed(s, base, d, c)
+      for ((d, c) <- Seq((doc10, 10), (doc100, 100)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateDocs(s, base, d, c)
+      def row(op: String, d1: String, d10: String, d100: String): Unit = {
+        run(op, d1); val t1 = run(op, d1)
+        run(op, d10); val t10 = run(op, d10)
+        run(op, d100); val t100 = run(op, d100)
+        val e1 = math.log(t10 / t1) / math.log(10.0)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+          f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+      }
+      Seq("gini_spend", "rfm_scores", "funnel_latency")
+        .foreach(row(_, sk1, sk10, sk100))
+      Seq("shard_balance", "quality_tiles")
+        .foreach(row(_, base, doc10, doc100))
       s.stop(); return
     }
     val rows = chosen.map { op =>
