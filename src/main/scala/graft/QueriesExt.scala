@@ -222,6 +222,23 @@ object QueriesExt {
       LlmOps.connectedComponents(nodes, dupPairs(s, d))
     }
 
+  /** Embedding duplicate-cluster labels `(vec_id, rep)` — the embed-side
+    * twin of [[dupClusters]], memoized per (session, dir) through
+    * [[Tables.memo]] (r7 verdict task #6): a real deployment
+    * materializes the sign-LSH → cosine-gate → connected-components
+    * label frame ONCE and every purge/retention consumer joins against
+    * it; the memo is the in-session equivalent, and the CC output is
+    * already checkpoint-backed so reuse costs a block read, not a
+    * pipeline re-derivation (BASELINE.md records the cold and warm rows
+    * separately). */
+  private def embedClusters(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"derived:embed_clusters:$d") {
+      val nodes = emb(s, d).select(col("vec_id").as("node"))
+      LlmOps.connectedComponents(nodes, embedDupPairs(s, d)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("node").as("vec_id"), col("rep"))
+    }
+
   /** Embedding near-dup candidate pairs (vec_a, vec_b, cos_r) — the
     * shared BUILDER behind the pair listing (dedup_embed_cosine) and the
     * bounded-output cluster resolution (dedup_embed_clusters); each
@@ -973,14 +990,9 @@ object QueriesExt {
       // duplicated the corpus is, which is what a purge/retention
       // pipeline actually consumes (the SCALE.md recommendation for the
       // pair listing's 1.25 output exponent, previously advice-only,
-      // now a wired path mirroring the text-side dedup_clusters).
-      (s, d) => {
-        val nodes = emb(s, d).select(col("vec_id").as("node"))
-        LlmOps.connectedComponents(nodes, embedDupPairs(s, d)
-            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-          .select(col("node").as("vec_id"), col("rep"))
-          .orderBy("vec_id")
-      },
+      // now a wired path mirroring the text-side dedup_clusters —
+      // including its label-frame memo, [[embedClusters]]).
+      (s, d) => embedClusters(s, d).orderBy("vec_id"),
       Some(s"""WITH RECURSIVE $embedPairCtes,
         eedges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
                    UNION ALL SELECT vec_b, vec_a FROM epairs),

@@ -21,7 +21,14 @@ object DriveBenchSubset {
       df.select(xxhash64(df.columns.map(col): _*).as("h"))
         .agg(expr("bit_xor(h)")).head(): Unit
     }
-    names.foreach(run) // warm-up
+    // warm-up (timed and printed as the COLD row: first-touch cost in a
+    // fresh session — what a memo-family query pays before its label
+    // frame is materialized; BASELINE.md records memo rows cold AND warm)
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      run(n)
+      println(f"cold  $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     for (pass <- 1 to 2) {
       names.foreach { n =>
         val t0 = System.nanoTime()
