@@ -208,6 +208,55 @@ object QueriesExt {
       LlmOps.minhashPairs(docs(s, d)).diskCheckpointLazy()
     }
 
+  /** Signature-grouped MinHash frame `(doc_id, s0..s7, gid)` — the
+    * quotient substrate shared by every duplicate-GRAPH operator (CC,
+    * degree, triangles, PageRank). Docs with identical full signatures
+    * are automorphic in the pair graph ([[LlmOps.minhashGrouped]]), so
+    * those consumers compute at group grain and a boilerplate
+    * megacluster of k identical docs costs O(k), not O(k²) — the pair
+    * LISTING (`dedup_minhash`) keeps [[dupPairs]] because its declared
+    * output IS the quadratic pair set. Memoized like the pair list: one
+    * signature pipeline feeds four registered queries. */
+  private def mhGrouped(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"derived:mh_grouped:$d") {
+      LlmOps.minhashGrouped(docs(s, d)).diskCheckpointLazy()
+    }
+
+  /** Signature groups `(gid, m, s0..s7)`, memoized (see [[mhGrouped]]). */
+  private def mhGroups(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"derived:mh_groups:$d") {
+      LlmOps.signatureGroups(mhGrouped(s, d)).diskCheckpointLazy()
+    }
+
+  /** Quotient candidate edges `(ga, gb)`, memoized (see [[mhGrouped]]). */
+  private def mhQEdges(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"derived:mh_qedges:$d") {
+      LlmOps.quotientEdges(mhGroups(s, d)).diskCheckpointLazy()
+    }
+
+  /** Per-group duplicate-graph degree `(gid, m, degree)`: every member of
+    * group `a` has exactly `(m_a - 1) + Σ_{b~a} m_b` pair-graph neighbors
+    * (its own group minus itself, plus every member of each quotient-
+    * adjacent group) — the automorphism argument that lets the degree,
+    * wedge, and PageRank math run at group grain with EXACT integer
+    * equality to the node-grain forms (the DuckDB oracles still compute
+    * the all-pairs node-grain construction, so every correctness pass
+    * re-proves the quotient identity). */
+  private def mhGroupDegrees(s: SparkSession, d: String): DataFrame = {
+    val g = mhGroups(s, d).select(col("gid"), col("m"))
+    val qe = mhQEdges(s, d)
+    val nmass = qe.select(col("ga").as("gid"), col("gb").as("nb"))
+      .unionAll(qe.select(col("gb"), col("ga")))
+      .join(g.select(col("gid").as("nb"), col("m").as("nm"))
+        .hint("shuffle_hash"), Seq("nb"))
+      .groupBy(col("gid")).agg(sum(col("nm")).as("nmass"))
+    // both sides are checkpoint/aggregate-lineage (estimate stats) —
+    // hint so the planner never broadcasts a group-proportional frame
+    g.join(nmass.hint("shuffle_hash"), Seq("gid"), "left")
+      .select(col("gid"), col("m"),
+        (col("m") - 1 + coalesce(col("nmass"), lit(0L))).as("degree"))
+  }
+
   /** Duplicate-cluster labels `(node, rep)` for the corpus at `d`, memoized
     * per session. Four independent operators (cluster listing, min-id
     * purge, quality-aware retention, size histogram) consume the same
@@ -215,11 +264,28 @@ object QueriesExt {
     * that intermediate once and every downstream op joins against it —
     * [[Tables.memo]] is the in-session equivalent (the CC output is
     * already checkpoint-backed, so reuse costs a block read, not a
-    * recompute). */
+    * recompute).
+    *
+    * Components run over the signature QUOTIENT (star edges gid→member
+    * within each group, plus [[mhQEdges]] between groups), which has
+    * exactly the pair graph's connectivity: within a group the star and
+    * the clique connect the same member set, two groups' members are
+    * pair-adjacent iff the groups share a band (adjacency is a function
+    * of the signature alone), and min-label reps agree because gid is
+    * the group minimum. LlmOpsSpec proves label-for-label equality
+    * against CC over [[LlmOps.minhashPairs]], megacluster included. */
   private def dupClusters(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"derived:dup_clusters:$d") {
       val nodes = docs(s, d).select(col("doc_id").as("node"))
-      LlmOps.connectedComponents(nodes, dupPairs(s, d))
+      val star = mhGrouped(s, d).filter(col("doc_id") =!= col("gid"))
+        .select(col("gid").as("doc_a"), col("doc_id").as("doc_b"))
+      // checkpoint the FINAL label frame: the memo's consumers (sizes,
+      // purge, keep-best, balanced sample) otherwise re-run the isolated-
+      // node union branch per execution — one block read beats four
+      // anti-join recomputes
+      LlmOps.connectedComponents(nodes,
+          star.unionAll(mhQEdges(s, d).toDF("doc_a", "doc_b")))
+        .diskCheckpointLazy()
     }
 
   /** Embedding duplicate-cluster labels `(vec_id, rep)` — the embed-side
@@ -230,13 +296,37 @@ object QueriesExt {
     * it; the memo is the in-session equivalent, and the CC output is
     * already checkpoint-backed so reuse costs a block read, not a
     * pipeline re-derivation (BASELINE.md records the cold and warm rows
-    * separately). */
+    * separately).
+    *
+    * Like [[dupClusters]], the components run over an identity QUOTIENT:
+    * vectors with the same `(label, v)` are automorphic in the gated
+    * candidate graph (cells and cosines are functions of the values
+    * alone), so the gated pair pipeline runs over one representative per
+    * identity group and star edges gid→member supply the intra-group
+    * connectivity — a corpus duplicated k× collapses its candidate
+    * work to the distinct-vector set instead of k² bucket pairs. The
+    * star is unconditional, mirroring the pair pipeline's own gate on
+    * identical vectors (cosine 1 for any nonzero vector; the degenerate
+    * all-zero vector hits the same 0/0 path the pair form hits, so
+    * connectivity is unchanged there too). LlmOpsSpec proves
+    * label-for-label equality against CC over the ungrouped pair
+    * pipeline, duplicated corpus included. */
   private def embedClusters(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"derived:embed_clusters:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val mem = emb(s, d).withColumn("gid",
+          min(col("vec_id")).over(Window.partitionBy(col("label"), col("v"))))
+        .diskCheckpointLazy()
+      val reps = mem.filter(col("vec_id") === col("gid"))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      val star = mem.filter(col("vec_id") =!= col("gid"))
+        .select(col("gid").as("doc_a"), col("vec_id").as("doc_b"))
       val nodes = emb(s, d).select(col("vec_id").as("node"))
-      LlmOps.connectedComponents(nodes, embedDupPairs(s, d)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      LlmOps.connectedComponents(nodes,
+          star.unionAll(embedDupPairsFrom(reps)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
         .select(col("node").as("vec_id"), col("rep"))
+        .diskCheckpointLazy() // one block read per memo hit (see dupClusters)
     }
 
   /** Embedding near-dup candidate pairs (vec_a, vec_b, cos_r) — the
@@ -256,13 +346,16 @@ object QueriesExt {
     * each consumer pays its own pipeline, so bench rows stay
     * order-independent and the candidate join stays visible in every
     * consumer's plan (PlanSpec pins its (label, band, cell) key). */
-  private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def embedDupPairs(s: SparkSession, d: String): DataFrame =
+    embedDupPairsFrom(emb(s, d))
+
+  private def embedDupPairsFrom(e: DataFrame): DataFrame = {
       // the checkpointed banding frame is SLIM — ids and cell keys only,
       // never the vector payloads (materializing corpus-sized vectors is
       // the 100 TB anti-pattern); candidate pairs are deduped across
       // bands first, then the two vectors attach by id-keyed joins and
       // the exact cosine runs once per unique pair
-      val cells = emb(s, d)
+      val cells = e
         .withColumn("bc", explode(LlmOps.signLshCells(col("v"))))
         .select(col("vec_id"), col("label"), col("bc.band"), col("bc.cell"))
         .diskCheckpoint()
@@ -277,7 +370,7 @@ object QueriesExt {
           .hint("shuffle_hash"), Seq("label", "band", "cell"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b")).distinct()
-      val vecs = emb(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
       pairs
         .join(vecs.toDF("vec_a", "va", "na"), Seq("vec_a"))
         .join(vecs.toDF("vec_b", "vb", "nb"), Seq("vec_b"))
@@ -285,7 +378,7 @@ object QueriesExt {
           round(LlmOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cos_r") >= 0.3)
         .select(col("vec_a"), col("vec_b"), col("cos_r"))
-    }
+  }
 
   /** Oracle CTE chain mirroring [[embedDupPairs]]: embeddings → Walsh
     * sign bits → 3 LSH band cells → distinct cosine-gated pairs
@@ -3370,19 +3463,24 @@ object QueriesExt {
       // Duplicate-graph degree histogram (X57): how many docs have k
       // LSH-candidate neighbors — the corpus-health signal that catches
       // boilerplate storms (one template yielding a near-clique) before
-      // the connected-components pass walks it. Edges explode to both
-      // endpoints, count per node (zero-degree docs kept via left join),
-      // then a |degrees|-row histogram. Everything after the pair join is
-      // aggregate-cardinality.
+      // the connected-components pass walks it. Computed at signature-
+      // group grain ([[mhGroupDegrees]]): every member of a group shares
+      // one degree, so the histogram weighs each group row by its
+      // multiplicity instead of exploding a megacluster's O(k²) pair
+      // endpoints — exact by the automorphism argument, and the oracle
+      // below still computes the node-grain all-pairs form. Docs with no
+      // shingles (no signature row) are the remaining degree-0 mass.
       (s, d) => {
-        val pairs = dupPairs(s, d)
-        val deg = pairs.select(col("doc_a").as("doc_id"))
-          .unionAll(pairs.select(col("doc_b").as("doc_id")))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-        docs(s, d).select(col("doc_id"))
-          .join(deg, Seq("doc_id"), "left")
-          .select(coalesce(col("degree"), lit(0L)).as("degree"))
-          .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        val shingleless = docs(s, d).select(col("doc_id"))
+          .join(mhGrouped(s, d).select(col("doc_id")).hint("shuffle_hash"),
+            Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit(0L).as("degree"), col("cnt"))
+        mhGroupDegrees(s, d)
+          .groupBy(col("degree")).agg(sum(col("m")).as("cnt"))
+          .unionByName(shingleless)
+          .groupBy(col("degree")).agg(sum(col("cnt")).as("n_docs"))
+          .filter(col("n_docs") > 0)
           .orderBy("degree")
       },
       Some(s"""WITH $minhashPairCtes,
@@ -3491,29 +3589,57 @@ object QueriesExt {
       // counted exactly once (its minimum-(deg,id) vertex owns it).
       // Wedge total Σ C(deg,2) is an integer aggregate; the coefficient
       // rounds at output.
+      // Computed at signature-group grain (the automorphism argument,
+      // [[mhGroupDegrees]]): a group of m identical-signature docs is an
+      // internal m-clique whose closed forms are C(m,2) edges, C(m,3)
+      // triangles, and m·C(deg,2) wedges (one shared degree); a quotient
+      // edge (a,b) contributes m_a·m_b cross edges and
+      // C(m_a,2)·m_b + C(m_b,2)·m_a mixed triangles; only triangles with
+      // all three corners in DISTINCT groups need enumeration, and that
+      // runs the degree-ordered orientation over the QUOTIENT graph — so
+      // a k-doc megacluster costs O(1) group rows here instead of O(k³)
+      // wedge enumeration. Exact integers throughout (products ≲ m·deg²
+      // ≈ 10¹⁴ at the 100× megacluster — Long headroom; a 100 TB run
+      // promotes to DECIMAL); the oracle still computes the node-grain
+      // all-pairs form, re-proving the identity every correctness pass.
       (s, d) => {
-        val pairs = dupPairs(s, d) // doc_a < doc_b, canonical
-        val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-          .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        val o = edges.join(deg, Seq("u"))
-          .join(deg.select(col("u").as("v"), col("deg").as("degv")), Seq("v"))
-          .filter(col("deg") < col("degv") ||
-            (col("deg") === col("degv") && col("u") < col("v")))
+        val g = mhGroups(s, d).select(col("gid"), col("m"))
+        val qe = mhQEdges(s, d).diskCheckpointLazy()
+        val nodeStats = mhGroupDegrees(s, d).agg(
+          sum(expr("m * (m - 1) div 2")).as("e_in"),
+          sum(expr("m * (degree * (degree - 1) div 2)")).as("n_wedges"),
+          sum(expr("m * (m - 1) * (m - 2) div 6")).as("t_in"))
+        val edgeStats = qe
+          .join(g.toDF("ga", "ma").hint("shuffle_hash"), Seq("ga"))
+          .join(g.toDF("gb", "mb").hint("shuffle_hash"), Seq("gb"))
+          .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as("e_x"),
+            coalesce(sum(expr(
+              "(ma * (ma - 1) div 2) * mb + (mb * (mb - 1) div 2) * ma")),
+              lit(0L)).as("t_mixed"))
+        val qsym = qe.select(col("ga").as("u"), col("gb").as("v"))
+          .unionAll(qe.select(col("gb"), col("ga")))
+        val qdeg = qsym.groupBy(col("u")).agg(count(lit(1)).as("qd"))
+        val o = qsym.join(qdeg.hint("shuffle_hash"), Seq("u"))
+          .join(qdeg.toDF("v", "qdv").hint("shuffle_hash"), Seq("v"))
+          .filter(col("qd") < col("qdv") ||
+            (col("qd") === col("qdv") && col("u") < col("v")))
           .select(col("u").as("src"), col("v").as("dst"))
-        val wedges = o.select(col("src"), col("dst").as("w1"))
-          .join(o.select(col("src"), col("dst").as("w2")), Seq("src"))
+          .diskCheckpointLazy()
+        val wedges = o.toDF("src", "w1")
+          .join(o.toDF("src", "w2"), Seq("src"))
           .filter(col("w1") < col("w2"))
-        val tri = wedges.join(pairs,
-            wedges("w1") === pairs("doc_a") && wedges("w2") === pairs("doc_b"),
-            "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
-        val stats = deg.agg(
-          (sum(col("deg")) / 2).cast("long").as("n_edges"),
-          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-        // broadcast the 1-row triangle total explicitly (estimate-proof
-        // build side, same rule as every other 1-row attach in the file)
-        stats.crossJoin(broadcast(tri))
+        val tQ = wedges.join(qe.hint("shuffle_hash"),
+            wedges("w1") === qe("ga") && wedges("w2") === qe("gb"), "left_semi")
+          .join(g.toDF("src", "ms").hint("shuffle_hash"), Seq("src"))
+          .join(g.toDF("w1", "m1").hint("shuffle_hash"), Seq("w1"))
+          .join(g.toDF("w2", "m2").hint("shuffle_hash"), Seq("w2"))
+          .agg(coalesce(sum(col("ms") * col("m1") * col("m2")), lit(0L))
+            .as("t_q"))
+        // broadcast the 1-row totals explicitly (estimate-proof build
+        // side, same rule as every other 1-row attach in the file)
+        nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tQ))
+          .select((col("e_in") + col("e_x")).as("n_edges"), col("n_wedges"),
+            (col("t_in") + col("t_mixed") + col("t_q")).as("n_triangles"))
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             when(col("n_wedges") === 0, lit(0.0))
               .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
@@ -4536,31 +4662,51 @@ object QueriesExt {
       // division `div`), so every engine sums the same integers in any
       // order — cross-engine float drift is structurally impossible
       // (doc_quality_composite's trick, applied to an iterative op).
+      // Iterated at signature-group grain (the automorphism argument):
+      // all members of a group have the same neighbor multiset shape —
+      // (m-1) in-group peers plus every member of each quotient-adjacent
+      // group — so they carry ONE common integer rank per iteration, and
+      // the group recurrence sc_a = (m_a-1)·(r_a div d_a) +
+      // Σ_{b~a} m_b·(r_b div d_b) reproduces the node-grain integer
+      // arithmetic EXACTLY (multiplying by a count is repeated exact
+      // addition; `div` happens before the multiply in both forms). A
+      // megacluster contributes one group row per iteration instead of
+      // O(k²) contribution edges; the oracle still iterates the
+      // node-grain all-pairs form.
       (s, d) => {
-        val pairs = dupPairs(s, d)
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        val nodes = edges.select(col("src").as("doc_id")).distinct()
-        val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
-        val withDeg = edges.join(deg, Seq("src"))
+        // graph nodes = docs with ≥1 pair edge ⇔ members of groups with
+        // degree > 0 (m ≥ 2 or any quotient neighbor)
+        val deg = mhGroupDegrees(s, d).filter(col("degree") > 0)
+          .diskCheckpointLazy()
+        val qe = mhQEdges(s, d)
+        val sym = qe.select(col("ga").as("gid"), col("gb").as("nb"))
+          .unionAll(qe.select(col("gb"), col("ga")))
+        val nDf = deg.agg(sum(col("m")).as("n_nodes"))
         // broadcast the 1-row node count explicitly (estimate-proof build
         // side — same rule as every other scalar attach)
-        var r = nodes.crossJoin(broadcast(nDf))
-          .select(col("doc_id"), expr("1000000 div n_nodes").as("r"))
+        var r = deg.crossJoin(broadcast(nDf))
+          .select(col("gid"), col("m"), col("degree"),
+            expr("1000000 div n_nodes").as("r"))
         for (_ <- 1 to 3) {
-          // the rank frame is |nodes|-proportional with estimate-only
-          // stats (memo/aggregate lineage) — hint it so no iteration
-          // broadcasts the graph (SCALE.md LogicalRDD-stats lesson)
-          val contrib = withDeg.join(r.hint("shuffle_hash"),
-              col("src") === col("doc_id"))
-            .select(col("dst"), expr("r div deg").as("c"))
-          r = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          // every frame in the loop is group-proportional with
+          // estimate-only stats (memo/aggregate lineage) — hint so no
+          // iteration broadcasts the graph (SCALE.md LogicalRDD-stats
+          // lesson)
+          val c = r.select(col("gid"), col("m"), col("degree"),
+            expr("r div degree").as("c"))
+          val xmass = sym.join(c.select(col("gid").as("nb"),
+              col("m").as("nm"), col("c").as("nc")).hint("shuffle_hash"),
+              Seq("nb"))
+            .groupBy(col("gid")).agg(sum(col("nm") * col("nc")).as("xm"))
+          r = c.join(xmass.hint("shuffle_hash"), Seq("gid"), "left")
             .crossJoin(broadcast(nDf))
-            .select(col("dst").as("doc_id"),
-              (expr("150000 div n_nodes") + expr("(85 * sc) div 100")).as("r"))
+            .select(col("gid"), col("m"), col("degree"),
+              (expr("150000 div n_nodes") +
+                expr("(85 * ((m - 1) * c + coalesce(xm, 0))) div 100")).as("r"))
         }
-        r.select(col("doc_id"), col("r").cast("long").as("rank_upts"))
+        mhGrouped(s, d).select(col("doc_id"), col("gid"))
+          .join(r.select(col("gid"), col("r")).hint("shuffle_hash"), Seq("gid"))
+          .select(col("doc_id"), col("r").cast("long").as("rank_upts"))
           .orderBy("doc_id")
       },
       Some(s"""WITH $minhashPairCtes,

@@ -134,6 +134,56 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Signature-grouped MinHash table: every shingled doc with its full
+    * 8-permutation signature and `gid` = the smallest doc id sharing that
+    * EXACT signature. Docs with identical signatures are AUTOMORPHIC in
+    * the LSH candidate-pair graph — band keys are functions of the
+    * signature alone, so same signature ⇒ same buckets ⇒ pairwise
+    * adjacent AND adjacent to exactly the same outside neighbors. That
+    * symmetry is what the quotient consumers (CC star edges, group-grain
+    * degree/triangle/PageRank) exploit: a boilerplate megacluster of k
+    * identical docs collapses to ONE group of multiplicity k instead of a
+    * k-clique of C(k,2) materialized pairs — the difference between a
+    * linear and a quadratic duplicate-graph pass on template-heavy
+    * corpora. One window shuffle on the signature; docs with no shingles
+    * (0/1-word texts) have no signature row and are handled as isolated
+    * singletons by each consumer. */
+  def minhashGrouped(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigCols = (0 until 8).map(k => col(s"s$k"))
+    minhashSignatures(docs, id, textCol, 8)
+      .withColumn("gid", min(col(id)).over(Window.partitionBy(sigCols: _*)))
+  }
+
+  /** Signature groups `(gid, m, s0..s7)` from a [[minhashGrouped]] frame:
+    * one row per DISTINCT signature, `m` = member count. */
+  def signatureGroups(grouped: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("m") +:
+      (0 until 8).map(k => min(col(s"s$k")).as(s"s$k"))
+    grouped.groupBy(col("gid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Quotient edges `(ga, gb)`, `ga < gb`: signature groups sharing any
+    * complete LSH band — the image of [[minhashPairs]]' candidate graph
+    * under the signature quotient. The self-join's bucket sizes are
+    * bounded by DISTINCT signatures per band key (the honest LSH
+    * candidate cost), never by duplicate multiplicity. */
+  def quotientEdges(groups: DataFrame): DataFrame = {
+    val bands = groups.select(col("gid"), explode(array(
+        struct(lit(0).as("band"), bandKey(Seq(col("s0"), col("s1"), col("s2"), col("s3"))).as("bk")),
+        struct(lit(1).as("band"), bandKey(Seq(col("s4"), col("s5"), col("s6"), col("s7"))).as("bk")))).as("b"))
+      .select(col("gid"), col("b.band"), col("b.bk"))
+      .diskCheckpointLazy()
+    val a = bands.toDF("ga", "band", "bk")
+    val b = bands.toDF("gb", "band", "bk")
+    // checkpointed frame ⇒ estimate-only stats: hint so no planner ever
+    // broadcasts a corpus-proportional band table (SCALE.md lesson)
+    a.join(b.hint("shuffle_hash"), Seq("band", "bk"))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb")).distinct()
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation to fixpoint: every node ends labelled with the
     * smallest id reachable from it — the canonical "keeper" of its

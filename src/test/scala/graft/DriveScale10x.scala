@@ -229,6 +229,49 @@ object DriveScale10x {
       }
       s.stop(); return
     }
+    // --x100cc: SECOND decade for the duplicate-GRAPH family (round-7
+    // verdict #5) — the operators that consume the signature/identity
+    // QUOTIENT (CC labels, degree histogram, triangle closed forms,
+    // group-grain PageRank, embed CC). The ×100 documents corpus carries
+    // a 10,000-doc identical-text megacluster and the ×100 embeddings
+    // corpus duplicates every vector 100× — the shapes whose ALL-PAIRS
+    // forms are quadratic (10⁸ pair rows in one bucket); the quotient
+    // forms must hold near the scan floor instead. CC round budget is
+    // enforced in-plan (connectedComponents throws past maxIter; the
+    // ⌈log d⌉ chain bound is pinned by LlmOpsSpec), so a completed run
+    // IS the round-count evidence. Per-scale Tables.memo keys mean each
+    // leg re-derives its full pipeline (memo-cold protocol — the honest
+    // operator cost).
+    if (args.length > 1 && args(1) == "--x100cc") {
+      val doc10 = "/tmp/graft_scale10doc"
+      val doc100 = "/tmp/graft_scale100x"
+      val emb100 = "/tmp/graft_scale100emb"
+      for ((dd, c) <- Seq((doc10, 10), (doc100, 100)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dd/_READY")))
+          generateDocs(s, base, dd, c)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
+        generate(s, base, big)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$emb100/_READY")))
+        generateEmb(s, base, emb100, 100)
+      // COLD first touch = the full quotient pipeline (the honest operator
+      // cost; per-scale memo keys make it once per (op-family, scale));
+      // warm = the consumer path over the memoized label/edge frames.
+      // Exponents are computed on the cold rows.
+      def row(op: String, d1: String, d10: String, d100: String): Unit = {
+        val c1 = run(op, d1); val w1 = run(op, d1)
+        val c10 = run(op, d10); val w10 = run(op, d10)
+        val c100 = run(op, d100); val w100 = run(op, d100)
+        val e1 = math.log(c10 / c1) / math.log(10.0)
+        val e2 = math.log(c100 / c10) / math.log(10.0)
+        println(f"$op%-22s cold 1x=$c1%6.2f s 10x=$c10%7.2f s 100x=$c100%8.2f s" +
+          f"  exp[1x->10x]=$e1%5.2f exp[10x->100x]=$e2%5.2f" +
+          f"  (warm $w1%5.2f/$w10%5.2f/$w100%5.2f s)")
+      }
+      Seq("dedup_clusters", "dup_graph_degree", "triangle_count",
+        "dup_pagerank").foreach(row(_, base, doc10, doc100))
+      row("dedup_embed_clusters", base, big, emb100)
+      s.stop(); return
+    }
     // --x10hotzone: the round-7 zonedNtile rewires under their motivating
     // adversarial shape — hist_equidepth on the hot-zone lineitem corpus
     // (nation-0 suppliers at 4× copies: ONE zone holds ~14% of all
@@ -505,6 +548,26 @@ object DriveScale10x {
     java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
     println(s"  events: " +
       s.read.parquet(s"$out/events.parquet").count() + " rows")
+  }
+
+  /** Embeddings-only amplified corpus for the --x100cc tier: embeddings at
+    * `copies`× with ids shifted and vectors IDENTICAL (each base vector
+    * becomes an identity group of `copies` members — the degenerate worst
+    * case for any pair-grain form and the exact shape the identity
+    * quotient collapses), every other table 1×. */
+  def generateEmb(s: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    println(s"generating ${copies}x embeddings corpus at $out ...")
+    val P = copyOthers(base, out, Set("embeddings"))
+    s.read.parquet(s"$base/embeddings.parquet")
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("__copy"))
+      .select((col("vec_id") + col("__copy") * lit(10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition((copies * 8 / 10).max(8))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  embeddings: " +
+      s.read.parquet(s"$out/embeddings.parquet").count() + " rows")
   }
 
   /** Deterministic 10× amplification with injected skew (no RNG: copy

@@ -99,7 +99,181 @@ object DriveStreamScale {
     ("intervalJoin", "append", df => Streamy.intervalJoin(df, df)),
     ("enrich", "append", df => Streamy.enrich(df, dim, "user_id", "k")))
 
+  /** Whale-skewed slice generator for the `--x100stream` corpus family:
+    * 10 whale users receive 4/9 of all events (≈×400 a normal user's
+    * rate — the events-corpus whale ratio brought to the stream), the
+    * remaining `nUsers − 10` share the rest. Spark-range generation (no
+    * driver-side row materialization at 20M events); one file per slice
+    * in event-time order, same slice geometry, duplicate rule (every
+    * 7th event repeats the previous id) and value law as [[genSlices]]. */
+  private def genSlicesWhale(spark: SparkSession, dir: String, nSlices: Int,
+      perSlice: Int, nUsers: Int): Unit = {
+    (0 until nSlices).foreach { s =>
+      val g = col("id") + lit(s.toLong * perSlice)
+      val h = shiftrightunsigned(g * lit(2654435761L), 7)
+      spark.range(perSlice.toLong)
+        .select(
+          when(col("id") % 7 === 3, g - 1).otherwise(g).as("event_id"),
+          timestamp_micros(lit(1704067200000000L) + lit(s.toLong * 600000000L) +
+            (col("id") * lit(600000000L)) / perSlice).as("ts"),
+          when(col("id") % 9 < 4, pmod(h, lit(10L)))
+            .otherwise(pmod(h, lit((nUsers - 10).toLong)) + 10).as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase")),
+            (pmod(g * 40503L, lit(3L)) + 1).cast("int")).as("event_type"),
+          ((pmod(g, lit(100L)) + 1) / 10.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+  }
+
+  /** `--x100stream` (round-7 verdict #7): the three state-carrying
+    * streaming operators with REGISTERED batch twins — funnel_state
+    * (funnelProgress), session_state (sessionFlush), stream_upsert
+    * (upsertLatest) — driven across THREE decades of stream length
+    * (10/100/1000 slices at constant rate and key population) on a
+    * whale-skewed clickstream where 10 users carry ≈×400 a normal user's
+    * event rate. Claims measured:
+    *  - state is bounded by |keys|, not stream length: max state rows
+    *    flat across all three decades (exponent ≈ 0), and the upsert
+    *    table holds EXACTLY the distinct-user count at every scale;
+    *  - restart survival: the 100× run is killed mid-stream (batch
+    *    ~300 of ~1000) and resumed from its checkpoint; the resumed
+    *    run's final output must equal the uninterrupted run's EXACTLY
+    *    (funnel: last state row per user; session: the exactly-once
+    *    file-sink session set; upsert: the committed StateTable);
+    *  - exactness against the batch twin: the funnel final state and
+    *    the upsert table equal the batch-path computation over the
+    *    full corpus, row for row.
+    */
+  def x100stream(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "4000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (perSlice, nUsers) = (20000, 5000)
+    def corpus(nSlices: Int): String = {
+      val dir = Files.createTempDirectory(s"graft_ssw_src_$nSlices").toString
+      genSlicesWhale(spark, dir, nSlices, perSlice, nUsers); dir
+    }
+    println("generating whale-skew corpora (10/100/1000 slices) ...")
+    val d1 = corpus(10); val d10 = corpus(100); val d100 = corpus(1000)
+
+    def stream(dir: String) = {
+      val schema = spark.read.parquet(dir).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+    }
+    def waitBatch(q: org.apache.spark.sql.streaming.StreamingQuery, k: Long): Unit =
+      while (q.isActive && Option(q.lastProgress).forall(_.batchId < k))
+        Thread.sleep(200)
+    case class R(maxStateRows: Long, wallSec: Double, events: Long)
+    def measure(dir: String)(start: () => org.apache.spark.sql.streaming.StreamingQuery,
+        killAt: Option[Long]): R = {
+      val nEvents = spark.read.parquet(dir).count()
+      val t0 = System.nanoTime()
+      killAt.foreach { k => val q = start(); waitBatch(q, k); q.stop() }
+      val progress = StreamProbe.drain(start())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val states = progress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      R(if (states.isEmpty) 0L else states.map(_.numRowsTotal).max, wall, nEvents)
+    }
+
+    // --- funnel_state: update-mode keyed state, captured via foreachBatch
+    def funnel(dir: String, killAt: Option[Long]): (R, DataFrame) = {
+      val out = Files.createTempDirectory("graft_ssw_fun").toString + "/o"
+      val ckpt = Files.createTempDirectory("graft_ssw_func").toString
+      val r = measure(dir)(() =>
+        Streamy.funnelProgress(stream(dir)).toDF
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(out); ()
+          }.outputMode("update").start(), killAt)
+      // final row per user = the row from the last batch the user appeared
+      // in (state is monotone); distinct first — foreachBatch is
+      // at-least-once, so a replayed batch appends identical rows
+      val fin = spark.read.parquet(out).distinct()
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("batch_id"), col("stage"), col("t1_us"),
+          col("t2_us"), col("t3_us"))).as("m"))
+        .select(col("user_id"), col("m.t1_us"), col("m.t2_us"),
+          col("m.t3_us"), col("m.stage"))
+      (r, fin)
+    }
+    // --- session_state: append-mode event-time-timeout state, exactly-once
+    // parquet file sink (reads back through _spark_metadata)
+    def session(dir: String, killAt: Option[Long]): (R, DataFrame) = {
+      val out = Files.createTempDirectory("graft_ssw_ses").toString + "/o"
+      val ckpt = Files.createTempDirectory("graft_ssw_sesc").toString
+      val r = measure(dir)(() =>
+        Streamy.sessionFlush(stream(dir)).toDF
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out)
+          .outputMode("append").start(), killAt)
+      (r, spark.read.parquet(out))
+    }
+    // --- stream_upsert: no stream-side state store at all — the committed
+    // StateTable IS the state; convergent under replay by construction
+    def upsert(dir: String, killAt: Option[Long]): (R, DataFrame) = {
+      val tbl = Files.createTempDirectory("graft_ssw_ups").toString
+      val ckpt = Files.createTempDirectory("graft_ssw_upsc").toString
+      val r = measure(dir)(() =>
+        Streamy.upsertLatest(stream(dir), tbl)
+          .option("checkpointLocation", ckpt).start(), killAt)
+      val fin = new graft.ops.StateTable(spark, tbl, Seq("user_id")).read()
+        .getOrElse(spark.emptyDataFrame)
+      (r, fin)
+    }
+
+    def hashOf(df: DataFrame): Long = {
+      val cols = df.columns.sorted.map(col)
+      df.select(xxhash64(cols: _*).as("h"))
+        .agg(expr("coalesce(bit_xor(h), 0)")).head().getLong(0)
+    }
+    def report(name: String, drive: (String, Option[Long]) => (R, DataFrame),
+        batchTwin: Option[DataFrame]): Unit = {
+      val (r1, _) = drive(d1, None)
+      val (r10, _) = drive(d10, None)
+      val (r100, f100) = drive(d100, None)
+      val (_, fKill) = drive(d100, Some(300L))
+      val same = hashOf(f100) == hashOf(fKill) &&
+        f100.count() == fKill.count()
+      require(same, s"$name: killed+resumed output diverged from uninterrupted")
+      batchTwin.foreach { b =>
+        require(hashOf(f100) == hashOf(b) && f100.count() == b.count(),
+          s"$name: streamed output diverged from the batch twin")
+      }
+      val exp =
+        if (r1.maxStateRows <= 0 || r100.maxStateRows <= 0) Double.NaN
+        else math.log10(r100.maxStateRows.toDouble / r1.maxStateRows) / 2.0
+      println(f"$name%-14s st1x=${r1.maxStateRows}%7d st10x=${r10.maxStateRows}%7d " +
+        f"st100x=${r100.maxStateRows}%7d  exp/decade=$exp%5.2f  " +
+        f"ev/s@100x=${r100.events / r100.wallSec}%8.0f  restart=OK" +
+        (if (batchTwin.isDefined) "  batch=OK" else ""))
+    }
+
+    val static100 = spark.read.parquet(d100)
+    val funnelTwin = Streamy.funnelProgress(static100).toDF
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        col("stage"))
+    val upsertTwin = Streamy.latestPerKey(static100
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents")))
+    report("funnel_state", funnel, Some(funnelTwin))
+    report("session_state", session, None)
+    report("stream_upsert", upsert, Some(upsertTwin))
+    // the upsert table must hold EXACTLY the distinct-user population
+    val users = static100.select("user_id").distinct().count()
+    println(s"distinct users at 100x = $users (upsert table bound)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "--x100stream") { x100stream(); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

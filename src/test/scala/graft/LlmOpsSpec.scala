@@ -366,4 +366,150 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == want, s"banded pairs must equal brute force (got ${out.size}, want ${want.size})")
     assert(out.nonEmpty, "fixture must contain at least one near-dup pair")
   }
+
+  /** Adversarial quotient corpus: the sf0.001 docs, PLUS a 60-doc
+    * identical-text megacluster (one signature group of multiplicity 60 —
+    * the shape whose all-pairs form is quadratic), PLUS shingle-less docs
+    * (empty/one-word — no signature row at all). Written once per suite. */
+  private lazy val quotDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quot").toString
+    val base = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val boiler = Seq.fill(5)("the quarterly portfolio navigation footer " +
+      "repeats across every published revision").mkString(" ")
+    val extra = ((10000L until 10060L).map(i => (i, boiler)) ++
+        Seq((20000L, ""), (20001L, "word"), (20002L, "  ")))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("synthetic").as("source"), length($"text").cast("long").as("n_chars"))
+    base.unionByName(extra).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Node-grain all-pairs duplicate graph over the quotient corpus — the
+    * independent reference every quotient consumer is checked against
+    * (this is the pre-quotient registered formulation, kept here as the
+    * differential baseline; the DuckDB oracles pin the same form at
+    * sf0.01 every correctness pass). */
+  private lazy val refPairs = LlmOps.minhashPairs(
+    graft.ops.Tables.documents(spark, quotDir)).cache()
+
+  test("quotient CC equals all-pairs CC (megacluster + shingle-less docs)") {
+    val docs = graft.ops.Tables.documents(spark, quotDir)
+    val want = LlmOps.connectedComponents(
+        docs.select($"doc_id".as("node")), refPairs)
+      .as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("dedup_clusters")(spark, quotDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"quotient CC diverged: ${got.size} vs ${want.size} labels")
+    // the megacluster must resolve to ONE component with >= 60 members
+    val rep0 = got.find(_._1 == 10000L).get._2
+    assert(got.count(_._2 == rep0) >= 60)
+  }
+
+  test("quotient degree histogram equals the node-grain all-pairs form") {
+    val docs = graft.ops.Tables.documents(spark, quotDir)
+    val deg = refPairs.select($"doc_a".as("doc_id"))
+      .unionAll(refPairs.select($"doc_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    val want = docs.select($"doc_id").join(deg, Seq("doc_id"), "left")
+      .select(coalesce($"degree", lit(0L)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      .as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("dup_graph_degree")(spark, quotDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"degree histogram diverged")
+    // megacluster members have degree >= 59; shingle-less docs land on 0
+    assert(want.exists(_._1 == 0L))
+  }
+
+  test("quotient triangle count equals the node-grain all-pairs form") {
+    val edges = refPairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .unionAll(refPairs.select($"doc_b", $"doc_a"))
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val o = edges.join(deg, Seq("u"))
+      .join(deg.select($"u".as("v"), $"deg".as("degv")), Seq("v"))
+      .filter($"deg" < $"degv" || ($"deg" === $"degv" && $"u" < $"v"))
+      .select($"u".as("src"), $"v".as("dst"))
+    val wedges = o.select($"src", $"dst".as("w1"))
+      .join(o.select($"src", $"dst".as("w2")), Seq("src"))
+      .filter($"w1" < $"w2")
+    val tri = wedges.join(refPairs,
+        wedges("w1") === refPairs("doc_a") && wedges("w2") === refPairs("doc_b"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val want = deg.agg(
+        (sum($"deg") / 2).cast("long").as("n_edges"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      .crossJoin(tri)
+      .select($"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * $"n_triangles" / $"n_wedges", 6))
+          .as("global_clustering"))
+      .as[(Long, Long, Long, Double)].collect().head
+    val got = SparkEntry.queries("triangle_count")(spark, quotDir)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == want, s"triangle stats diverged: got $got want $want")
+    // the 60-clique alone contributes C(60,3) = 34,220 triangles
+    assert(got._3 >= 34220L)
+  }
+
+  test("quotient PageRank equals the node-grain form, integer-exact") {
+    val edges = refPairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(refPairs.select($"doc_b", $"doc_a"))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
+    val withDeg = edges.join(deg, Seq("src"))
+    var r = nodes.crossJoin(nDf)
+      .select($"doc_id", expr("1000000 div n_nodes").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = withDeg.join(r, col("src") === col("doc_id"))
+        .select($"dst", expr("r div deg").as("c"))
+      r = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+        .crossJoin(nDf)
+        .select($"dst".as("doc_id"),
+          (expr("150000 div n_nodes") + expr("(85 * sc) div 100")).as("r"))
+    }
+    val want = r.select($"doc_id", $"r".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val got = SparkEntry.queries("dup_pagerank")(spark, quotDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "group-grain PageRank must be integer-identical " +
+      s"(${got.size} vs ${want.size} nodes)")
+    assert(got.contains(10000L) && !got.contains(20000L),
+      "megacluster in, shingle-less out")
+  }
+
+  test("identity-quotient embed CC equals the ungrouped gated CC on a duplicated corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_equot").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    (0 until 3).map(c => base.select(
+        ($"vec_id" + c * 100000L).as("vec_id"), $"embedding", $"label"))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // ungrouped reference: the pre-quotient pair pipeline, inline
+    val e = graft.ops.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", LlmOps.norm($"v"))
+    val cells = e.withColumn("bc", explode(LlmOps.signLshCells($"v")))
+      .select($"vec_id", $"label", $"bc.band", $"bc.cell")
+    val cand = cells.toDF("vec_a", "label", "band", "cell")
+      .join(cells.toDF("vec_b", "label", "band", "cell"),
+        Seq("label", "band", "cell"))
+      .filter($"vec_a" < $"vec_b").select($"vec_a", $"vec_b").distinct()
+    val pairs = cand
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na")), Seq("vec_a"))
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb")), Seq("vec_b"))
+      .filter(round(LlmOps.dot($"va", $"vb") / ($"na" * $"nb"), 6) >= 0.3)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val want = LlmOps.connectedComponents(
+        e.select($"vec_id".as("node")), pairs)
+      .as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("dedup_embed_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"embed quotient CC diverged: ${got.size} vs ${want.size}")
+    // every triplicated vector must label with its copy-0 twin
+    assert(got.count { case (n, rep) => n != rep } >= base.count())
+  }
 }
