@@ -3670,24 +3670,29 @@ object QueriesExt {
       // integer cents, and ALL five co-moments (n, Σx, Σy, Σxy, Σx²) are
       // exact integer sums — order-independent under any partitioning, so
       // both engines divide the SAME two integers (closed-form normal
-      // equations) and round once. One map-side-combinable aggregate;
-      // headroom at sf0.1 is ~100× under Long (largest product
-      // Σy·Σx² ≈ 5·10¹⁶); a 100 TB run promotes the products to DECIMAL.
+      // equations) and round once. One map-side-combinable aggregate.
+      // The closed-form PRODUCTS are promoted to 128-bit integers
+      // (Spark DECIMAL(38,0) / DuckDB HUGEINT): the round-9 10× oracle
+      // pass measured Σy·Σx² ≈ 5·10¹⁹ on the hot-zone corpus — past
+      // Long — and both promotions are exact for any corpus ≤ ~10³⁰
+      // pixel-cents, so the engines still divide identical integers and
+      // the double rounds once from the same value.
       // Degenerate single-year zones (denominator 0) emit NULL in both.
       (s, d) => {
         val px = Tables.pixels(s, d).select(col("asdf_id"),
           (col("temporal") - 1998).cast("long").as("x"), cents(col("value")).as("y"))
-        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val den = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
         px.groupBy("asdf_id")
           .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
           .select(col("asdf_id"), col("n"),
             when(den === 0, lit(null)).otherwise(
-              round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              round((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
                 / den.cast("double"), 6)).as("slope_cents"),
             when(den === 0, lit(null)).otherwise(
-              round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+              round((dec(col("sy")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sxy"))).cast("double")
                 / den.cast("double"), 6)).as("icept_cents"))
           .orderBy("asdf_id")
       },
@@ -3700,12 +3705,12 @@ object QueriesExt {
               CAST(sum(x * x) AS BIGINT) AS sxx
             FROM b GROUP BY 1)
         SELECT asdf_id, n,
-          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-              / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope_cents,
-          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-            ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-              / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS icept_cents
+          CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) END AS slope_cents,
+          CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE round(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) END AS icept_cents
         FROM a ORDER BY asdf_id""")),
     "ks_drift" -> Q(
       // Two-sample Kolmogorov-Smirnov drift test (X73): per zone, the KS
