@@ -43,7 +43,11 @@ object DriveSpill {
     // (band-partitioned sorts + |zones|x32 offsets), the CC loop over
     // LSH endpoints with its per-round checkpoints, and the guided-
     // engine registered median (GK bracket + windowed count passes)
-    "hist_equidepth", "dedup_embed_clusters", "extract_median")
+    "hist_equidepth", "dedup_embed_clusters", "extract_median",
+    // round-9 shapes: the signature-quotient substrate (window over the
+    // full signature + group-grain band self-join) and the quotient
+    // triangle closed forms + wedge join
+    "dedup_clusters", "triangle_count")
 
   /** Order-insensitive whole-result hash; doubles rounded to 1e-6 so a
     * spill-reordered float sum cannot flip the verdict. */

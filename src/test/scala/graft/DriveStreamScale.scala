@@ -114,8 +114,8 @@ object DriveStreamScale {
       spark.range(perSlice.toLong)
         .select(
           when(col("id") % 7 === 3, g - 1).otherwise(g).as("event_id"),
-          timestamp_micros(lit(1704067200000000L) + lit(s.toLong * 600000000L) +
-            (col("id") * lit(600000000L)) / perSlice).as("ts"),
+          timestamp_micros(lit(1704067200000000L + s.toLong * 600000000L) +
+            expr(s"(id * 600000000L) div $perSlice")).as("ts"),
           when(col("id") % 9 < 4, pmod(h, lit(10L)))
             .otherwise(pmod(h, lit((nUsers - 10).toLong)) + 10).as("user_id"),
           element_at(array(lit("view"), lit("click"), lit("purchase")),
@@ -136,7 +136,8 @@ object DriveStreamScale {
     *    flat across all three decades (exponent ≈ 0), and the upsert
     *    table holds EXACTLY the distinct-user count at every scale;
     *  - restart survival: the 100× run is killed mid-stream (batch
-    *    ~300 of ~1000) and resumed from its checkpoint; the resumed
+    *    ~30 of ~100 ten-slice batches) and resumed from its
+    *    checkpoint; the resumed
     *    run's final output must equal the uninterrupted run's EXACTLY
     *    (funnel: last state row per user; session: the exactly-once
     *    file-sink session set; upsert: the committed StateTable);
@@ -153,17 +154,31 @@ object DriveStreamScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (perSlice, nUsers) = (20000, 5000)
+    // fixed paths + _READY markers: the 1,110-slice generation is ~10 min
+    // of sequential single-file writes, reused across drive invocations
     def corpus(nSlices: Int): String = {
-      val dir = Files.createTempDirectory(s"graft_ssw_src_$nSlices").toString
-      genSlicesWhale(spark, dir, nSlices, perSlice, nUsers); dir
+      val dir = s"/tmp/graft_ssw_$nSlices"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_GRAFT_READY"))) {
+        println(s"generating whale-skew corpus ($nSlices slices) at $dir ...")
+        genSlicesWhale(spark, dir, nSlices, perSlice, nUsers)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/_GRAFT_READY"), "ok")
+      }
+      dir
     }
-    println("generating whale-skew corpora (10/100/1000 slices) ...")
     val d1 = corpus(10); val d10 = corpus(100); val d100 = corpus(1000)
 
+    // batch GRANULARITY is not the claim under test (the 1x/10x legs and
+    // the main drive pin per-slice batching); the 100x leg groups 10
+    // slices per micro-batch so every scale runs ~100 batches — state
+    // bounds and restart semantics are batch-size-independent, and the
+    // in-batch sort absorbs intra-batch disorder per the operators'
+    // documented contract
+    def fptOf(dir: String): Int = if (dir == d100) 10 else 1
     def stream(dir: String) = {
       val schema = spark.read.parquet(dir).schema
       spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .option("maxFilesPerTrigger", fptOf(dir).toString).parquet(dir)
     }
     def waitBatch(q: org.apache.spark.sql.streaming.StreamingQuery, k: Long): Unit =
       while (q.isActive && Option(q.lastProgress).forall(_.batchId < k))
@@ -174,7 +189,7 @@ object DriveStreamScale {
       val nEvents = spark.read.parquet(dir).count()
       val t0 = System.nanoTime()
       killAt.foreach { k => val q = start(); waitBatch(q, k); q.stop() }
-      val progress = StreamProbe.drain(start())
+      val progress = StreamProbe.drain(start(), timeoutMs = 1800000)
       val wall = (System.nanoTime() - t0) / 1e9
       val states = progress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
       R(if (states.isEmpty) 0L else states.map(_.numRowsTotal).max, wall, nEvents)
@@ -239,7 +254,7 @@ object DriveStreamScale {
       val (r1, _) = drive(d1, None)
       val (r10, _) = drive(d10, None)
       val (r100, f100) = drive(d100, None)
-      val (_, fKill) = drive(d100, Some(300L))
+      val (_, fKill) = drive(d100, Some(30L))
       val same = hashOf(f100) == hashOf(fKill) &&
         f100.count() == fKill.count()
       require(same, s"$name: killed+resumed output diverged from uninterrupted")
