@@ -193,10 +193,12 @@ object QueriesCore {
     "zone_join" -> Q(
       (s, d) => Tables.pixels(s, d)
         .select(col("asdf_id"), col("l_orderkey"), col("l_linenumber"), col("value"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // total order over the output: an amplified corpus duplicates the
+        // (orderkey, linenumber) key across zone copies (see scan_csv)
+        .orderBy("l_orderkey", "l_linenumber", "asdf_id", "value"),
       Some(s"""WITH pixels AS ($pixelsSql)
         SELECT asdf_id, l_orderkey, l_linenumber, value FROM pixels
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, asdf_id, value""")),
     "unpivot_wide" -> Q(
       // Wide→long melt (X51): the inverse of the merge/naming grammar —
       // a wide per-zone extract frame unpivoted to (zone, field, value)
@@ -813,12 +815,17 @@ object QueriesCore {
           .option("header", "true").option("quote", "\"").option("nullValue", "")
           .schema("l_orderkey LONG, l_linenumber INT, flag STRING, l_quantity DOUBLE")
           .csv(tmp)
-          .orderBy("l_orderkey", "l_linenumber")
+          // total order over the OUTPUT columns: (orderkey, linenumber) is
+          // a primary key on real data, but an amplified corpus duplicates
+          // it — the determinism contract must not lean on key uniqueness
+          .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+            col("flag").asc_nulls_first, col("l_quantity").asc)
       },
       Some("""SELECT l_orderkey, l_linenumber,
           CASE WHEN l_returnflag='N' THEN NULL ELSE l_returnflag END AS flag,
           l_quantity
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, flag NULLS FIRST, l_quantity""")),
     "scan_jsonl" -> Q(
       // [EXT] JSONL ingest (S1b) — the de-facto interchange format of
       // training-data pipelines. Round-trips the documents table through

@@ -76,7 +76,7 @@ object DriveScale10x {
     // 10x leg); the lineitem-only tiers build their own corpora
     val needsBig = args.length <= 1 ||
       !Set("--x100extracts", "--x100robust", "--x10bandskew",
-        "--x100bandskew").contains(args(1))
+        "--x100bandskew", "--x100hotzone").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -291,6 +291,55 @@ object DriveScale10x {
           run(op, dir); val t10 = run(op, dir)
           val e = math.log(t10 / t1) / math.log(10.0)
           println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  exponent=$e%5.2f")
+      }
+      s.stop(); return
+    }
+    // --x100mm: SECOND decade for the multimodal family — the per-row
+    // javax.imageio codec path (partition-amortized mapPartitions, the
+    // repo's one sanctioned non-Catalyst site). Row-grain by semantics,
+    // so the honest expectation is exponent → 1.0 as the corpus swamps
+    // the fixed session floor; what the tier must prove is that the cost
+    // stays per-ROW (no shuffle, no state growth — the plan is
+    // scan → mapPartitions → project at every scale), i.e. the decade-2
+    // exponent must not EXCEED ~1.0.
+    if (args.length > 1 && args(1) == "--x100mm") {
+      val big100 = "/tmp/graft_scale100x"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big100/_READY")))
+        generateDocs(s, base, big100, 100)
+      Seq("multimodal_meta", "multimodal_decode", "multimodal_resize")
+        .foreach { op =>
+          run(op, base); val t1 = run(op, base)
+          run(op, big); val t10 = run(op, big)
+          run(op, big100); val t100 = run(op, big100)
+          val e1 = math.log(t10 / t1) / math.log(10.0)
+          val e2 = math.log(t100 / t10) / math.log(10.0)
+          println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+            f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+        }
+      s.stop(); return
+    }
+    // --x100hotzone: SECOND decade for the equi-depth histogram tile
+    // builder (guidedTileBounds) on the hot-zone lineitem corpora — the
+    // one tile query whose decade-2 behavior wasn't already covered by
+    // --x100bandskew (quality_tiles rode the documents decades there).
+    // At 100× the nation-0 hot zone holds ~10^8 pixels; the builder's
+    // state is ≤ accuracy·(k+3)/2 distinct values per zone regardless,
+    // so the exponent must stay at the scan floor across BOTH decades.
+    if (args.length > 1 && args(1) == "--x100hotzone") {
+      val big10li = "/tmp/graft_scale10li"
+      val big100li = "/tmp/graft_scale100li"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big10li/_READY")))
+        generateLineitem(s, base, big10li, 10)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big100li/_READY")))
+        generateLineitem(s, base, big100li, 100)
+      Seq("hist_equidepth").foreach { op =>
+        run(op, base); val t1 = run(op, base)
+        run(op, big10li); val t10 = run(op, big10li)
+        run(op, big100li); val t100 = run(op, big100li)
+        val e1 = math.log(t10 / t1) / math.log(10.0)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        println(f"$op%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+          f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
       }
       s.stop(); return
     }
