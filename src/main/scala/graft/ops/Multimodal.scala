@@ -25,6 +25,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream is FILE-cache-backed: every
+  // ImageIO.read(InputStream) creates (and deletes) a temp file, so a
+  // per-row decode pays a filesystem round-trip per image — measured
+  // super-linear on the 100x corpus (decade-2 exponent 1.36: 500k decodes
+  // x 32 tasks contending on tmp). Payloads here are already in-memory
+  // byte arrays; cache in memory. JVM-global, set once per executor at
+  // class-init of the object that owns every decode call.
+  ImageIO.setUseCache(false)
+
   /** Media row schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
