@@ -294,6 +294,63 @@ object DriveScale10x {
       }
       s.stop(); return
     }
+    // --x100sim: SECOND decade for the ANN family at FIXED |Q| (the
+    // registered rows' query set is a corpus fraction, so their cost is
+    // workload growth by definition; holding Q at the copy-0 set
+    // isolates the operator). Two contrasting rows: brute-force cosine
+    // top-k (declared O(|Q|·N) — the honest linear baseline, exponent
+    // expected → 1.0) and the KMeans-IVF path (cell-probe candidate
+    // cutting — must grow strictly slower than brute force; its fit is
+    // sampled + iteration-capped so the decade-2 exponent stays < 1).
+    if (args.length > 1 && args(1) == "--x100sim") {
+      val emb100 = "/tmp/graft_scale100emb"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$emb100/_READY")))
+        generateEmb(s, base, emb100, 100)
+      def embQ(d: String) = {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", LlmOps.norm(col("v")))
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        (e, q)
+      }
+      def brute(d: String): Double = {
+        val t0 = System.nanoTime()
+        val (e, q) = embQ(d)
+        import org.apache.spark.sql.expressions.Window
+        val r = q.join(e, col("vec_id") =!= col("qid"))
+          .withColumn("cos_r",
+            round(LlmOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos_r").desc, col("vec_id").asc)))
+          .filter(col("rn") <= 5)
+        r.select(xxhash64(r.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def ivf(d: String): Double = {
+        val t0 = System.nanoTime()
+        val (e, q) = embQ(d)
+        val (assigned, centroids) = LlmOps.ivfAssign(e)
+        val r = LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)
+        r.select(xxhash64(r.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(("sim_brute_fixedQ", brute _), ("sim_ivf_fixedQ", ivf _))
+        .foreach { case (nm, f) =>
+          f(base); val t1 = f(base)
+          f(big); val t10 = f(big)
+          f(emb100); val t100 = f(emb100)
+          val e1 = math.log(t10 / t1) / math.log(10.0)
+          val e2 = math.log(t100 / t10) / math.log(10.0)
+          println(f"$nm%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
+            f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
+        }
+      s.stop(); return
+    }
     // --x100mm: SECOND decade for the multimodal family — the per-row
     // javax.imageio codec path (partition-amortized mapPartitions, the
     // repo's one sanctioned non-Catalyst site). Row-grain by semantics,
