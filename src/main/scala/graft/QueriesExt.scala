@@ -4432,8 +4432,13 @@ object QueriesExt {
           .groupBy("day").agg(sum("c").as("y"))
           .withColumn("dow",
             datediff(col("day"), lit("1970-01-01")).cast("long") % 7)
+        // Σy² rides 128-bit integers (the zone_trend promotion): daily
+        // cents square past Long at the 100× corpus (y² ≈ 1.6·10¹⁹) —
+        // DECIMAL(19,0)² → DECIMAL(38,0) is exact to ~10¹⁸ cents/day
         val st = byDay.groupBy("dow").agg(count(lit(1)).as("n"),
-          sum("y").as("s1"), sum(col("y") * col("y")).as("s2"))
+          sum("y").as("s1"),
+          sum(col("y").cast("decimal(19,0)")
+            * col("y").cast("decimal(19,0)")).as("s2"))
         val nD = col("n").cast("double")
         val varr = (col("s2").cast("double")
           - col("s1").cast("double") * col("s1").cast("double") / nD) /
@@ -4454,7 +4459,8 @@ object QueriesExt {
               CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) % 7 AS dow
             FROM byday),
           st AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y * y) AS BIGINT) AS s2
+              CAST(sum(y) AS BIGINT) AS s1,
+              sum(CAST(y AS HUGEINT) * y) AS s2
             FROM dd GROUP BY 1),
           j AS (SELECT day, y, dd.dow AS dow, n, s1, s2,
               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
