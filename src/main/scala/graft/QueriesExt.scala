@@ -3598,23 +3598,33 @@ object QueriesExt {
       // all three corners in DISTINCT groups need enumeration, and that
       // runs the degree-ordered orientation over the QUOTIENT graph — so
       // a k-doc megacluster costs O(1) group rows here instead of O(k³)
-      // wedge enumeration. Exact integers throughout (products ≲ m·deg²
-      // ≈ 10¹⁴ at the 100× megacluster — Long headroom; a 100 TB run
-      // promotes to DECIMAL); the oracle still computes the node-grain
-      // all-pairs form, re-proving the identity every correctness pass.
+      // wedge enumeration. Exact integers throughout: the closed-form
+      // PRODUCTS larger than their own term — m(m−1)(m−2) is 6× the
+      // triangle term, m(m−1) and deg(deg−1) are 2× theirs — compute in
+      // DECIMAL(38,0) and integral-divide back to Long (the r9 overflow
+      // promotion: a ~3M-doc megacluster's m³ ≈ 2.7·10¹⁹ overflowed the
+      // intermediate while the true count 4.5·10¹⁸ still fit the output
+      // type). Per-term values and their sums are bounded by the emitted
+      // counts, so Long is exact wherever the OUTPUT itself fits — and
+      // past that inherent int64 limit the ANSI cast fails loud. The
+      // oracle still computes the node-grain all-pairs form, re-proving
+      // the identity every correctness pass.
       (s, d) => {
         val g = mhGroups(s, d).select(col("gid"), col("m"))
         val qe = mhQEdges(s, d).diskCheckpointLazy()
         val nodeStats = mhGroupDegrees(s, d).agg(
-          sum(expr("m * (m - 1) div 2")).as("e_in"),
-          sum(expr("m * (degree * (degree - 1) div 2)")).as("n_wedges"),
-          sum(expr("m * (m - 1) * (m - 2) div 6")).as("t_in"))
+          sum(expr("cast(m as decimal(38,0)) * (m - 1) div 2")).as("e_in"),
+          sum(expr("m * (cast(degree as decimal(38,0)) * (degree - 1) div 2)"))
+            .as("n_wedges"),
+          sum(expr("cast(m as decimal(38,0)) * (m - 1) * (m - 2) div 6"))
+            .as("t_in"))
         val edgeStats = qe
           .join(g.toDF("ga", "ma").hint("shuffle_hash"), Seq("ga"))
           .join(g.toDF("gb", "mb").hint("shuffle_hash"), Seq("gb"))
           .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as("e_x"),
             coalesce(sum(expr(
-              "(ma * (ma - 1) div 2) * mb + (mb * (mb - 1) div 2) * ma")),
+              "(cast(ma as decimal(38,0)) * (ma - 1) div 2) * mb " +
+                "+ (cast(mb as decimal(38,0)) * (mb - 1) div 2) * ma")),
               lit(0L)).as("t_mixed"))
         val qsym = qe.select(col("ga").as("u"), col("gb").as("v"))
           .unionAll(qe.select(col("gb"), col("ga")))
@@ -3959,25 +3969,28 @@ object QueriesExt {
       // integer, and ranks are GLOBAL without a global sort — the
       // queue_rank two-phase trick (rank within an EQUI-DEPTH spend band
       // via a band-partitioned window, plus per-band offsets from a
-      // |bands|-row running sum, broadcast back). Largest product
-      // Σi·sᵢ ≈ 10¹⁵ at sf0.1 — Long headroom ~10⁴; all the integer
-      // products stay under 2⁵³ so the final double arithmetic is exact
-      // on both engines.
+      // |bands|-row running sum, broadcast back). The ranked sum Σi·sᵢ
+      // and the denominator n·Σs ride 128-bit integers (the zone_trend
+      // promotion): at 10⁹ users × 10¹⁵ total cents they reach ~10²⁴ —
+      // far past Long — while DECIMAL(38,0)/HUGEINT stay exact to
+      // ~10³⁸, so both engines still divide identical integers and
+      // round once.
       (s, d) => {
         val sp = Tables.events(s, d)
           .select(col("user_id"), cents(col("value")).as("c"))
           .groupBy("user_id").agg(sum("c").as("sc"))
         val nt = sp.agg(count(lit(1)).as("n"), sum("sc").as("tot"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
         bandedRank(sp, "sc", "user_id", asc = true, "i")
           .crossJoin(broadcast(nt))
           .agg(max("n").as("n_users"), max("tot").as("total_cents"),
-            sum(col("i") * col("sc")).as("t1"),
+            sum(dec(col("i")) * dec(col("sc"))).as("t1"),
             sum(when(col("i") > col("n") - expr("n div 10"), col("sc"))
               .otherwise(0L)).as("topsum"))
           .select(col("n_users"), col("total_cents"),
             when(col("total_cents") === 0, lit(0.0)).otherwise(
               round(lit(2.0) * col("t1").cast("double")
-                / (col("n_users") * col("total_cents")).cast("double")
+                / (dec(col("n_users")) * dec(col("total_cents"))).cast("double")
                 - (col("n_users") + lit(1.0)) / col("n_users"), 6)).as("gini_r"),
             when(col("total_cents") === 0, lit(0.0)).otherwise(
               round(col("topsum").cast("double") / col("total_cents"), 6))
@@ -3996,7 +4009,8 @@ object QueriesExt {
             CAST(sum(sc) AS BIGINT) AS tot FROM sp)
         SELECT n AS n_users, tot AS total_cents,
           CASE WHEN tot = 0 THEN 0.0 ELSE
-            round(2.0 * CAST(sum(i * sc) AS DOUBLE) / CAST(n * tot AS DOUBLE)
+            round(2.0 * CAST(sum(CAST(i AS HUGEINT) * sc) AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * tot AS DOUBLE)
               - (n + 1.0) / n, 6) END AS gini_r,
           CASE WHEN tot = 0 THEN 0.0 ELSE
             round(CAST(sum(CASE WHEN i > n - n // 10 THEN sc ELSE 0 END)
@@ -4008,18 +4022,22 @@ object QueriesExt {
       // spend in INTEGER cents, unequal-variance t statistic. (A
       // two-proportion test on "ever purchased" is degenerate here:
       // every fixture user converts, zeroing the pooled variance.)
-      // Each arm reduces to three exact longs (n, Σs, Σs²) via one
+      // Each arm reduces to three exact integers (n, Σs, Σs²) via one
       // user-grain aggregate + a 2-row rollup; the closing float
       // arithmetic applies the SAME IEEE op sequence to the SAME exact
       // integers on both engines, and se = 0 (an all-identical arm) is
       // guarded to t = 0 rather than dividing by zero under ANSI mode.
+      // Σs² rides 128-bit (the seasonal_anomaly/zone_trend promotion):
+      // per-user cents square past Long for whale users at corpus scale.
       (s, d) => {
         val u = Tables.events(s, d)
           .select(col("user_id"), cents(col("value")).as("c"))
           .groupBy("user_id").agg(sum("c").as("sc"))
           .withColumn("arm", (col("user_id") % 2).cast("long"))
         val a = u.groupBy("arm").agg(count(lit(1)).as("n"),
-          sum("sc").as("s1"), sum(col("sc") * col("sc")).as("s2"))
+          sum("sc").as("s1"),
+          sum(col("sc").cast("decimal(19,0)")
+            * col("sc").cast("decimal(19,0)")).as("s2"))
         def pick(k: String, arm: Int) =
           max(when(col("arm") === arm, col(k))).as(s"$k$arm")
         val w = a.agg(pick("n", 0), pick("s1", 0), pick("s2", 0),
@@ -4042,7 +4060,8 @@ object QueriesExt {
             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
           FROM events GROUP BY 1),
           a AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(sc) AS BIGINT) AS s1, CAST(sum(sc * sc) AS BIGINT) AS s2
+            CAST(sum(sc) AS BIGINT) AS s1,
+            sum(CAST(sc AS HUGEINT) * sc) AS s2
           FROM u GROUP BY 1),
           w AS (SELECT
             max(CASE WHEN arm = 0 THEN n END) AS n0,
