@@ -5169,6 +5169,46 @@ object QueriesExt {
           CAST(sum(u) AS BIGINT) AS n_url,
           CAST(sum(m) AS BIGINT) AS n_num
         FROM c GROUP BY lang ORDER BY lang""")),
+    "pii_redact" -> Q(
+      // PII redaction transform (X8c) — pii_audit's companion: the audit
+      // DECIDES whether a source needs scrubbing, this op PRODUCES the
+      // scrubbed corpus (masked text + per-doc counts, the shape a
+      // release pipeline writes back). Same regex family and dirty-third
+      // stress as the audit; masks apply in a fixed order (URL → email →
+      // long-digit-run) so a digit inside a URL is consumed by the URL
+      // mask on both engines, and counts are extracted from the RAW text
+      // BEFORE masking (replacement-order-independent). Stateless
+      // per-row regex work — no join, no aggregate, no shuffle beyond
+      // the determinism sort; trivially row-parallel at any corpus size.
+      (s, d) => {
+        val raw = when(col("doc_id") % 3 === 0,
+            concat(lit(dirtyPrefix), expr("substring(text, 1, 60)")))
+          .otherwise(expr("substring(text, 1, 60)"))
+        docs(s, d)
+          .withColumn("raw", raw)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(col("raw"), lit(urlRe), lit(0)))
+              .cast("long").as("n_url"),
+            size(regexp_extract_all(col("raw"), lit(numRe), lit(0)))
+              .cast("long").as("n_num"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              urlRe, "<URL>"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+              .as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+            THEN '$dirtyPrefix' || substring(text, 1, 60)
+            ELSE substring(text, 1, 60) END AS raw FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(raw, '$urlRe')) AS BIGINT) AS n_url,
+          CAST(len(regexp_extract_all(raw, '$numRe')) AS BIGINT) AS n_num,
+          regexp_replace(regexp_replace(regexp_replace(raw,
+            '$urlRe', '<URL>', 'g'), '$emailRe', '<EMAIL>', 'g'),
+            '$numRe', '<NUM>', 'g') AS redacted
+        FROM t ORDER BY doc_id""")),
     "kappa_agreement" -> Q(
       // Cohen's kappa (X91): chance-corrected agreement between the
       // DECLARED language label and the X4b language-ID vote — the
