@@ -1560,6 +1560,69 @@ object QueriesExt {
                 CAST(sum(tfd) AS BIGINT) AS tf FROM per GROUP BY token)
         SELECT token, df, tf FROM v
         ORDER BY df DESC, tf DESC, token ASC LIMIT 50""")),
+    "zipf_fit" -> Q(
+      // Zipf-law fit (X4j) — the corpus-card statistic that summarizes a
+      // token distribution in two numbers: OLS of ln(frequency) on
+      // ln(rank) over the top-1000 tokens (slope ≈ −1 for natural text;
+      // a flat slope flags synthetic/templated corpora, a steep one
+      // flags boilerplate domination). Scale shape: the rollup is the
+      // vocab_top pipeline (one vocabulary-sized shuffle); the fit set
+      // is top-k via TakeOrdered (never a full vocab sort), so the
+      // single-partition ranking window holds ≤ 1000 rows at ANY corpus
+      // size, and the closing float arithmetic applies the same IEEE op
+      // sequence to the same ≤1000 doubles on both engines.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = tokens(s, d).groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val nv = tf.agg(count(lit(1)).as("n_vocab"))
+        val rk = tf.orderBy(col("tf").desc, col("token").asc).limit(1000)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("tf").desc, col("token").asc)))
+          .select(log(col("r").cast("double")).as("x"),
+            log(col("tf").cast("double")).as("y"))
+        val f = rk.agg(count(lit(1)).as("n_fit"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val nD = col("n_fit").cast("double")
+        val den = nD * col("sxx") - col("sx") * col("sx")
+        val slope = (nD * col("sxy") - col("sx") * col("sy")) / den
+        val denY = nD * col("syy") - col("sy") * col("sy")
+        f.crossJoin(broadcast(nv))
+          .select(col("n_vocab"), col("n_fit"),
+            when(den === 0.0, lit(null)).otherwise(round(slope, 6))
+              .as("slope_r"),
+            when(den === 0.0, lit(null))
+              .otherwise(round((col("sy") - slope * col("sx")) / nD, 6))
+              .as("icept_r"),
+            when(den === 0.0 || denY === 0.0, lit(null))
+              .otherwise(round(pow(nD * col("sxy") - col("sx") * col("sy"),
+                lit(2.0)) / (den * denY), 6)).as("r2_r"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        tok AS (SELECT doc_id, token FROM n, unnest(w) AS u(token)),
+        v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM v),
+        top AS (SELECT tf, token FROM v ORDER BY tf DESC, token ASC LIMIT 1000),
+        rk AS (SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, token ASC)
+                 AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y FROM top),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n_fit,
+                sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                sum(x*x) AS sxx, sum(y*y) AS syy FROM rk)
+        SELECT n_vocab, n_fit,
+          CASE WHEN n_fit*sxx - sx*sx = 0.0 THEN NULL
+            ELSE round((n_fit*sxy - sx*sy) / (n_fit*sxx - sx*sx), 6) END
+            AS slope_r,
+          CASE WHEN n_fit*sxx - sx*sx = 0.0 THEN NULL
+            ELSE round((sy - (n_fit*sxy - sx*sy) / (n_fit*sxx - sx*sx) * sx)
+              / n_fit, 6) END AS icept_r,
+          CASE WHEN n_fit*sxx - sx*sx = 0.0 OR n_fit*syy - sy*sy = 0.0
+            THEN NULL
+            ELSE round(pow(n_fit*sxy - sx*sy, 2)
+              / ((n_fit*sxx - sx*sx) * (n_fit*syy - sy*sy)), 6) END AS r2_r
+        FROM f CROSS JOIN nv""")),
     "vocab_heavy_sketch" -> Q(
       // The 100 TB heavy-hitters path (count-min sketch), completing the
       // sketch family: GK percentiles, HLL distinct counts, CMS
