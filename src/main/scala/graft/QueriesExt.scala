@@ -34,6 +34,13 @@ object QueriesExt {
   private val embSql =
     "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
+  /** Fixed side-dump path for the IVF centroid table: the ONE artifact of
+    * the KMeans fit a DuckDB oracle can't recompute. `sim_topk_ivf_list`
+    * overwrites it on every execution; the oracle parquet_scans it and
+    * recomputes assignment/probe/rank from source embeddings. The path is
+    * a compile-time constant because oracle SQL is static text. */
+  private[graft] val ivfCentroidDump = "/tmp/graft_aux/ivf_centroids"
+
   /** Nearest-centroid confusion matrix (X78), shared by the matrix listing
     * (`centroid_confusion`) and the derived per-label P/R/F1
     * (`classifier_metrics`). Train/test split by vec_id parity; integer
@@ -408,10 +415,60 @@ object QueriesExt {
           (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
            sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.3)"""
 
+  private def walshBitsSql(src: String): String = (0 until 6).map(k =>
+    s"CASE WHEN list_sum(list_transform(range(len($src)), i -> $src[i+1] * (1 - 2*((i // ${1 << k}) % 2)))) >= 0 THEN 1 ELSE 0 END AS b$k")
+    .mkString(",\n        ")
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1])) /
+          (sqrt(list_sum(list_transform($a, x -> x*x))) *
+           sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"""
+
+  /** Embedding-side quotient chain — the vector-identity twin of
+    * [[quotientCcCtes]], mirroring [[embedClusters]]' Spark construction:
+    * vectors with identical `(label, v)` are automorphic in the
+    * (label, band, cell) candidate graph (cells are functions of `v`
+    * alone, the cosine of identical non-zero vectors is 1 ≥ 0.3), so the
+    * gated pair join and the recursive walk both run at group grain —
+    * |distinct vectors| nodes no matter how duplicated the corpus is —
+    * and labels expand back by membership. `elab(node, rep)` is
+    * row-identical to the node-grain `ewalk` label frame on any corpus
+    * without all-zero vectors (the fixtures have none: an all-zero
+    * duplicate pair's gate is NaN ≥ 0.3 node-grain but unconditional
+    * membership here). */
+  private val embedQuotientCtes: String =
+    s"""e AS ($embSql),
+      egrp AS (SELECT min(vec_id) AS gid, CAST(count(*) AS BIGINT) AS m, label, v
+        FROM e GROUP BY label, v),
+      egbits AS (SELECT gid, label, v,
+        ${walshBitsSql("v")}
+      FROM egrp),
+      egcells AS (SELECT gid, label, v,
+        unnest([0, 1, 2]) AS band,
+        unnest([b0*2+b1, b2*2+b3, b4*2+b5]) AS cell
+      FROM egbits),
+      eq AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        FROM egcells a JOIN egcells b
+          ON a.label = b.label AND a.band = b.band AND a.cell = b.cell
+          AND a.gid < b.gid
+        WHERE ${cosSql("a.v", "b.v")} >= 0.3),
+      eqedges AS (SELECT ga AS src, gb AS dst FROM eq
+                  UNION ALL SELECT gb, ga FROM eq),
+      eqwalk(node, rep) AS (
+        SELECT gid, gid FROM egrp
+        UNION
+        SELECT x.src, w.rep FROM eqedges x JOIN eqwalk w ON x.dst = w.node),
+      eqlab AS (SELECT node AS gid, min(rep) AS grep FROM eqwalk GROUP BY node),
+      elab AS (SELECT e.vec_id AS node, ql.grep AS rep
+        FROM e JOIN egrp g ON e.label = g.label AND e.v = g.v
+        JOIN eqlab ql ON ql.gid = g.gid)"""
+
   /** Shared oracle CTE chain: documents → bigram shingles → 8 MinHash
     * signatures (4 per md5 digest via disjoint hex windows) → 2 LSH bands →
     * distinct candidate pairs. Mirrors [[LlmOps.minhashPairs]]. */
-  private val minhashPairCtes: String =
+  /** documents → per-doc 8-permutation MinHash signature (`sig`), the
+    * prefix shared by the node-grain pair chain ([[minhashPairCtes]]) and
+    * the group-grain quotient chain ([[quotientCcCtes]]). */
+  private val minhashSigCtes: String =
     s"""n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
       sh AS (SELECT doc_id,
         list_transform(range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2]) AS shingles
@@ -425,7 +482,10 @@ object QueriesExt {
         list_min(list_transform(shingles, x -> substring(md5('|' || x), 9, 8))) AS s5,
         list_min(list_transform(shingles, x -> substring(md5('|' || x), 17, 8))) AS s6,
         list_min(list_transform(shingles, x -> substring(md5('|' || x), 25, 8))) AS s7
-      FROM sh),
+      FROM sh)"""
+
+  private val minhashPairCtes: String =
+    s"""$minhashSigCtes,
       bands AS (
         SELECT doc_id, 0 AS band, md5(s0 || s1 || s2 || s3) AS bk FROM sig
         UNION ALL
@@ -434,6 +494,165 @@ object QueriesExt {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
           AND a.doc_id < b.doc_id)"""
+
+  /** Group-grain (signature-quotient) oracle chain — the 10×-feasible
+    * twin of the node-grain recursive-CTE walk. Docs sharing the full
+    * 8-permutation signature are AUTOMORPHIC in the band-join candidate
+    * graph (band keys are functions of the signature alone, so same
+    * signature ⇒ same buckets ⇒ mutually adjacent and adjacent to exactly
+    * the same outside groups): connected components run on the GROUP
+    * quotient — whose walk is |distinct signatures| nodes, megacluster-
+    * proof — and labels expand back by membership. `lab(node, rep)` is
+    * row-identical to the node-grain `walk`-based label frame (proven by
+    * direct DuckDB-vs-DuckDB comparison at sf0.001/sf0.01, where both
+    * forms are feasible, and by LlmOpsSpec's quotient-equality cases on
+    * the Spark side). gid = min doc id of its group, so the component
+    * min over gids IS the component min doc id. Docs with no shingles
+    * (no signature row) rejoin as their own singletons. */
+  private val quotientCcCtes: String =
+    s"""$minhashSigCtes,
+      grp AS (SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m,
+          s0, s1, s2, s3, s4, s5, s6, s7
+        FROM sig WHERE s0 IS NOT NULL
+        GROUP BY s0, s1, s2, s3, s4, s5, s6, s7),
+      gmem AS (SELECT s.doc_id, g.gid FROM sig s JOIN grp g
+        ON s.s0 = g.s0 AND s.s1 = g.s1 AND s.s2 = g.s2 AND s.s3 = g.s3
+       AND s.s4 = g.s4 AND s.s5 = g.s5 AND s.s6 = g.s6 AND s.s7 = g.s7),
+      gbands AS (
+        SELECT gid, 0 AS band, md5(s0 || s1 || s2 || s3) AS bk FROM grp
+        UNION ALL
+        SELECT gid, 1 AS band, md5(s4 || s5 || s6 || s7) AS bk FROM grp),
+      qpairs AS (
+        SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        FROM gbands a JOIN gbands b ON a.band = b.band AND a.bk = b.bk
+          AND a.gid < b.gid),
+      qedges AS (SELECT ga AS src, gb AS dst FROM qpairs
+                 UNION ALL SELECT gb, ga FROM qpairs),
+      qwalk(node, rep) AS (
+        SELECT gid, gid FROM grp
+        UNION
+        SELECT e.src, w.rep FROM qedges e JOIN qwalk w ON e.dst = w.node),
+      qlab AS (SELECT node AS gid, min(rep) AS grep FROM qwalk GROUP BY node),
+      lab AS (
+        SELECT gm.doc_id AS node, ql.grep AS rep
+        FROM gmem gm JOIN qlab ql USING (gid)
+        UNION ALL
+        SELECT d.doc_id, d.doc_id FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM gmem WHERE gmem.doc_id = d.doc_id))"""
+
+  /** Group-grain degree `(gid, m, degree)` on top of [[quotientCcCtes]]:
+    * every member of group g has exactly `(m_g − 1) + Σ_{h~g} m_h`
+    * pair-graph neighbors (the [[mhGroupDegrees]] identity, in SQL). */
+  private val quotientDegCtes: String =
+    """nmass AS (SELECT e.src AS gid, sum(g.m) AS nmass
+        FROM qedges e JOIN grp g ON g.gid = e.dst GROUP BY e.src),
+      gdeg AS (SELECT g.gid, g.m, g.m - 1 + coalesce(n.nmass, 0) AS degree
+        FROM grp g LEFT JOIN nmass n USING (gid))"""
+
+  /** One unrolled group-grain PageRank iteration (exact integer
+    * micro-points, `//` before the multiply — the [[mhGroupDegrees]]
+    * recurrence in SQL): sc_g = (m_g−1)·(r_g // d_g) + Σ_{h~g} m_h·(r_h // d_h). */
+  private def qprIterSql(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""x$i AS (SELECT e.src AS gid, sum(c.m * c.c) AS xm
+        FROM qedges e JOIN $prev c ON c.gid = e.dst GROUP BY e.src),
+      r$i AS (SELECT c.gid, c.m, c.degree,
+        150000 // n_nodes + (85 * ((c.m - 1) * c.c + coalesce(x.xm, 0))) // 100 AS r
+        FROM $prev c LEFT JOIN x$i x USING (gid), nn),
+      c$i AS (SELECT gid, m, degree, r // degree AS c FROM r$i)"""
+  }
+
+  /** Scale-gate oracle overrides: group-grain (signature-quotient)
+    * rewrites of the CC/cluster-family oracles, used by the 10×/100×
+    * adversarial gates where the registered node-grain recursive-CTE
+    * forms are oracle-side infeasible (a k-doc megacluster's pair walk is
+    * O(k²) rows). The REGISTERED oracles stay node-grain all-pairs, so
+    * every driver correctness pass at sf0.01 still re-proves the quotient
+    * identity cross-form; these overrides re-prove the same outputs at
+    * the scales only the quotient can reach. Every override was verified
+    * row-identical to its registered form by direct DuckDB-vs-DuckDB
+    * comparison at sf0.001 and sf0.01 (tools/oracle_check.py --scale
+    * consumes them via Verify's oracle_sql_scale.json dump). */
+  private[graft] lazy val scaleOracleSql: Map[String, String] = {
+    val keepTail = """lab2 AS (SELECT doc_id, lang, n_chars, rep
+        FROM documents JOIN lab ON doc_id = node),
+      rk AS (SELECT doc_id, lang, n_chars,
+        row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY rep) AS dups FROM lab2)
+      SELECT doc_id, lang, n_chars, dups FROM rk WHERE rn = 1 ORDER BY doc_id"""
+    val sampTail = """cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY rep),
+      k AS (SELECT lab.node, lab.rep, sz,
+          CAST((strpos('0123456789abcdef',
+              substring(md5(CAST(node AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef',
+              substring(md5(CAST(node AS VARCHAR)), 2, 1)) - 1)
+            AS BIGINT) AS b
+        FROM lab JOIN cl ON lab.rep = cl.rep)
+      SELECT sz, CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN b * sz < 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM k GROUP BY sz ORDER BY sz"""
+    Map(
+      "dedup_clusters" -> s"""WITH RECURSIVE $quotientCcCtes
+        SELECT node AS doc_id, rep FROM lab ORDER BY doc_id""",
+      "dedup_purge" -> s"""WITH RECURSIVE $quotientCcCtes
+        SELECT doc_id, lang, n_chars FROM documents JOIN lab ON doc_id = node
+        WHERE rep = node ORDER BY doc_id""",
+      "dedup_keep_best" -> s"WITH RECURSIVE $quotientCcCtes, $keepTail",
+      "dup_cluster_sizes" -> s"""WITH RECURSIVE $quotientCcCtes,
+        cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY rep)
+        SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM cl GROUP BY sz ORDER BY sz""",
+      "cluster_balanced_sample" -> s"WITH RECURSIVE $quotientCcCtes, $sampTail",
+      "dup_graph_degree" -> s"""WITH RECURSIVE $quotientCcCtes, $quotientDegCtes,
+        hist0 AS (SELECT CAST(degree AS BIGINT) AS degree,
+            CAST(sum(m) AS BIGINT) AS cnt FROM gdeg GROUP BY degree),
+        zero AS (SELECT CAST(0 AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS cnt
+          FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM gmem WHERE gmem.doc_id = d.doc_id))
+        SELECT degree, CAST(sum(cnt) AS BIGINT) AS n_docs FROM (
+          SELECT * FROM hist0 UNION ALL SELECT * FROM zero)
+        GROUP BY degree HAVING sum(cnt) > 0 ORDER BY degree""",
+      "dup_pagerank" -> s"""WITH RECURSIVE $quotientCcCtes, $quotientDegCtes,
+        pdeg AS (SELECT * FROM gdeg WHERE degree > 0),
+        nn AS (SELECT CAST(sum(m) AS BIGINT) AS n_nodes FROM pdeg),
+        r0 AS (SELECT gid, m, degree, 1000000 // n_nodes AS r FROM pdeg, nn),
+        c0 AS (SELECT gid, m, degree, r // degree AS c FROM r0),
+        ${qprIterSql(1)}, ${qprIterSql(2)}, ${qprIterSql(3)}
+        SELECT gm.doc_id, CAST(r.r AS BIGINT) AS rank_upts
+        FROM gmem gm JOIN r3 r USING (gid) ORDER BY doc_id""",
+      "triangle_count" -> s"""WITH RECURSIVE $quotientCcCtes, $quotientDegCtes,
+        ns AS (SELECT
+            coalesce(sum(CAST(m AS HUGEINT) * (m - 1) // 2), 0) AS e_in,
+            coalesce(sum(CAST(m AS HUGEINT)
+              * (CAST(degree AS HUGEINT) * (degree - 1) // 2)), 0) AS n_wedges,
+            coalesce(sum(CAST(m AS HUGEINT) * (m - 1) * (m - 2) // 6), 0) AS t_in
+          FROM gdeg),
+        es AS (SELECT
+            coalesce(sum(CAST(a.m AS HUGEINT) * b.m), 0) AS e_x,
+            coalesce(sum((CAST(a.m AS HUGEINT) * (a.m - 1) // 2) * b.m
+              + (CAST(b.m AS HUGEINT) * (b.m - 1) // 2) * a.m), 0) AS t_mixed
+          FROM qpairs JOIN grp a ON a.gid = ga JOIN grp b ON b.gid = gb),
+        qd AS (SELECT src AS u, count(*) AS qdv FROM qedges GROUP BY src),
+        o AS (SELECT e.src, e.dst
+          FROM qedges e JOIN qd a ON e.src = a.u JOIN qd b ON e.dst = b.u
+          WHERE a.qdv < b.qdv OR (a.qdv = b.qdv AND e.src < e.dst)),
+        w AS (SELECT e1.src, e1.dst AS w1, e2.dst AS w2
+          FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        tq AS (SELECT coalesce(sum(CAST(gs.m AS HUGEINT) * g1.m * g2.m), 0) AS t_q
+          FROM w JOIN qpairs p ON w.w1 = p.ga AND w.w2 = p.gb
+          JOIN grp gs ON gs.gid = w.src
+          JOIN grp g1 ON g1.gid = w.w1 JOIN grp g2 ON g2.gid = w.w2)
+        SELECT CAST(e_in + e_x AS BIGINT) AS n_edges,
+          CAST(n_wedges AS BIGINT) AS n_wedges,
+          CAST(t_in + t_mixed + t_q AS BIGINT) AS n_triangles,
+          CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE round(3.0 * CAST(t_in + t_mixed + t_q AS DOUBLE)
+              / CAST(n_wedges AS DOUBLE), 6) END AS global_clustering
+        FROM ns, es, tq""",
+      "dedup_embed_clusters" -> s"""WITH RECURSIVE $embedQuotientCtes
+        SELECT node AS vec_id, rep FROM elab ORDER BY vec_id""")
+  }
 
   /** Shared gap-sessionization pieces (30-min split, half-open semantics,
     * (us, event_id) full-key order) — ONE definition consumed by the batch
@@ -1370,21 +1589,56 @@ object QueriesExt {
     // results per query — is reachable through the catalog (round-7
     // advice: folding the listing into the contract row made the real
     // similarity-search output unreachable for catalog consumers).
-    // KMeans centroids are not DuckDB-expressible, so this row carries
-    // NO oracle SQL (driver records the weaker rows-only check); its
-    // VALUES are covered transitively — `sim_topk_ivf_kmeans` recomputes
-    // every emitted cosine from a fresh source read and pins rank
-    // contiguity, and IvfSpec gates recall@5 at two scales.
+    // VALUE-ORACLED since round 10 (the round-9 verdict task #2): the
+    // KMeans FIT is the one step DuckDB can't express, so the query
+    // side-dumps the |cells|-row centroid table to parquet
+    // ([[ivfCentroidDump]]) and the oracle recomputes EVERYTHING ELSE
+    // from source — cell assignment (argmin of the rounded direct-sum
+    // L2, ties to the lowest cell — the exact arithmetic
+    // [[LlmOps.ivfAssign]] runs), the nprobe cell ranking, and the
+    // per-cell cosine top-k — so only the 8 centroid vectors are
+    // trusted, and those are pinned separately by IvfSpec's recall
+    // gates plus the `sim_topk_ivf_kmeans` contract row. Protocol: the
+    // oracle must run after the Spark dump on the SAME corpus (the
+    // verify-then-check order both the driver and the scale gates
+    // already use).
     "sim_topk_ivf_list" -> Q(
       (s, d) => {
         val e = emb(s, d)
         val (assigned, centroids) = LlmOps.ivfAssign(e)
+        centroids.coalesce(1).write.mode("overwrite").parquet(ivfCentroidDump)
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)
           .orderBy("qid", "rn")
       },
-      None))
+      Some(s"""WITH e AS ($embSql),
+        cent AS (SELECT cell, cvec
+          FROM parquet_scan('$ivfCentroidDump/*.parquet')),
+        asg AS (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_sum(list_transform(range(len(e.v)),
+                i -> (e.v[i+1] - c.cvec[i+1]) * (e.v[i+1] - c.cvec[i+1]))), 6) ASC,
+              c.cell ASC) AS arn
+          FROM e CROSS JOIN cent c) t WHERE arn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        probe AS (SELECT qid, qv, cell FROM (
+          SELECT q.qid, q.qv, c.cell, row_number() OVER (PARTITION BY q.qid
+              ORDER BY round(list_sum(list_transform(range(len(q.qv)),
+                i -> (q.qv[i+1] - c.cvec[i+1]) * (q.qv[i+1] - c.cvec[i+1]))), 6) ASC,
+              c.cell ASC) AS crn
+          FROM q CROSS JOIN cent c) t WHERE crn <= 4),
+        sims AS (SELECT p.qid, a.vec_id AS cand,
+            round(CASE WHEN sqrt(list_sum(list_transform(p.qv, x -> x*x)))
+                  * sqrt(list_sum(list_transform(a.v, x -> x*x))) = 0 THEN 0.0
+              ELSE list_sum(list_transform(range(len(p.qv)), i -> p.qv[i+1]*a.v[i+1]))
+                / (sqrt(list_sum(list_transform(p.qv, x -> x*x)))
+                  * sqrt(list_sum(list_transform(a.v, x -> x*x)))) END, 6) AS cos_r
+          FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.qid)
+        SELECT qid, CAST(rn AS INT) AS rn, cand, cos_r FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos_r DESC, cand ASC) AS rn FROM sims) t
+        WHERE rn <= 5 ORDER BY qid, rn""")))
 
   private lazy val ivfKmeansContractQ: Q = Q(
       (s, d) => {
@@ -1573,8 +1827,12 @@ object QueriesExt {
       // sequence to the same ≤1000 doubles on both engines.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // checkpoint the vocabulary rollup ONCE: n_vocab and the top-1000
+        // fit set both read it, and without the sever each consumer
+        // re-runs the full tokens→explode→groupBy corpus pass (r9 advice)
         val tf = tokens(s, d).groupBy(col("token"))
           .agg(count(lit(1)).as("tf"))
+          .diskCheckpointLazy()
         val nv = tf.agg(count(lit(1)).as("n_vocab"))
         val rk = tf.orderBy(col("tf").desc, col("token").asc).limit(1000)
           .withColumn("r", row_number().over(
@@ -3675,12 +3933,20 @@ object QueriesExt {
       (s, d) => {
         val g = mhGroups(s, d).select(col("gid"), col("m"))
         val qe = mhQEdges(s, d).diskCheckpointLazy()
+        // coalesce each closed-form sum to 0: on a corpus with NO shingled
+        // docs the group set is empty and bare sums would emit NULLs,
+        // diverging from the (0, 0, 0, 0.0) row a pairless-but-shingled
+        // corpus produces — one degenerate contract for both shapes, and
+        // the oracle coalesces identically (r9 advice; LlmOpsSpec pins
+        // the no-pair corpus)
         val nodeStats = mhGroupDegrees(s, d).agg(
-          sum(expr("cast(m as decimal(38,0)) * (m - 1) div 2")).as("e_in"),
-          sum(expr("m * (cast(degree as decimal(38,0)) * (degree - 1) div 2)"))
-            .as("n_wedges"),
-          sum(expr("cast(m as decimal(38,0)) * (m - 1) * (m - 2) div 6"))
-            .as("t_in"))
+          coalesce(sum(expr("cast(m as decimal(38,0)) * (m - 1) div 2")),
+            lit(0L)).as("e_in"),
+          coalesce(sum(expr(
+            "m * (cast(degree as decimal(38,0)) * (degree - 1) div 2)")),
+            lit(0L)).as("n_wedges"),
+          coalesce(sum(expr("cast(m as decimal(38,0)) * (m - 1) * (m - 2) div 6")),
+            lit(0L)).as("t_in"))
         val edgeStats = qe
           .join(g.toDF("ga", "ma").hint("shuffle_hash"), Seq("ga"))
           .join(g.toDF("gb", "mb").hint("shuffle_hash"), Seq("gb"))
@@ -3729,8 +3995,9 @@ object QueriesExt {
             FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
           tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM w JOIN pairs p ON w.w1 = p.doc_a AND w.w2 = p.doc_b),
-          st AS (SELECT CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
-              CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+          st AS (SELECT coalesce(CAST(sum(deg) / 2 AS BIGINT), 0) AS n_edges,
+              coalesce(CAST(sum(deg * (deg - 1) // 2) AS BIGINT), 0) AS n_wedges
+            FROM deg)
         SELECT n_edges, n_wedges, n_triangles,
           CASE WHEN n_wedges = 0 THEN 0.0
             ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_clustering

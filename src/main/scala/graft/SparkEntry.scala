@@ -22,4 +22,11 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
+
+  /** Scale-gate oracle overrides (10×/100× adversarial gates): group-grain
+    * quotient rewrites for the queries whose registered node-grain oracles
+    * are DuckDB-infeasible on megacluster corpora. Proven row-identical to
+    * the registered forms at sf0.001/sf0.01; consumed by
+    * `tools/oracle_check.py --scale` via Verify's `oracle_sql_scale.json`. */
+  def oracleSqlScale: Map[String, String] = QueriesExt.scaleOracleSql
 }

@@ -51,6 +51,12 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scale-gate overrides (builder-side 10×/100× gates only — the
+    // driver reads oracle_sql.json; oracle_check.py --scale overlays this)
+    val scaleJson = SparkEntry.oracleSqlScale
+      .filter { case (k, _) => keep(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
     spark.stop()
   }
 }

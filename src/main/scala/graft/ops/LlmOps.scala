@@ -307,7 +307,30 @@ object LlmOps {
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
       .setInitMode("k-means||")
       .setFeaturesCol("__feat").setPredictionCol("cell").fit(fitOn)
-    val assigned = model.transform(feat).drop("__feat")
+    // Assignment is NOT model.transform: MLlib's fastSquaredDistance takes
+    // a precision-dependent |a|²+|b|²−2ab shortcut, which no other engine
+    // can reproduce bit-for-bit. Instead the k centroids embed as plan
+    // LITERALS and the nearest cell is one argmin fold per row — same
+    // semantics (nearest centroid by squared L2, ties to the lowest cell),
+    // but over the ROUNDED direct-sum distance, the exact arithmetic shape
+    // a DuckDB oracle replays from the dumped centroid table (the walsh
+    // IVF row established cross-engine parity of this form). Zero shuffle:
+    // one projection over the scan, k×dim literal doubles broadcast free.
+    val centLits = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
+    }
+    val best = aggregate(
+      array(centLits.toSeq: _*),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
+      (acc, cEl) => {
+        val dist = round(aggregate(
+          zip_with(col(vCol), cEl.getField("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (x, y) => x + y), 6)
+        when(dist < acc.getField("d"),
+          struct(dist.as("d"), cEl.getField("cell").as("cell")))
+          .otherwise(acc)
+      })
+    val assigned = emb.withColumn("cell", best.getField("cell"))
     val spark = emb.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
@@ -323,9 +346,12 @@ object LlmOps {
       topK: Int = 5, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cdist = queries.crossJoin(broadcast(centroids))
+      // rounded like the assignment distance: cell ranking is then a pure
+      // function of (qv, centroids) in arithmetic both engines share, so
+      // an oracle can replay the probe set from the dumped centroid table
       .withColumn("__d",
-        aggregate(zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 6))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("__d").asc, col("cell").asc)))
       .filter(col("__rn") <= nprobe)

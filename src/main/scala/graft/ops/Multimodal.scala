@@ -30,9 +30,14 @@ object Multimodal {
   // per-row decode pays a filesystem round-trip per image — measured
   // super-linear on the 100x corpus (decade-2 exponent 1.36: 500k decodes
   // x 32 tasks contending on tmp). Payloads here are already in-memory
-  // byte arrays; cache in memory. JVM-global, set once per executor at
-  // class-init of the object that owns every decode call.
-  ImageIO.setUseCache(false)
+  // byte arrays; cache in memory. NOTE this is a JVM-GLOBAL setter: other
+  // ImageIO users in the same JVM see it too (documented public behavior
+  // of this module). It is applied inside [[decodeImage]] — the single
+  // decode entry point — not only at object init, so the setting holds on
+  // every executor regardless of class-init ordering or future callers
+  // (r9 advice: init-order-dependent globals are fragile).
+  private def imageIoInMemory(): Unit =
+    if (ImageIO.getUseCache) ImageIO.setUseCache(false)
 
   /** Media row schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -123,6 +128,7 @@ object Multimodal {
       }
       y += 1
     }
+    imageIoInMemory() // write-side ImageOutputStream is file-cached too
     val out = new ByteArrayOutputStream()
     require(ImageIO.write(img, "bmp", out), "JVM has no BMP writer")
     out.toByteArray
@@ -132,10 +138,13 @@ object Multimodal {
     * None when the bytes are not a decodable image. */
   def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
     if (payload == null) None
-    else // a malformed container can make ImageIO throw rather than return
-         // null — either way the payload is "not a decodable image" here
+    else {
+      imageIoInMemory() // idempotent guarded read-then-set, cheap per row
+      // a malformed container can make ImageIO throw rather than return
+      // null — either way the payload is "not a decodable image" here
       scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(payload))))
         .toOption.flatten
+    }
 
   /** Per-channel integer pixel sums — the decode metadata the oracle can
     * verify closed-form: (width, height, sum_r, sum_g, sum_b). */
@@ -230,6 +239,7 @@ object Multimodal {
       }
       y += 1
     }
+    imageIoInMemory() // write-side ImageOutputStream is file-cached too
     val out = new ByteArrayOutputStream()
     ImageIO.write(dst, "bmp", out)
     out.toByteArray

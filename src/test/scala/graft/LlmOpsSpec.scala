@@ -454,6 +454,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got._3 >= 34220L)
   }
 
+  test("triangle_count on a pairless corpus emits the zero row (not NULLs)") {
+    // shingled docs, ZERO candidate pairs: per-doc disjoint token
+    // vocabularies => disjoint shingle sets => distinct signatures and
+    // band keys. Degenerate contract (r9 advice): the closed-form sums
+    // coalesce to an explicit (0, 0, 0, 0.0) row — matching the oracle's
+    // coalesced aggregates — rather than NULLs from an empty group set.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nopair").toString
+    (0L until 20L).map(i =>
+        (i, (0 until 6).map(j => s"tok${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("synthetic").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("triangle_count")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((0L, 0L, 0L, 0.0)),
+      s"pairless corpus must emit the zero row, got ${got.toSeq}")
+  }
+
   test("quotient PageRank equals the node-grain form, integer-exact") {
     val edges = refPairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionAll(refPairs.select($"doc_b", $"doc_a"))

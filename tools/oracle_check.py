@@ -23,6 +23,14 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# --scale: overlay the group-grain quotient oracles (the 10x/100x gates'
+# feasible twins of the node-grain recursive-CTE CC forms)
+if "--scale" in sys.argv:
+    sp = f"{out_dir}/oracle_sql_scale.json"
+    if os.path.exists(sp):
+        overrides = json.load(open(sp))
+        oracle.update(overrides)  # may also ADD oracles (rows-only at sf)
+        print(f"[scale] overlaid {len(overrides)} quotient-grain oracles")
 
 def canon(df):
     df = df[sorted(df.columns)]
