@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * offline; on a cluster the same layout works on any HDFS-compatible FS
   * with atomic rename.
   */
-final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
+final class StateTable(spark: SparkSession, dir: String, keys: Seq[String],
+    leaseMs: Long = 10 * 60 * 1000L) {
   private val root = Paths.get(dir)
   private val pointer = root.resolve("_CURRENT")
   Files.createDirectories(root)
@@ -27,14 +28,92 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
   def read(): Option[DataFrame] =
     currentVersion.map(v => spark.read.parquet(root.resolve(s"v$v").toString))
 
+  // ---- single-writer lease ---------------------------------------------
+  // The table is SINGLE-WRITER by contract (the Mongo reference got
+  // per-document atomicity for free; a snapshot table cannot): every
+  // mutating entry point (commit / upsert / update / compact / vacuum /
+  // consolidateArchive) runs under an exclusive lease held in `_LOCK`,
+  // acquired with CREATE_NEW — the one atomic test-and-set a plain
+  // filesystem offers — and a second writer FAILS LOUDLY with
+  // ConcurrentModificationException instead of silently losing the other
+  // writer's read-modify-write (two upserts that both read v_N would both
+  // commit a v_{N+1}-style successor; one merge vanished). A lease left
+  // by a CRASHED writer is stolen once it is older than `leaseMs`
+  // (10 min default — an order of magnitude above any tick's
+  // commit time; CronTick's crash-orphan healing period has the same
+  // role queue-side). Residual windows, documented rather than hidden:
+  // two stealers of the same stale lock can interleave delete/create
+  // (loser's create fails loudly — safe — but the loser may first delete
+  // the winner's fresh lock in a sub-millisecond window), and a writer
+  // PAUSED past its whole lease (not crashed) can be stolen from — the
+  // pointer-swap guard below re-checks lease ownership immediately
+  // before the commit's atomic move, shrinking that window to the move
+  // itself. This is the standard advisory-lease trade on a FS without
+  // compare-and-swap file content; on HDFS-compatible stores the same
+  // CREATE_NEW discipline holds.
+  private val lockFile = root.resolve("_LOCK")
+  private val leaseToken = java.util.UUID.randomUUID().toString
+  private var leaseDepth = 0 // guarded by `synchronized` in withWriterLease
+
+  private def contention(holder: String): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"StateTable at $root is being written by another writer ($holder); " +
+        "the table is single-writer — serialize writers or let the stale " +
+        s"lease expire (leaseMs=$leaseMs)")
+
+  private def tryLock(): Boolean =
+    try {
+      Files.writeString(lockFile,
+        s"$leaseToken ${System.currentTimeMillis()}",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  private def acquireLease(): Unit =
+    if (!tryLock()) {
+      val held = try Files.readString(lockFile) catch { case _: Exception => "" }
+      val stale = held.split(" ") match {
+        case Array(_, ts) =>
+          try System.currentTimeMillis() - ts.toLong > leaseMs
+          catch { case _: NumberFormatException => true }
+        case _ => true // vanished or unparseable: treat as stale, retry once
+      }
+      if (!stale) contention(held.takeWhile(_ != ' '))
+      try Files.deleteIfExists(lockFile) catch { case _: Exception => () }
+      if (!tryLock()) contention("concurrent steal")
+    }
+
+  private def releaseLease(): Unit =
+    try {
+      if (Files.exists(lockFile)
+          && Files.readString(lockFile).startsWith(leaseToken))
+        Files.delete(lockFile)
+    } catch { case _: Exception => () }
+
+  private def withWriterLease[T](f: => T): T = synchronized {
+    if (leaseDepth > 0) { leaseDepth += 1; try f finally leaseDepth -= 1 }
+    else {
+      acquireLease()
+      leaseDepth = 1
+      try f finally { leaseDepth = 0; releaseLease() }
+    }
+  }
+
   /** Commit a full new snapshot: write `v{N+1}/`, then atomically swap the
     * pointer. Readers only ever follow the pointer, so a crashed writer
-    * leaves garbage data but never a torn table. */
-  def commit(df: DataFrame): Long = {
+    * leaves garbage data but never a torn table. Writer-exclusive: runs
+    * under the single-writer lease (see above), and re-checks lease
+    * ownership immediately before the pointer swap so a stolen lease
+    * aborts loudly instead of clobbering the stealer's commit. */
+  def commit(df: DataFrame): Long = withWriterLease {
     val next = currentVersion.getOrElse(-1L) + 1
     df.write.mode("overwrite").parquet(root.resolve(s"v$next").toString)
     val tmp = root.resolve(s"_CURRENT.tmp$next")
     Files.writeString(tmp, next.toString)
+    val ownedStill =
+      try Files.readString(lockFile).startsWith(leaseToken)
+      catch { case _: Exception => false }
+    if (!ownedStill) { Files.deleteIfExists(tmp); contention("lease stolen") }
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     next
@@ -44,14 +123,20 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * `refreshCols` defaults EMPTY here — a generic state table keeps strict
     * insert-only MERGE semantics regardless of its schema; callers wanting
     * the queue's `$set {classification, priority, update_time}` refresh
-    * (Q2) opt in explicitly. */
+    * (Q2) opt in explicitly. The lease spans the read AND the commit —
+    * the whole read-modify-write is writer-exclusive, which is exactly
+    * the lost-update window a commit-only lock would leave open. */
   def upsert(incoming: DataFrame, refreshCols: Seq[String] = Seq.empty): Long =
-    commit(read().map(Queue.upsert(_, incoming, keys, refreshCols))
-      .getOrElse(incoming))
+    withWriterLease {
+      commit(read().map(Queue.upsert(_, incoming, keys, refreshCols))
+        .getOrElse(incoming))
+    }
 
   /** Apply a whole-table transformation transactionally (e.g. a Q1 status
-    * transition). No-op (and no new version) before the first commit. */
-  def update(f: DataFrame => DataFrame): Option[Long] = read().map(f).map(commit)
+    * transition). No-op (and no new version) before the first commit.
+    * Lease spans read + commit (see [[upsert]]). */
+  def update(f: DataFrame => DataFrame): Option[Long] =
+    withWriterLease { read().map(f).map(commit) }
 
   private val archiveRoot = root.resolve("_archive")
   // names of batch dirs already merged into a combined batch, awaiting
@@ -146,7 +231,7 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * [[archive]]'s key-dedup hides it and the next call re-merges; dying
     * mid-sweep leaves doomed entries whose dirs are already gone —
     * [[deleteTree]] is a no-op on missing paths. */
-  def consolidateArchive(maxBatches: Int = 16): Unit = {
+  def consolidateArchive(maxBatches: Int = 16): Unit = withWriterLease {
     reapStaleTmp()
     // phase 2 of the PREVIOUS consolidation: sweep what it doomed
     doomedNames.foreach(n => deleteTree(archiveRoot.resolve(n)))
@@ -196,7 +281,7 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
     * skipped but the live removal still commits. Returns the new live
     * version, or None when nothing matched. */
   def compact(doomed: DataFrame => DataFrame): Option[Long] =
-    read().flatMap { df =>
+    withWriterLease { read().flatMap { df =>
       val keyCols = keys.map(org.apache.spark.sql.functions.col)
       val dead = doomed(df)
       if (dead.isEmpty) None
@@ -225,7 +310,7 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
         }
         Some(commit(df.join(dead.select(keyCols: _*), keys, "left_anti")))
       }
-    }
+    } }
 
   def versions: Seq[Long] =
     if (!Files.exists(root)) Seq.empty
@@ -234,7 +319,7 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String]) {
       .map(_.getName.drop(1).toLong).sorted
 
   /** Drop all but the newest `keep` versions. */
-  def vacuum(keep: Int = 2): Unit = {
+  def vacuum(keep: Int = 2): Unit = withWriterLease {
     val cur = currentVersion.getOrElse(return)
     versions.filter(_ <= cur).dropRight(keep)
       .foreach(v => deleteTree(root.resolve(s"v$v")))
