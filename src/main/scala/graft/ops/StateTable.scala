@@ -79,7 +79,15 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String],
         case _ => true // vanished or unparseable: treat as stale, retry once
       }
       if (!stale) contention(held.takeWhile(_ != ' '))
-      try Files.deleteIfExists(lockFile) catch { case _: Exception => () }
+      // delete ONLY if the lock still holds the exact content we judged
+      // stale — a fresh lock written by a concurrent stealer in between
+      // survives (shrinks the documented delete/create window to the
+      // re-read-to-delete gap; commit's staging-dir rename makes even
+      // that residue write-write safe)
+      try {
+        val now = try Files.readString(lockFile) catch { case _: Exception => "" }
+        if (now == held) Files.deleteIfExists(lockFile)
+      } catch { case _: Exception => () }
       if (!tryLock()) contention("concurrent steal")
     }
 
@@ -99,24 +107,44 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String],
     }
   }
 
-  /** Commit a full new snapshot: write `v{N+1}/`, then atomically swap the
-    * pointer. Readers only ever follow the pointer, so a crashed writer
-    * leaves garbage data but never a torn table. Writer-exclusive: runs
-    * under the single-writer lease (see above), and re-checks lease
-    * ownership immediately before the pointer swap so a stolen lease
-    * aborts loudly instead of clobbering the stealer's commit. */
+  /** Commit a full new snapshot: write a uniquely-named staging dir, then
+    * atomically rename it to `v{N+1}/` and atomically swap the pointer.
+    * Readers only ever follow the pointer, so a crashed writer leaves
+    * garbage data but never a torn table. Writer-exclusive: runs under
+    * the single-writer lease (see above), and re-checks lease ownership
+    * immediately before the version rename + pointer swap so a stolen
+    * lease aborts loudly instead of clobbering the stealer's commit.
+    *
+    * The per-attempt-unique staging dir (not `overwrite` into `v$next`
+    * directly) closes the one write-write hazard the advisory lease
+    * leaves open: two writers racing through the vanished-lock steal
+    * window could both believe they hold the lease and both compute the
+    * same `next` — with a shared target path they would interleave part
+    * files inside one version dir; with staging dirs the loser fails the
+    * ownership re-check (or the rename) loudly and retries, and no
+    * version dir is ever written by two writers. */
   def commit(df: DataFrame): Long = withWriterLease {
     val next = currentVersion.getOrElse(-1L) + 1
-    df.write.mode("overwrite").parquet(root.resolve(s"v$next").toString)
-    val tmp = root.resolve(s"_CURRENT.tmp$next")
-    Files.writeString(tmp, next.toString)
-    val ownedStill =
-      try Files.readString(lockFile).startsWith(leaseToken)
-      catch { case _: Exception => false }
-    if (!ownedStill) { Files.deleteIfExists(tmp); contention("lease stolen") }
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+    val stage = root.resolve(
+      s".tmpv_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      df.write.mode("overwrite").parquet(stage.toString)
+      val tmp = root.resolve(s"_CURRENT.tmp$next")
+      Files.writeString(tmp, next.toString)
+      val ownedStill =
+        try Files.readString(lockFile).startsWith(leaseToken)
+        catch { case _: Exception => false }
+      if (!ownedStill) { Files.deleteIfExists(tmp); contention("lease stolen") }
+      // a v$next left by a commit that crashed between its rename and its
+      // pointer swap is unreferenced garbage (the pointer is the truth,
+      // and version dirs are only touched under the lease we hold)
+      val target = root.resolve(s"v$next")
+      if (Files.exists(target)) deleteTree(target)
+      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      next
+    } finally deleteTree(stage) // no-op on success (already renamed away)
   }
 
   /** MERGE: existing rows win, new rows insert; first commit just inserts.

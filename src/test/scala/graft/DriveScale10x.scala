@@ -76,7 +76,8 @@ object DriveScale10x {
     // 10x leg); the lineitem-only tiers build their own corpora
     val needsBig = args.length <= 1 ||
       !Set("--x100extracts", "--x100robust", "--x10bandskew",
-        "--x100bandskew", "--x100hotzone").contains(args(1))
+        "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs")
+        .contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -270,6 +271,63 @@ object DriveScale10x {
       Seq("dedup_clusters", "dup_graph_degree", "triangle_count",
         "dup_pagerank").foreach(row(_, base, doc10, doc100))
       row("dedup_embed_clusters", base, big, emb100)
+      s.stop(); return
+    }
+    // --x1000ev: THIRD decade for the overflow-prone and banded event
+    // families (round-9 verdict #3) — ~100M events, whale users at the
+    // same 4× copy ratio as every earlier decade. Each of the last two
+    // decade pushes surfaced a real defect class (Long overflow at 100×,
+    // ORDER-BY key collisions at 10×); this measures the rows whose
+    // "bounded by corpus mass ≤ ~10¹⁸" overflow adjudications have only
+    // been argued, one decade further. All three legs are events-only
+    // corpora from the same amplifier, so the two printed exponents
+    // compare like for like.
+    if (args.length > 1 && args(1) == "--x1000ev") {
+      val ev10 = "/tmp/graft_scale10ev"
+      val ev100 = "/tmp/graft_scale100ev"
+      val ev1000 = "/tmp/graft_scale1000ev"
+      for ((d, c) <- Seq((ev10, 10), (ev100, 100), (ev1000, 1000)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateEvents(s, base, d, c)
+      val evOps = Seq("gini_spend", "rfm_scores", "funnel_latency",
+        "ab_test", "seasonal_anomaly", "retention_cohorts",
+        "sessionize_events", "ks_drift", "ks_drift_binned")
+      evOps.foreach { op =>
+        run(op, ev10); val t10 = run(op, ev10)
+        run(op, ev100); val t100 = run(op, ev100)
+        run(op, ev1000); val t1000 = run(op, ev1000)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        val e3 = math.log(t1000 / t100) / math.log(10.0)
+        println(f"$op%-20s 10x=$t10%6.2f s  100x=$t100%7.2f s" +
+          f"  1000x=$t1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
+          f"  exp[100x->1000x]=$e3%5.2f")
+      }
+      s.stop(); return
+    }
+    // --x1000docs: THIRD decade for the vocabulary family (round-9
+    // verdict #7) — 5M documents, the token-explode shuffle at ~10⁹
+    // exploded rows. The explode-width heuristic (LlmOps.spreadWidth)
+    // has only been exercised to 500k docs; decade 3 is where its 8×
+    // cap would first bind.
+    if (args.length > 1 && args(1) == "--x1000docs") {
+      val doc10 = "/tmp/graft_scale10doc"
+      val doc100 = "/tmp/graft_scale100x"
+      val doc1000 = "/tmp/graft_scale1000doc"
+      for ((d, c) <- Seq((doc10, 10), (doc100, 100), (doc1000, 1000)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateDocs(s, base, d, c)
+      val docOps = Seq("vocab_top", "tfidf_top", "bm25_top", "zipf_fit",
+        "pmi_bigrams", "chi2_tokens")
+      docOps.foreach { op =>
+        run(op, doc10); val t10 = run(op, doc10)
+        run(op, doc100); val t100 = run(op, doc100)
+        run(op, doc1000); val t1000 = run(op, doc1000)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        val e3 = math.log(t1000 / t100) / math.log(10.0)
+        println(f"$op%-20s 10x=$t10%6.2f s  100x=$t100%7.2f s" +
+          f"  1000x=$t1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
+          f"  exp[100x->1000x]=$e3%5.2f")
+      }
       s.stop(); return
     }
     // --x10hotzone: the round-7 zonedNtile rewires under their motivating
@@ -503,9 +561,13 @@ object DriveScale10x {
     val boiler = ("the quarterly portfolio navigation footer repeats across " +
       "every published revision of this document set ") * 5
     val docs = s.read.parquet(s"$base/documents.parquet")
-    val rotText = (1 until copies).foldLeft(
-      when(col("__copy") === 0, col("text"))) { (acc, i) =>
-      acc.when(col("__copy") === i, translate(col("text"), alpha, rot(i % 26)))
+    // rotation depends only on copy % 26 (rot(0) is the identity, matching
+    // copy 0's raw text), so the CASE chain is 26 branches regardless of
+    // the copy count — a branch per copy blew past Catalyst's comfortable
+    // expression size at the 1000× tier while producing identical text
+    val rotText = (1 until 26).foldLeft(
+      when(col("__copy") % 26 === 0, col("text"))) { (acc, i) =>
+      acc.when(col("__copy") % 26 === i, translate(col("text"), alpha, rot(i)))
     }
     docs.select(col("*"),
         explode(sequence(lit(0), lit(copies - 1))).as("__copy"))

@@ -47,7 +47,15 @@ object DriveSpill {
     // round-9 shapes: the signature-quotient substrate (window over the
     // full signature + group-grain band self-join) and the quotient
     // triangle closed forms + wedge join
-    "dedup_clusters", "triangle_count")
+    "dedup_clusters", "triangle_count",
+    // round-10/11 additions (round-9 verdict #8): the adaptive fine-grid
+    // banded edges (larger band counts mean more rank-edge state under
+    // the same pool) and the 128-bit promoted rows (decimal aggregation
+    // buffers are wider than the longs they replaced, so the starvation
+    // margin deserved a re-measure), plus zipf_fit's checkpointed
+    // vocabulary rollup + TakeOrdered fit window
+    "quality_tiles", "shard_balance", "funnel_latency",
+    "gini_spend", "ab_test", "seasonal_anomaly", "zipf_fit")
 
   /** Order-insensitive whole-result hash; doubles rounded to 1e-6 so a
     * spill-reordered float sum cannot flip the verdict. */

@@ -146,6 +146,113 @@ class StateTableSpec extends AnyFunSuite {
     assert(t.archive().get.as[(Long, Int)].collect().toMap == Map(1L -> 11))
   }
 
+  // ---- single-writer lease (the concurrency contract) -------------------
+  // The Mongo reference got per-document write atomicity for free; a
+  // snapshot table cannot, so StateTable is single-writer by contract and
+  // a second concurrent writer must FAIL LOUDLY rather than silently lose
+  // the other writer's read-modify-write. These tests fail on the
+  // pre-lease implementation (any interleaving of two upserts lost one).
+
+  test("lease: a held foreign lease makes every mutator fail loudly; " +
+    "reads stay live and nothing is clobbered") {
+    val dir = Files.createTempDirectory("graft_lease").toString
+    val t = new StateTable(spark, dir, Seq("id"))
+    t.commit(Seq((1L, 0)).toDF("id", "status"))
+    // a FRESH lease held by another writer
+    val lock = java.nio.file.Paths.get(dir, "_LOCK")
+    Files.writeString(lock, s"other-writer ${System.currentTimeMillis()}")
+    intercept[java.util.ConcurrentModificationException] {
+      t.upsert(Seq((2L, 0)).toDF("id", "status"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.update(_.withColumn("status", lit(9)))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.compact(_.filter(col("status") === 0))
+    }
+    intercept[java.util.ConcurrentModificationException] { t.vacuum() }
+    // readers are never blocked or corrupted by a held lease
+    assert(t.read().get.as[(Long, Int)].collect().toSeq == Seq((1L, 0)))
+    assert(t.versions == Seq(0L))
+    // once the other writer releases, this writer proceeds (and releases
+    // its own lease afterwards — a second mutation also succeeds)
+    Files.delete(lock)
+    t.upsert(Seq((2L, 0)).toDF("id", "status"))
+    t.update(_.withColumn("status", col("status") + 1))
+    assert(t.read().get.count() == 2)
+    assert(!Files.exists(lock), "lease must be released after the mutation")
+  }
+
+  test("lease: a stale lease from a crashed writer is stolen; an " +
+    "unparseable lock is treated as stale") {
+    val dir = Files.createTempDirectory("graft_lease").toString
+    val t = new StateTable(spark, dir, Seq("id"), leaseMs = 50L)
+    val lock = java.nio.file.Paths.get(dir, "_LOCK")
+    Files.writeString(lock,
+      s"crashed-writer ${System.currentTimeMillis() - 1000L}")
+    t.commit(Seq((1L, 0)).toDF("id", "status")) // steal succeeds
+    assert(t.read().get.count() == 1)
+    Files.writeString(lock, "garbage-without-timestamp")
+    t.upsert(Seq((2L, 0)).toDF("id", "status"))
+    assert(t.read().get.count() == 2)
+  }
+
+  test("lease: stolen mid-commit aborts BEFORE the pointer swap — the " +
+    "stealer's table is never clobbered by the paused loser") {
+    val dir = Files.createTempDirectory("graft_lease").toString
+    val t = new StateTable(spark, dir, Seq("id"))
+    t.commit(Seq((1L, 0)).toDF("id", "status"))
+    // A writer paused past its whole lease: simulate the steal happening
+    // DURING the snapshot write by evaluating a side-effecting expression
+    // inside the committed frame (local mode: executor == this JVM/FS).
+    val lock = java.nio.file.Paths.get(dir, "_LOCK")
+    val steal = udf { (x: Long) =>
+      Files.writeString(lock, s"thief ${System.currentTimeMillis()}"); x
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit(Seq((2L, 7)).toDF("id", "status")
+        .withColumn("id", steal(col("id"))))
+    }
+    // the pointer is untouched: readers still see the pre-commit snapshot
+    assert(t.read().get.as[(Long, Int)].collect().toSeq == Seq((1L, 0)))
+    // and the thief's lease survives (the loser must not release it)
+    assert(Files.readString(lock).startsWith("thief"))
+  }
+
+  test("race: concurrent writers with retry-on-contention lose no update " +
+    "(pre-lease, interleaved read-modify-writes silently dropped keys)") {
+    val dir = Files.createTempDirectory("graft_race").toString
+    val writers = 4; val perWriter = 5
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          val mine = new StateTable(spark, dir, Seq("id"))
+          for (i <- 0 until perWriter) {
+            var done = false
+            while (!done) {
+              try {
+                mine.upsert(Seq((w * 100L + i, w)).toDF("id", "status"))
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  Thread.sleep(5) // contention is the CONTRACT; retry
+              }
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"unexpected: ${failures.peek()}")
+    val t = new StateTable(spark, dir, Seq("id"))
+    val got = t.read().get.as[(Long, Int)].collect().toMap
+    val want = (for (w <- 0 until writers; i <- 0 until perWriter)
+      yield (w * 100L + i) -> w).toMap
+    assert(got == want, "a concurrent read-modify-write was lost")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_LOCK")))
+  }
+
   test("fuzz: 100 random upsert/update/compact/consolidate/restart " +
     "schedules match an in-memory model (no lost key, live∪archive " +
     "partition, live stays bounded)") {
