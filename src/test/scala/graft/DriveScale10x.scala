@@ -58,9 +58,14 @@ object DriveScale10x {
     // Run with SPARK_DRIVER_MEM=24g — the 10x corpus holds several
     // corpus-sized checkpoints at once during the dedup families.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // decade-3 partition-sizing experiments: shuffle partitions sized to
+    // the DATA (the production rule), overriding the bench default of
+    // one-per-core — at 100M+ rows, 32 partitions means multi-million-row
+    // sort partitions and the measurement reads spill, not the operator
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -289,9 +294,32 @@ object DriveScale10x {
       for ((d, c) <- Seq((ev10, 10), (ev100, 100), (ev1000, 1000)))
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
           generateEvents(s, base, d, c)
-      val evOps = Seq("gini_spend", "rfm_scores", "funnel_latency",
-        "ab_test", "seasonal_anomaly", "retention_cohorts",
-        "sessionize_events", "ks_drift", "ks_drift_binned")
+      val evOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("gini_spend", "rfm_scores", "funnel_latency",
+          "ab_test", "seasonal_anomaly", "retention_cohorts",
+          "sessionize_events", "ks_drift", "ks_drift_binned")
+      // substrate control: the full-corpus user-keyed shuffle + in-
+      // partition sort + hash, no operator logic — the floor every
+      // ordered-event window op (sessionize, rolling_activity) pays
+      // before its own work starts. Run as `--x1000ev ctl`.
+      if (evOps == Seq("ctl")) {
+        def ctl(d: String): Double = {
+          val t0 = System.nanoTime()
+          val e = Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+            .repartition(col("user_id"))
+            .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+          e.select(xxhash64(e.columns.map(col): _*).as("h"))
+            .agg(expr("bit_xor(h)")).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Seq(ev10, ev100, ev1000).foreach { d =>
+          ctl(d); val t = math.min(ctl(d), ctl(d))
+          println(f"shuffle_sort_ctl $d $t%8.2f s")
+        }
+        s.stop(); return
+      }
       evOps.foreach { op =>
         run(op, ev10); val t10 = run(op, ev10)
         run(op, ev100); val t100 = run(op, ev100)
