@@ -344,8 +344,9 @@ object DriveScale10x {
       for ((d, c) <- Seq((doc10, 10), (doc100, 100), (doc1000, 1000)))
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
           generateDocs(s, base, d, c)
-      val docOps = Seq("vocab_top", "tfidf_top", "bm25_top", "zipf_fit",
-        "pmi_bigrams", "chi2_tokens")
+      val docOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("vocab_top", "tfidf_top", "bm25_top", "zipf_fit",
+          "pmi_bigrams", "chi2_tokens")
       docOps.foreach { op =>
         run(op, doc10); val t10 = run(op, doc10)
         run(op, doc100); val t100 = run(op, doc100)
