@@ -2887,13 +2887,27 @@ object QueriesExt {
           .select(explode(LlmOps.bigramShingles("norm")).as("bg"))
           .select(substring_index(col("bg"), " ", 1).as("w1"),
             substring_index(col("bg"), " ", -1).as("w2"))
+        // checkpoint BOTH rollups once (the zipf_fit lesson, r9 advice):
+        // nab feeds the total-B aggregate AND the scored join chain, uni
+        // feeds total-T AND two attach joins — without the sever each
+        // consumer re-runs its full explode→groupBy corpus pass (measured
+        // at the 5M-doc decade-3 tier: the query cost ~2× its single-pass
+        // floor). DISK_ONLY: both frames are vocabulary-sized. The attach
+        // joins are shuffle_hash-hinted because a checkpointed LogicalRDD
+        // carries estimate stats — the r6 broadcast-cliff trap — and the
+        // build rows here are short fixed-shape (token, count) pairs that
+        // track the partition target ~1:1.
         val nab = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+          .diskCheckpointLazy()
         val uni = tokens(s, d).groupBy(col("token")).agg(count(lit(1)).as("n_u"))
+          .diskCheckpointLazy()
         val totT = uni.agg(sum(col("n_u")).as("t_tok"))
         val totB = nab.agg(sum(col("n_ab")).as("b_tok"))
         nab.filter(col("n_ab") >= 5)
-          .join(uni.withColumnRenamed("token", "w1").withColumnRenamed("n_u", "n_a"), Seq("w1"))
-          .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("n_u", "n_b"), Seq("w2"))
+          .join(uni.withColumnRenamed("token", "w1").withColumnRenamed("n_u", "n_a")
+            .hint("shuffle_hash"), Seq("w1"))
+          .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("n_u", "n_b")
+            .hint("shuffle_hash"), Seq("w2"))
           .crossJoin(broadcast(totT)).crossJoin(broadcast(totB))
           .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
             col("n_ab"),

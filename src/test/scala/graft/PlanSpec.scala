@@ -206,9 +206,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pmi_bigrams: top-50 is TakeOrdered with partial counts, never a global sort") {
+    // the bigram/unigram rollups are checkpointed (read once per
+    // consumer), so the ACTIVE plan scans LogicalRDDs — planOnly
+    // suppresses the sever to pin the substrate's map-side combine
+    val full = graft.ops.Ckpt.planOnly { plan("pmi_bigrams") }
+    assert(full.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$full")
+    assert(full.contains("partial_count"), "bigram counts must partial-aggregate map-side")
+    // active shape: the vocabulary attach joins must be shuffled hash
+    // joins — a checkpointed LogicalRDD carries estimate stats, and an
+    // estimate-broadcast of the vocab frame is the r6 OOM cliff
     val p = plan("pmi_bigrams")
-    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
-    assert(p.contains("partial_count"), "bigram counts must partial-aggregate map-side")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the unigram attaches must be shuffle_hash joins:\n$p")
+    assert(!p.contains("BroadcastHashJoin") || p.contains("b_tok"),
+      s"no estimate-broadcast of a vocabulary-sized frame:\n$p")
   }
 
   test("funnel: every hash exchange keys on user_id (one partitioning " +
