@@ -81,8 +81,8 @@ object DriveScale10x {
     // 10x leg); the lineitem-only tiers build their own corpora
     val needsBig = args.length <= 1 ||
       !Set("--x100extracts", "--x100robust", "--x10bandskew",
-        "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs")
-        .contains(args(1))
+        "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs",
+        "--x1000cc").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -276,6 +276,34 @@ object DriveScale10x {
       Seq("dedup_clusters", "dup_graph_degree", "triangle_count",
         "dup_pagerank").foreach(row(_, base, doc10, doc100))
       row("dedup_embed_clusters", base, big, emb100)
+      s.stop(); return
+    }
+    // --x1000cc: THIRD decade for the duplicate-graph family — 5M docs
+    // with a 100,000-doc identical-text megacluster (10¹⁰ implicit pairs
+    // in one bucket; the quotient forms must stay group-grain-linear).
+    // Same cold/warm protocol as --x100cc, decades 10×/100×/1000×.
+    if (args.length > 1 && args(1) == "--x1000cc") {
+      val doc10 = "/tmp/graft_scale10doc"
+      val doc100 = "/tmp/graft_scale100x"
+      val doc1000 = "/tmp/graft_scale1000doc"
+      for ((dd, c) <- Seq((doc10, 10), (doc100, 100), (doc1000, 1000)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dd/_READY")))
+          generateDocs(s, base, dd, c)
+      def row3(op: String): Unit = {
+        val c10 = run(op, doc10); val w10 = run(op, doc10)
+        val c100 = run(op, doc100); val w100 = run(op, doc100)
+        val c1000 = run(op, doc1000); val w1000 = run(op, doc1000)
+        val e2 = math.log(c100 / c10) / math.log(10.0)
+        val e3 = math.log(c1000 / c100) / math.log(10.0)
+        println(f"$op%-22s cold 10x=$c10%6.2f s 100x=$c100%7.2f s" +
+          f" 1000x=$c1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
+          f" exp[100x->1000x]=$e3%5.2f" +
+          f"  (warm $w10%5.2f/$w100%5.2f/$w1000%5.2f s)")
+      }
+      val ccOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("dedup_clusters", "dup_graph_degree", "triangle_count",
+          "dup_pagerank")
+      ccOps.foreach(row3)
       s.stop(); return
     }
     // --x1000ev: THIRD decade for the overflow-prone and banded event
