@@ -560,6 +560,53 @@ object QueriesCore {
           'http://download.example.org/query/#!/status/' || rid AS status_url,
           'http://download.example.org/query/#!/requests/' || mail_to AS requests_url
         FROM j ORDER BY o_orderkey""")),
+    "email_content_completed" -> Q(
+      // S8b completion-notification derivation (`queue/request_tools.py:
+      // 281-322`, notify_completed): the lifecycle's SECOND email, sent once
+      // a request finishes. Derivable parts: the status-conditional subject
+      // "Request {rid[:7]}.. Completed" and the direct, always-available
+      // zip-download URL "http://{server}/data/geoquery_results/{id}/{id}
+      // .zip" — survey link / citation block are fixed boilerplate, SMTP
+      // transport out of scope (SURVEY §2.1). The F12 `when` conditional
+      // dispatches the subject on completion status (finished 'F' =>
+      // Completed, in-flight => Received), so one scan derives the whole
+      // two-email lifecycle; zip_url exists only for completed requests
+      // (the reference only ever renders it from notify_completed).
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("rid",
+          sha2(canonicalJson(struct(col("o_orderkey").cast("string").as("id"))), 256))
+        .withColumn("mail_to",
+          concat(regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+            lit("@example.org")))
+        .select(col("o_orderkey"), col("mail_to"),
+          concat(lit("AidData geo(query) - Request "),
+            substring(col("rid"), 1, 7),
+            when(col("o_orderstatus") === "F", lit(".. Completed"))
+              .otherwise(lit(".. Received"))).as("subject"),
+          concat(lit("http://download.example.org/query/#!/status/"),
+            col("rid")).as("status_url"),
+          when(col("o_orderstatus") === "F",
+            concat(lit("http://download.example.org/data/geoquery_results/"),
+              col("rid"), lit("/"), col("rid"), lit(".zip"))).as("zip_url"),
+          concat(lit("http://download.example.org/query/#!/requests/"),
+            col("mail_to")).as("requests_url"))
+        .orderBy("o_orderkey"),
+      Some("""WITH j AS (SELECT o_orderkey, o_orderstatus,
+          regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g') || '@example.org' AS mail_to,
+          sha256('{"id": "' || o_orderkey || '"}') AS rid
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus IN ('O','F'))
+        SELECT o_orderkey, mail_to,
+          'AidData geo(query) - Request ' || substring(rid, 1, 7) ||
+            (CASE WHEN o_orderstatus = 'F' THEN '.. Completed' ELSE '.. Received' END) AS subject,
+          'http://download.example.org/query/#!/status/' || rid AS status_url,
+          CASE WHEN o_orderstatus = 'F'
+            THEN 'http://download.example.org/data/geoquery_results/' || rid || '/' || rid || '.zip'
+          END AS zip_url,
+          'http://download.example.org/query/#!/requests/' || mail_to AS requests_url
+        FROM j ORDER BY o_orderkey""")),
     "doc_timeline" -> Q(
       // S7 processing-timeline derivation (`queue/documentation_tool.py:
       // 145-167`): per request, the ordered stage table [(name, rendered

@@ -80,4 +80,39 @@ class GoldenFixtureSpec extends AnyFunSuite {
     assert(times == times.sorted, "stage times are monotonic")
     assert(stages.distinct.size == 4)
   }
+
+  /** Both notification variants' strings, byte-exact against the reference
+    * format grammars: notify_received (`queue/request_tools.py:254-272`)
+    * "Request {id[:7]}.. Received" and notify_completed (:281-322)
+    * "Request {id[:7]}.. Completed" plus the direct zip-download URL
+    * "http://{server}/data/geoquery_results/{id}/{id}.zip" (same id appears
+    * as BOTH the directory and the file stem). */
+  test("email subjects + zip url match the reference format grammar byte-exact") {
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val received = SparkEntry.queries("email_content")(s, d).limit(50).collect()
+    assert(received.nonEmpty)
+    received.foreach { r =>
+      val rid = r.getAs[String]("status_url").split("/").last
+      assert(r.getAs[String]("subject") ==
+        s"AidData geo(query) - Request ${rid.take(7)}.. Received")
+    }
+    val completed = SparkEntry.queries("email_content_completed")(s, d).collect()
+    val byStatus = completed.groupBy(r => r.getAs[String]("subject").endsWith(".. Completed"))
+    assert(byStatus.contains(true), "fixture has completed ('F') orders")
+    assert(byStatus.contains(false), "fixture has in-flight ('O') orders")
+    completed.foreach { r =>
+      val rid = r.getAs[String]("status_url").split("/").last
+      val subj = r.getAs[String]("subject")
+      if (subj.endsWith(".. Completed")) {
+        assert(subj == s"AidData geo(query) - Request ${rid.take(7)}.. Completed")
+        assert(r.getAs[String]("zip_url") ==
+          s"http://download.example.org/data/geoquery_results/$rid/$rid.zip")
+      } else {
+        assert(subj == s"AidData geo(query) - Request ${rid.take(7)}.. Received")
+        assert(r.getAs[String]("zip_url") == null,
+          "zip_url only renders from notify_completed")
+      }
+    }
+  }
 }
