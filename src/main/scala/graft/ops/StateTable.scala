@@ -131,15 +131,28 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String],
       df.write.mode("overwrite").parquet(stage.toString)
       val tmp = root.resolve(s"_CURRENT.tmp$next")
       Files.writeString(tmp, next.toString)
-      val ownedStill =
+      // Ownership + progress re-check IMMEDIATELY before the destructive
+      // step. A v$next left by a commit that crashed between its rename
+      // and its pointer swap is unreferenced garbage — but a v$next that
+      // is ALSO referenced by an advanced pointer is a stealer's live
+      // commit, so an advanced pointer (>= next) aborts even if the lock
+      // file momentarily carries our token again. Like acquireLease, a
+      // window remains between these checks and deleteTree in which a
+      // double-held lease can still collide; it is now one instruction
+      // wide instead of spanning the tmp-pointer write.
+      def ownedStill: Boolean =
         try Files.readString(lockFile).startsWith(leaseToken)
         catch { case _: Exception => false }
       if (!ownedStill) { Files.deleteIfExists(tmp); contention("lease stolen") }
-      // a v$next left by a commit that crashed between its rename and its
-      // pointer swap is unreferenced garbage (the pointer is the truth,
-      // and version dirs are only touched under the lease we hold)
+      if (currentVersion.exists(_ >= next)) {
+        Files.deleteIfExists(tmp)
+        contention(s"pointer advanced past v$next — lease was stolen and re-committed")
+      }
       val target = root.resolve(s"v$next")
-      if (Files.exists(target)) deleteTree(target)
+      if (Files.exists(target)) {
+        if (!ownedStill) { Files.deleteIfExists(tmp); contention("lease stolen") }
+        deleteTree(target)
+      }
       Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)

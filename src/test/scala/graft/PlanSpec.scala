@@ -216,9 +216,13 @@ class PlanSpec extends AnyFunSuite {
     // joins — a checkpointed LogicalRDD carries estimate stats, and an
     // estimate-broadcast of the vocab frame is the r6 OOM cliff
     val p = plan("pmi_bigrams")
-    assert(p.contains("ShuffledHashJoin"),
-      s"the unigram attaches must be shuffle_hash joins:\n$p")
-    assert(!p.contains("BroadcastHashJoin") || p.contains("b_tok"),
+    assert("ShuffledHashJoin".r.findAllIn(p).length == 2,
+      s"both unigram attaches must be shuffle_hash joins (exactly two):\n$p")
+    // the only broadcasts allowed are the 1-row tot frames, which surface
+    // as BroadcastNestedLoopJoin from crossJoin(broadcast(..)) — an attach
+    // join regressing to an estimate-stats BroadcastHashJoin is the r6 OOM
+    // cliff and must fail here outright
+    assert(!p.contains("BroadcastHashJoin"),
       s"no estimate-broadcast of a vocabulary-sized frame:\n$p")
   }
 
