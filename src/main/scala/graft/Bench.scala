@@ -29,6 +29,31 @@ import org.apache.spark.sql.SparkSession
   * re-run.
   */
 object Bench {
+  /** Round-trip-parse one emitted protocol line with Jackson (the
+    * independent parser Spark already ships) and assert the fields the
+    * driver reads are present and well-typed. The historical failure
+    * class (r07/r09 `"parsed": null`) was a protocol line the driver's
+    * parser rejected — silently, because nothing on this side checked
+    * its own output. A NaN/Infinity timing (invalid JSON number) or an
+    * unescaped quote in a future query name must now kill the run
+    * loudly instead of voiding the round's benchmark. */
+  def validateProtocolLine(line: String, requireQueries: Boolean): Unit = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    require(node.isObject, "protocol line is not a JSON object")
+    require(node.path("metric").asText() == "total", "missing metric=total")
+    require(node.path("value").isNumber, "value is not a JSON number")
+    require(node.path("pass_totals").isArray, "pass_totals is not an array")
+    require(node.path("contended").isArray, "contended is not an array")
+    if (requireQueries) {
+      require(node.path("queries").isObject, "queries is not an object")
+      val it = node.path("queries").properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        require(e.getValue.isNumber, s"query ${e.getKey} timing is not a number")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -123,6 +148,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals,"contended":$contendedJson,"queries":$qs,"sf":"$sfDir"}"""
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals,"contended":$contendedJson,"sf":"$sfDir"}"""
+    // validate BEFORE printing; print anyway on failure (forensics) but
+    // exit non-zero so the driver can never record a silent parse void
+    val protocolErr =
+      try { validateProtocolLine(fullLine, requireQueries = true)
+            validateProtocolLine(totalLine, requireQueries = false); None }
+      catch { case e: Exception => Some(e.getMessage) }
+    protocolErr.foreach(m => System.err.println(s"[bench] PROTOCOL LINE INVALID: $m"))
     println(fullLine)
     // compact total-only object LAST — the driver tail-parses this line
     println(totalLine)
@@ -139,5 +171,6 @@ object Bench {
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write bench_total.json: ${e.getMessage}")
     }
+    if (protocolErr.isDefined) sys.exit(2)
   }
 }

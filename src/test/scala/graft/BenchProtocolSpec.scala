@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench protocol's self-check (`Bench.validateProtocolLine`): the
+  * r07/r09 `"parsed": null` class — an emitted line the driver's parser
+  * rejects — must fail the run loudly instead of silently voiding the
+  * round's benchmark. Covers the two realistic corruption modes: a
+  * NaN/Infinity timing (invalid JSON number token) and an unescaped quote
+  * in a query name.
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  private val good =
+    """{"metric":"total","value":12.5,"unit":"sec","pass_totals":[12.5,11.9],""" +
+      """"contended":[],"queries":{"q1":1.25,"q2":11.25},"sf":"/root/testdata/sf0.1"}"""
+
+  test("well-formed full line round-trips") {
+    Bench.validateProtocolLine(good, requireQueries = true)
+  }
+
+  test("well-formed total-only line round-trips without queries") {
+    val totalOnly =
+      """{"metric":"total","value":12.5,"unit":"sec","pass_totals":[12.5,11.9],"contended":[],"sf":"x"}"""
+    Bench.validateProtocolLine(totalOnly, requireQueries = false)
+  }
+
+  test("NaN timing is rejected (invalid JSON number token)") {
+    val bad = good.replace("\"q2\":11.25", "\"q2\":NaN")
+    assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))
+  }
+
+  test("Infinity total is rejected") {
+    val bad = good.replace("\"value\":12.5", "\"value\":Infinity")
+    assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))
+  }
+
+  test("unescaped quote in a query name is rejected") {
+    val bad = good.replace("\"q1\"", "\"q\"1\"")
+    assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))
+  }
+
+  test("missing queries object fails when required, passes when not") {
+    val noQueries =
+      """{"metric":"total","value":1.0,"unit":"sec","pass_totals":[1.0],"contended":[],"sf":"x"}"""
+    assertThrows[Exception](Bench.validateProtocolLine(noQueries, requireQueries = true))
+    Bench.validateProtocolLine(noQueries, requireQueries = false)
+  }
+
+  test("non-numeric per-query timing is rejected") {
+    val bad = good.replace("\"q2\":11.25", "\"q2\":\"11.25\"")
+    assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))
+  }
+}
