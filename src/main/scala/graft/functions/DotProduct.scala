@@ -95,6 +95,9 @@ object native {
     Bridge.column(WalshSignBits(Bridge.expression(v),
       org.apache.spark.sql.catalyst.expressions.Literal(nBits)))
 
+  def nearest_centroid(v: Column, centroids: Column): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(v), Bridge.expression(centroids)))
+
   /** Make the native expressions callable by name from `spark.sql` on a
     * live session (cluster-wide: `--conf spark.sql.extensions=
     * graft.plans.GraftExtensions`). */
@@ -104,5 +107,7 @@ object native {
       args => MinRollingHash(args(0), args(1)))
     Bridge.registerFunction(spark, "walsh_sign_bits",
       args => WalshSignBits(args(0), args(1)))
+    Bridge.registerFunction(spark, "nearest_centroid",
+      args => NearestCentroid(args(0), args(1)))
   }
 }

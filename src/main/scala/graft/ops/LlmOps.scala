@@ -273,6 +273,24 @@ object LlmOps {
         .select(col("node"), col("node").as("rep")))
   }
 
+  /** IVF cell budget for an N-vector corpus: k ≈ √N/2 clamped to [8, 1024].
+    * √N balances assignment cost (N·k·d) against per-cell candidate cost
+    * (|Q|·nprobe·N/k·d); the /2 and the 1024 cap price the single-node
+    * constants — the KMeans fit sees ~50·k sampled points and the
+    * centroid matrix travels as plan literals (1024×dim doubles ≈ 0.5 MB,
+    * still free to broadcast; past that the right structure is a
+    * two-level quantizer, not more flat cells). Registered fixture-scale
+    * queries pin k=8 explicitly so their oracles are stable; this is the
+    * default a corpus-scale caller should use (measured through three
+    * decades in SCALE.md's `--x1000sim` tier). */
+  def ivfCells(n: Long): Int =
+    math.max(8, math.min(1024, math.round(math.sqrt(n.toDouble) / 2).toInt))
+
+  /** Probe budget companion: ~3% of cells, floor 4 — at fixture scale
+    * (k=8) that floor is the IvfSpec-gated nprobe=4 operating point, and
+    * at k=1024 a 32-cell probe keeps per-query candidates ≈ 32·N/k. */
+  def ivfProbes(k: Int): Int = math.max(4, k / 32)
+
   /** IVF coarse quantization (X3 scale path): KMeans centroids as inverted-
     * file cells. Returns (assignments with a `cell` column, centroid table).
     * At scale the assignment is a one-pass map (broadcast centroids); search
@@ -310,27 +328,21 @@ object LlmOps {
     // Assignment is NOT model.transform: MLlib's fastSquaredDistance takes
     // a precision-dependent |a|²+|b|²−2ab shortcut, which no other engine
     // can reproduce bit-for-bit. Instead the k centroids embed as plan
-    // LITERALS and the nearest cell is one argmin fold per row — same
-    // semantics (nearest centroid by squared L2, ties to the lowest cell),
-    // but over the ROUNDED direct-sum distance, the exact arithmetic shape
-    // a DuckDB oracle replays from the dumped centroid table (the walsh
-    // IVF row established cross-engine parity of this form). Zero shuffle:
-    // one projection over the scan, k×dim literal doubles broadcast free.
-    val centLits = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
-    }
-    val best = aggregate(
-      array(centLits.toSeq: _*),
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
-      (acc, cEl) => {
-        val dist = round(aggregate(
-          zip_with(col(vCol), cEl.getField("cvec"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (x, y) => x + y), 6)
-        when(dist < acc.getField("d"),
-          struct(dist.as("d"), cEl.getField("cell").as("cell")))
-          .otherwise(acc)
-      })
-    val assigned = emb.withColumn("cell", best.getField("cell"))
+    // LITERAL matrix and the nearest cell is ONE native codegen'd argmin
+    // pass per row ([[graft.functions.NearestCentroid]]) — identical
+    // semantics to the HOF fold it replaced (nearest centroid by
+    // ROUNDED-to-6dp squared L2, ties to the lowest cell — the exact
+    // arithmetic shape a DuckDB oracle replays from the dumped centroid
+    // table; the walsh IVF row established cross-engine parity of this
+    // form), but a primitive N·k·dim loop nest instead of an interpreted
+    // per-(row,centroid) struct fold — the difference between k=8 and
+    // the k ~ √N cell budget a 10M-vector corpus wants. Zero shuffle:
+    // one projection over the scan, k×dim literal doubles travel with
+    // the plan for free.
+    val centMatrix = array(model.clusterCenters.map(c =>
+      array(c.toArray.map(lit): _*)).toSeq: _*)
+    val assigned = emb.withColumn("cell",
+      graft.functions.native.nearest_centroid(col(vCol), centMatrix))
     val spark = emb.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
