@@ -82,7 +82,7 @@ object DriveScale10x {
     val needsBig = args.length <= 1 ||
       !Set("--x100extracts", "--x100robust", "--x10bandskew",
         "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs",
-        "--x1000cc").contains(args(1))
+        "--x1000cc", "--x1000li", "--x1000sim").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -348,15 +348,18 @@ object DriveScale10x {
         }
         s.stop(); return
       }
+      // cold AND warm printed like --x1000cc's row3 (exponents on the
+      // cold rows) so cross-tier exponent comparisons stay like-for-like
       evOps.foreach { op =>
-        run(op, ev10); val t10 = run(op, ev10)
-        run(op, ev100); val t100 = run(op, ev100)
-        run(op, ev1000); val t1000 = run(op, ev1000)
-        val e2 = math.log(t100 / t10) / math.log(10.0)
-        val e3 = math.log(t1000 / t100) / math.log(10.0)
-        println(f"$op%-20s 10x=$t10%6.2f s  100x=$t100%7.2f s" +
-          f"  1000x=$t1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
-          f"  exp[100x->1000x]=$e3%5.2f")
+        val c10 = run(op, ev10); val w10 = run(op, ev10)
+        val c100 = run(op, ev100); val w100 = run(op, ev100)
+        val c1000 = run(op, ev1000); val w1000 = run(op, ev1000)
+        val e2 = math.log(c100 / c10) / math.log(10.0)
+        val e3 = math.log(c1000 / c100) / math.log(10.0)
+        println(f"$op%-20s cold 10x=$c10%6.2f s 100x=$c100%7.2f s" +
+          f" 1000x=$c1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
+          f"  exp[100x->1000x]=$e3%5.2f" +
+          f"  (warm $w10%5.2f/$w100%5.2f/$w1000%5.2f s)")
       }
       s.stop(); return
     }
@@ -375,15 +378,52 @@ object DriveScale10x {
       val docOps = if (args.length > 2) args.drop(2).toSeq
         else Seq("vocab_top", "tfidf_top", "bm25_top", "zipf_fit",
           "pmi_bigrams", "chi2_tokens")
+      // cold AND warm printed like --x1000cc's row3 (exponents on the
+      // cold rows) so cross-tier exponent comparisons stay like-for-like
       docOps.foreach { op =>
-        run(op, doc10); val t10 = run(op, doc10)
-        run(op, doc100); val t100 = run(op, doc100)
-        run(op, doc1000); val t1000 = run(op, doc1000)
-        val e2 = math.log(t100 / t10) / math.log(10.0)
-        val e3 = math.log(t1000 / t100) / math.log(10.0)
-        println(f"$op%-20s 10x=$t10%6.2f s  100x=$t100%7.2f s" +
-          f"  1000x=$t1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
-          f"  exp[100x->1000x]=$e3%5.2f")
+        val c10 = run(op, doc10); val w10 = run(op, doc10)
+        val c100 = run(op, doc100); val w100 = run(op, doc100)
+        val c1000 = run(op, doc1000); val w1000 = run(op, doc1000)
+        val e2 = math.log(c100 / c10) / math.log(10.0)
+        val e3 = math.log(c1000 / c100) / math.log(10.0)
+        println(f"$op%-20s cold 10x=$c10%6.2f s 100x=$c100%7.2f s" +
+          f" 1000x=$c1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
+          f"  exp[100x->1000x]=$e3%5.2f" +
+          f"  (warm $w10%5.2f/$w100%5.2f/$w1000%5.2f s)")
+      }
+      s.stop(); return
+    }
+    // --x1000li: THIRD decade for the lineitem/extract family (round-11
+    // verdict #1) — ~670M pixel rows with the hot-zone skew ratio
+    // preserved (nation-0 suppliers at 4000× copies, ONE zone still holds
+    // ~14% of all pixels) and per-copy value perturbation so the guided
+    // quantile engines see distinct values, not compressed buffers. The
+    // ops are the REGISTERED catalog rows a user gets: the guided
+    // median/percentile/mad engines, the winsor/robust rebuilds, the
+    // flagship merge and the msr window — with extract_mean riding along
+    // as the linear scan-floor control. Decades 10×/100×/1000×; cold AND
+    // warm printed like --x1000cc's row3 (exponents on the cold rows).
+    if (args.length > 1 && args(1) == "--x1000li") {
+      val li10 = "/tmp/graft_scale10li"
+      val li100 = "/tmp/graft_scale100li"
+      val li1000 = "/tmp/graft_scale1000li"
+      for ((d, c) <- Seq((li10, 10), (li100, 100), (li1000, 1000)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateLineitem(s, base, d, c)
+      val liOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("extract_mean", "extract_median", "extract_percentile",
+          "extract_mad", "extract_winsor", "outlier_robust",
+          "merge_wide", "msr_surface")
+      liOps.foreach { op =>
+        val c10 = run(op, li10); val w10 = run(op, li10)
+        val c100 = run(op, li100); val w100 = run(op, li100)
+        val c1000 = run(op, li1000); val w1000 = run(op, li1000)
+        val e2 = math.log(c100 / c10) / math.log(10.0)
+        val e3 = math.log(c1000 / c100) / math.log(10.0)
+        println(f"$op%-20s cold 10x=$c10%6.2f s 100x=$c100%7.2f s" +
+          f" 1000x=$c1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
+          f"  exp[100x->1000x]=$e3%5.2f" +
+          f"  (warm $w10%5.2f/$w100%5.2f/$w1000%5.2f s)")
       }
       s.stop(); return
     }
@@ -464,6 +504,93 @@ object DriveScale10x {
           println(f"$nm%-18s 1x=$t1%6.2f s  10x=$t10%7.2f s  100x=$t100%8.2f s" +
             f"  exp[1x->10x]=$e1%5.2f  exp[10x->100x]=$e2%5.2f")
         }
+      s.stop(); return
+    }
+    // --x1000sim: THIRD decade for ANN at fixed |Q| (round-11 verdict
+    // #5) — 100k / 1M / 10M PERTURBED vectors (near-dup clouds, not
+    // identical clones; see generateEmbPerturbed). The thing under test
+    // is the cell budget finally growing with √N: k = LlmOps.ivfCells(N)
+    // (√N/2 clamped [8, 1024] → 158 / 500 / 1024 across the decades) with
+    // nprobe = LlmOps.ivfProbes(k), assignment running the native
+    // codegen'd NearestCentroid pass — the plan shape that replaces the
+    // k=8 fixture constant at corpus scale. Rows: brute-force cosine
+    // top-5 (linear baseline AND the recall truth set), KMeans-IVF at
+    // the heuristic operating point, walsh-IVF with ⌈log₂ k⌉ sign bits.
+    // recall@5 vs brute prints per scale; the KMeans row REQUIREs
+    // recall ≥ 0.6 (IvfSpec's quantizer-quality floor) at every scale.
+    if (args.length > 1 && args(1) == "--x1000sim") {
+      import org.apache.spark.sql.expressions.Window
+      val tiers = Seq(("/tmp/graft_scale50sim", 50),
+        ("/tmp/graft_scale500sim", 500), ("/tmp/graft_scale5000sim", 5000))
+      tiers.foreach { case (dd, c) =>
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dd/_READY")))
+          generateEmbPerturbed(s, base, dd, c)
+      }
+      def embQ(d: String) = {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", LlmOps.norm(col("v")))
+        val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        (e, q)
+      }
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("qid"), col("cand")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def topk(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos_r").desc, col("vec_id").asc)))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id").as("cand"))
+      def timed(f: => Set[(Long, Long)]): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      tiers.foreach { case (dd, copies) =>
+        val n = copies.toLong * 2000
+        val k = LlmOps.ivfCells(n)
+        val nprobe = LlmOps.ivfProbes(k)
+        val bits = math.min(10, math.max(3,
+          math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt))
+        val (tB, bf) = timed {
+          val (e, q) = embQ(dd)
+          pairs(topk(q.join(e, col("vec_id") =!= col("qid"))
+            .withColumn("cos_r", round(
+              LlmOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))))
+        }
+        val (tK, kvf) = timed {
+          val (e, q) = embQ(dd)
+          val (assigned, centroids) =
+            LlmOps.ivfAssign(e, k = k,
+              fitFraction = math.min(1.0, 50.0 * k / n))
+          pairs(LlmOps.ivfSearch(assigned, centroids, q,
+            topK = 5, nprobe = nprobe))
+        }
+        val (tW, wvf) = timed {
+          val (e, q) = embQ(dd)
+          val assigned = e.withColumn("cell",
+            graft.functions.native.walsh_sign_bits(col("v"), bits))
+          val cent = assigned
+            .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+            .groupBy(col("cell"))
+            .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("sm"))
+            .select(col("cell"), expr("transform(sm, s -> s.m)").as("cvec"))
+          pairs(LlmOps.ivfSearch(assigned, cent, q,
+            topK = 5, nprobe = LlmOps.ivfProbes(1 << bits)))
+        }
+        val rK = kvf.intersect(bf).size.toDouble / bf.size
+        val rW = wvf.intersect(bf).size.toDouble / bf.size
+        println(f"N=$n%8d k=$k%4d nprobe=$nprobe%3d bits=$bits%2d  " +
+          f"brute=$tB%7.2f s  kmeans_ivf=$tK%7.2f s (recall@5=$rK%.3f)  " +
+          f"walsh_ivf=$tW%7.2f s (recall@5=$rW%.3f)")
+        require(rK >= 0.6,
+          f"kmeans IVF recall@5=$rK%.3f fell below the 0.6 floor at N=$n " +
+            "— adjust ivfCells/ivfProbes")
+      }
       s.stop(); return
     }
     // --x100mm: SECOND decade for the multimodal family — the per-row
@@ -773,6 +900,34 @@ object DriveScale10x {
     java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
     println(s"  events: " +
       s.read.parquet(s"$out/events.parquet").count() + " rows")
+  }
+
+  /** Embeddings-only PERTURBED corpus for the --x1000sim tier: embeddings
+    * at `copies`× with ids shifted and every copied component nudged by a
+    * deterministic per-(copy, dim) jitter in (−0.1, 0.1). Identical
+    * duplicates (the --x100cc shape) are degenerate for ANN — every
+    * query's true top-k would be its exact clones in its own cell, so
+    * recall measures nothing; the jitter turns each base vector into a
+    * near-dup CLOUD whose members straddle cell boundaries, which is
+    * exactly what the nprobe dial exists for. Copy 0 is unperturbed, so
+    * the fixed-|Q| query set (`vec_id < 10M, % 50 == 0`) is scale-stable. */
+  def generateEmbPerturbed(s: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    println(s"generating ${copies}x perturbed embeddings corpus at $out ...")
+    val P = copyOthers(base, out, Set("embeddings"))
+    s.read.parquet(s"$base/embeddings.parquet")
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("__copy"))
+      .select((col("vec_id") + col("__copy") * lit(10000000L)).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+          CAST(x + (CASE WHEN __copy = 0 THEN 0.0
+                    ELSE (pmod(__copy * 131 + i * 17, 199) - 99) * 1.0e-3 END)
+               AS FLOAT))""").as("embedding"),
+        col("label"))
+      .repartition((copies * 8 / 10).max(8))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
+    println(s"  embeddings: " +
+      s.read.parquet(s"$out/embeddings.parquet").count() + " rows")
   }
 
   /** Embeddings-only amplified corpus for the --x100cc tier: embeddings at

@@ -12,7 +12,13 @@ import graft.ops.{Queue, StateTable, Tables}
   */
 object DriveStateTable {
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("--x100state")) { x100state(); return }
+    if (args.headOption.contains("--x100state")) {
+      // --deep: the decade-4 spot check (10⁷ live rows — the point
+      // SCALE.md's adjudication says the status-partitioned-snapshot
+      // upgrade path would trigger; round-11 verdict #8 wants the
+      // exponent INTO that decade measured before calling it closed)
+      x100state(deep = args.contains("--deep")); return
+    }
     val s = TestSpark.spark
     s.sparkContext.setLogLevel("ERROR")
     val t = new StateTable(s,
@@ -43,7 +49,7 @@ object DriveStateTable {
     * `tick_commit_s` is the mean of `ticks` measured ticks after one
     * unmeasured warm tick; the decade exponent is
     * log10(t(n·10)/t(n)). */
-  def x100state(): Unit = {
+  def x100state(deep: Boolean = false): Unit = {
     val s = TestSpark.spark
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
@@ -56,7 +62,9 @@ object DriveStateTable {
         (col("id") % 5).cast("int").as("priority"),
         (lit(1700000000L) + col("id") % 86400).as("submit_time"),
         sha2(col("id").cast("string"), 256).as("request_hash"))
-    val results = Seq(10000L, 100000L, 1000000L).map { n =>
+    val sizes = if (deep) Seq(10000L, 100000L, 1000000L, 10000000L)
+      else Seq(10000L, 100000L, 1000000L)
+    val results = sizes.map { n =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"x100state_$n").toString
       val t = new StateTable(s, dir, Seq("id"))

@@ -145,13 +145,25 @@ object DriveStreamScale {
     *    the upsert table equal the batch-path computation over the
     *    full corpus, row for row.
     */
-  def x100stream(): Unit = {
+  def x100stream(rocksdb: Boolean = false): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.numRecentProgressUpdates", "4000")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // --rocksdb (round-11 verdict #6): the 100 TB posture runs the
+    // RocksDB state store, not the default in-memory HDFS-backed one —
+    // same drive, same corpora, same hard requires (restart survival,
+    // batch-twin equality, |keys|-bounded state). Note RocksDB's
+    // numRowsTotal is an estimate (estimate-num-keys), so the printed
+    // exponent may wobble where the HDFS store's is exact; the equality
+    // requires are the gate.
+    if (rocksdb) builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
+    if (rocksdb) println("[x100stream] state store provider = RocksDB")
     spark.sparkContext.setLogLevel("ERROR")
     val (perSlice, nUsers) = (20000, 5000)
     // fixed paths + _READY markers: the 1,110-slice generation is ~10 min
@@ -288,7 +300,9 @@ object DriveStreamScale {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.nonEmpty && args(0) == "--x100stream") { x100stream(); return }
+    if (args.nonEmpty && args(0) == "--x100stream") {
+      x100stream(rocksdb = args.contains("--rocksdb")); return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
