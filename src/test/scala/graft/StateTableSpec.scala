@@ -219,6 +219,42 @@ class StateTableSpec extends AnyFunSuite {
     assert(Files.readString(lock).startsWith("thief"))
   }
 
+  test("lease: an ADVANCED POINTER aborts the commit even when the lock " +
+    "still carries our token — the stealer's version dir survives") {
+    // The r11-advisor window: a writer paused past its lease between the
+    // ownership re-check and deleteTree could delete a stealer's live,
+    // pointer-referenced v$next. The commit now also aborts when the
+    // pointer has advanced to >= next — an advanced pointer proves a
+    // stolen lease re-committed, regardless of what the lock says.
+    val dir = Files.createTempDirectory("graft_leaseadv").toString
+    val t = new StateTable(spark, dir, Seq("id"))
+    t.commit(Seq((1L, 0)).toDF("id", "status"))
+    // simulate the thief's COMPLETED commit (v1 + pointer swap) landing
+    // while the loser's snapshot write is in flight, with the lock left
+    // holding the LOSER's token (the double-hold shape where ownedStill
+    // alone is satisfied and only the pointer tells the truth)
+    val adv = udf { (x: Long) =>
+      val v1 = java.nio.file.Paths.get(dir, "v1")
+      Files.createDirectories(v1)
+      Files.writeString(v1.resolve("_THIEF_MARKER"), "thief")
+      val tmp = java.nio.file.Paths.get(dir, "_CURRENT.thief")
+      Files.writeString(tmp, "1")
+      Files.move(tmp, java.nio.file.Paths.get(dir, "_CURRENT"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      x
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit(Seq((2L, 7)).toDF("id", "status")
+        .withColumn("id", adv(col("id"))))
+    }
+    // the stealer's version dir was NOT deleted and the pointer still
+    // references it
+    assert(Files.exists(java.nio.file.Paths.get(dir, "v1", "_THIEF_MARKER")),
+      "loser deleted the stealer's committed version dir")
+    assert(Files.readString(java.nio.file.Paths.get(dir, "_CURRENT")).trim == "1")
+  }
+
   test("race: concurrent writers with retry-on-contention lose no update " +
     "(pre-lease, interleaved read-modify-writes silently dropped keys)") {
     val dir = Files.createTempDirectory("graft_race").toString
