@@ -80,7 +80,7 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{col, xxhash64, expr}
       val df = fn(spark, sfDir)
-      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
         .agg(expr("bit_xor(h)")).head(): Unit
     }
     // warm-up: run everything once, unmeasured (JIT, codegen cache, shuffle

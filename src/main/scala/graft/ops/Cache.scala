@@ -213,7 +213,7 @@ final class Cache(spark: SparkSession, root: String, version: String = "v1") {
       pendingMarks.synchronized {
         pendingMarks --= overwrites; flushedMarks --= overwrites
       }
-      doneSet.update(_.filter(!col("key").isin(overwrites: _*)))
+      doneSet.update(_.filter(!col("key").isin(overwrites.toIndexedSeq: _*)))
     }
     val keys = partKeys.map { case (p, key) =>
       val target = Paths.get(dir(key))

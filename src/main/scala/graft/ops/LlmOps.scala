@@ -340,7 +340,7 @@ object LlmOps {
     // one projection over the scan, k×dim literal doubles travel with
     // the plan for free.
     val centMatrix = array(model.clusterCenters.map(c =>
-      array(c.toArray.map(lit): _*)).toSeq: _*)
+      array(c.toArray.toIndexedSeq.map(lit): _*)).toSeq: _*)
     val assigned = emb.withColumn("cell",
       graft.functions.native.nearest_centroid(col(vCol), centMatrix))
     val spark = emb.sparkSession

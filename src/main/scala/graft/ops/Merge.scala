@@ -36,13 +36,13 @@ object Merge {
     * (`queue/request_tools.py:690-695`). */
   def reorder(df: DataFrame, passthrough: Seq[String], key: String = "asdf_id"): DataFrame = {
     val ex = df.columns.filterNot(c => c == key || passthrough.contains(c))
-    df.select((key +: ex) ++ passthrough map col: _*)
+    df.select(((key +: ex.toIndexedSeq) ++ passthrough).map(col): _*)
   }
 
   /** Drop pre-existing `exfield_*` value columns from a base frame before
     * merging (reference P7, `queue/request_tools.py:649-656`). */
   def dropExFields(df: DataFrame): DataFrame =
-    df.drop(df.columns.filter(_.startsWith("exfield_")): _*)
+    df.drop(df.columns.toIndexedSeq.filter(_.startsWith("exfield_")): _*)
 
   /** Render reference-faithful dotted column names at the CSV edge. */
   def displayNames(df: DataFrame): DataFrame =

@@ -74,7 +74,7 @@ object Queue {
     banded.join(broadcast(offsets),
         col(priorityCol) <=> col("__op") && col(bandC) <=> col("__ob"))
       .withColumn("rank", (col(offC) + col(withinC)).cast("int"))
-      .select(in.columns.map(col) :+ col("rank"): _*)
+      .select(in.columns.toIndexedSeq.map(col) :+ col("rank"): _*)
   }
 
   /** Status transition (Q1, `queue/request_tools.py:150-190`): set the new
