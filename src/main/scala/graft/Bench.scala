@@ -38,7 +38,17 @@ object Bench {
     * unescaped quote in a future query name must now kill the run
     * loudly instead of voiding the round's benchmark. */
   def validateProtocolLine(line: String, requireQueries: Boolean): Unit = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    // Strict parse: a default ObjectMapper stops at the first complete
+    // value, so '{...}garbage' or a duplicated key would pass this
+    // self-check yet still be rejected (or misread) by a stricter
+    // tail-parsing driver — the exact silent-void class this check
+    // exists to close. FAIL_ON_TRAILING_TOKENS + STRICT_DUPLICATE
+    // make the validator at least as strict as any downstream parser.
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+      .enable(com.fasterxml.jackson.core.StreamReadFeature.STRICT_DUPLICATE_DETECTION)
+      .build()
+    val node = mapper.readTree(line)
     require(node.isObject, "protocol line is not a JSON object")
     require(node.path("metric").asText() == "total", "missing metric=total")
     require(node.path("value").isNumber, "value is not a JSON number")

@@ -549,13 +549,62 @@ object QueriesExt {
       gdeg AS (SELECT g.gid, g.m, g.m - 1 + coalesce(n.nmass, 0) AS degree
         FROM grp g LEFT JOIN nmass n USING (gid))"""
 
+  /** Staged (multi-statement) materialization of the quotient substrate
+    * for the two oracles that stack heavy consumers on top of it
+    * (`dup_pagerank`'s three unrolled iterations, `triangle_count`'s
+    * wedge join). The monolithic `WITH RECURSIVE` forms re-derive the
+    * full corpus minhash signature inside one statement and exhaust
+    * DuckDB 1.0's allocator at 5M docs (round-12 adjudication); staged,
+    * the signature table materializes ONCE as a temp table (spillable
+    * via temp_directory) and each downstream table is |quotient|-grain.
+    * `;---STAGE---` separators are executed one statement at a time by
+    * tools/oracle_check.py; `IF NOT EXISTS` lets the second oracle in a
+    * run reuse the first's materialization (same corpus per run by
+    * construction). Neither consumer needs the recursive walk at all —
+    * the recursion only ever produced `lab`, which pagerank/triangle
+    * don't read — so the staged forms are recursion-free. */
+  private val quotientStageCtes: String =
+    s"""CREATE TEMP TABLE IF NOT EXISTS t_sig AS
+        WITH $minhashSigCtes SELECT * FROM sig
+      ;---STAGE---
+      CREATE TEMP TABLE IF NOT EXISTS t_grp AS
+        SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m,
+          s0, s1, s2, s3, s4, s5, s6, s7
+        FROM t_sig WHERE s0 IS NOT NULL
+        GROUP BY s0, s1, s2, s3, s4, s5, s6, s7
+      ;---STAGE---
+      CREATE TEMP TABLE IF NOT EXISTS t_gmem AS
+        SELECT s.doc_id, g.gid FROM t_sig s JOIN t_grp g
+        ON s.s0 = g.s0 AND s.s1 = g.s1 AND s.s2 = g.s2 AND s.s3 = g.s3
+       AND s.s4 = g.s4 AND s.s5 = g.s5 AND s.s6 = g.s6 AND s.s7 = g.s7
+      ;---STAGE---
+      CREATE TEMP TABLE IF NOT EXISTS t_qpairs AS
+        WITH gbands AS (
+          SELECT gid, 0 AS band, md5(s0 || s1 || s2 || s3) AS bk FROM t_grp
+          UNION ALL
+          SELECT gid, 1 AS band, md5(s4 || s5 || s6 || s7) AS bk FROM t_grp)
+        SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        FROM gbands a JOIN gbands b ON a.band = b.band AND a.bk = b.bk
+          AND a.gid < b.gid
+      ;---STAGE---
+      CREATE TEMP TABLE IF NOT EXISTS t_qedges AS
+        SELECT ga AS src, gb AS dst FROM t_qpairs
+        UNION ALL SELECT gb, ga FROM t_qpairs
+      ;---STAGE---
+      CREATE TEMP TABLE IF NOT EXISTS t_gdeg AS
+        WITH nmass AS (SELECT e.src AS gid, sum(g.m) AS nmass
+          FROM t_qedges e JOIN t_grp g ON g.gid = e.dst GROUP BY e.src)
+        SELECT g.gid, g.m, g.m - 1 + coalesce(n.nmass, 0) AS degree
+        FROM t_grp g LEFT JOIN nmass n USING (gid)
+      ;---STAGE---"""
+
   /** One unrolled group-grain PageRank iteration (exact integer
     * micro-points, `//` before the multiply — the [[mhGroupDegrees]]
     * recurrence in SQL): sc_g = (m_g−1)·(r_g // d_g) + Σ_{h~g} m_h·(r_h // d_h). */
-  private def qprIterSql(i: Int): String = {
+  private def qprIterSql(i: Int, edges: String = "qedges"): String = {
     val prev = s"c${i - 1}"
     s"""x$i AS (SELECT e.src AS gid, sum(c.m * c.c) AS xm
-        FROM qedges e JOIN $prev c ON c.gid = e.dst GROUP BY e.src),
+        FROM $edges e JOIN $prev c ON c.gid = e.dst GROUP BY e.src),
       r$i AS (SELECT c.gid, c.m, c.degree,
         150000 // n_nodes + (85 * ((c.m - 1) * c.c + coalesce(x.xm, 0))) // 100 AS r
         FROM $prev c LEFT JOIN x$i x USING (gid), nn),
@@ -613,36 +662,37 @@ object QueriesExt {
         SELECT degree, CAST(sum(cnt) AS BIGINT) AS n_docs FROM (
           SELECT * FROM hist0 UNION ALL SELECT * FROM zero)
         GROUP BY degree HAVING sum(cnt) > 0 ORDER BY degree""",
-      "dup_pagerank" -> s"""WITH RECURSIVE $quotientCcCtes, $quotientDegCtes,
-        pdeg AS (SELECT * FROM gdeg WHERE degree > 0),
+      "dup_pagerank" -> s"""$quotientStageCtes
+        WITH pdeg AS (SELECT * FROM t_gdeg WHERE degree > 0),
         nn AS (SELECT CAST(sum(m) AS BIGINT) AS n_nodes FROM pdeg),
         r0 AS (SELECT gid, m, degree, 1000000 // n_nodes AS r FROM pdeg, nn),
         c0 AS (SELECT gid, m, degree, r // degree AS c FROM r0),
-        ${qprIterSql(1)}, ${qprIterSql(2)}, ${qprIterSql(3)}
+        ${qprIterSql(1, "t_qedges")}, ${qprIterSql(2, "t_qedges")},
+        ${qprIterSql(3, "t_qedges")}
         SELECT gm.doc_id, CAST(r.r AS BIGINT) AS rank_upts
-        FROM gmem gm JOIN r3 r USING (gid) ORDER BY doc_id""",
-      "triangle_count" -> s"""WITH RECURSIVE $quotientCcCtes, $quotientDegCtes,
-        ns AS (SELECT
+        FROM t_gmem gm JOIN r3 r USING (gid) ORDER BY doc_id""",
+      "triangle_count" -> s"""$quotientStageCtes
+        WITH ns AS (SELECT
             coalesce(sum(CAST(m AS HUGEINT) * (m - 1) // 2), 0) AS e_in,
             coalesce(sum(CAST(m AS HUGEINT)
               * (CAST(degree AS HUGEINT) * (degree - 1) // 2)), 0) AS n_wedges,
             coalesce(sum(CAST(m AS HUGEINT) * (m - 1) * (m - 2) // 6), 0) AS t_in
-          FROM gdeg),
+          FROM t_gdeg),
         es AS (SELECT
             coalesce(sum(CAST(a.m AS HUGEINT) * b.m), 0) AS e_x,
             coalesce(sum((CAST(a.m AS HUGEINT) * (a.m - 1) // 2) * b.m
               + (CAST(b.m AS HUGEINT) * (b.m - 1) // 2) * a.m), 0) AS t_mixed
-          FROM qpairs JOIN grp a ON a.gid = ga JOIN grp b ON b.gid = gb),
-        qd AS (SELECT src AS u, count(*) AS qdv FROM qedges GROUP BY src),
+          FROM t_qpairs JOIN t_grp a ON a.gid = ga JOIN t_grp b ON b.gid = gb),
+        qd AS (SELECT src AS u, count(*) AS qdv FROM t_qedges GROUP BY src),
         o AS (SELECT e.src, e.dst
-          FROM qedges e JOIN qd a ON e.src = a.u JOIN qd b ON e.dst = b.u
+          FROM t_qedges e JOIN qd a ON e.src = a.u JOIN qd b ON e.dst = b.u
           WHERE a.qdv < b.qdv OR (a.qdv = b.qdv AND e.src < e.dst)),
         w AS (SELECT e1.src, e1.dst AS w1, e2.dst AS w2
           FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
         tq AS (SELECT coalesce(sum(CAST(gs.m AS HUGEINT) * g1.m * g2.m), 0) AS t_q
-          FROM w JOIN qpairs p ON w.w1 = p.ga AND w.w2 = p.gb
-          JOIN grp gs ON gs.gid = w.src
-          JOIN grp g1 ON g1.gid = w.w1 JOIN grp g2 ON g2.gid = w.w2)
+          FROM w JOIN t_qpairs p ON w.w1 = p.ga AND w.w2 = p.gb
+          JOIN t_grp gs ON gs.gid = w.src
+          JOIN t_grp g1 ON g1.gid = w.w1 JOIN t_grp g2 ON g2.gid = w.w2)
         SELECT CAST(e_in + e_x AS BIGINT) AS n_edges,
           CAST(n_wedges AS BIGINT) AS n_wedges,
           CAST(t_in + t_mixed + t_q AS BIGINT) AS n_triangles,

@@ -286,10 +286,23 @@ object LlmOps {
   def ivfCells(n: Long): Int =
     math.max(8, math.min(1024, math.round(math.sqrt(n.toDouble) / 2).toInt))
 
-  /** Probe budget companion: ~3% of cells, floor 4 — at fixture scale
-    * (k=8) that floor is the IvfSpec-gated nprobe=4 operating point, and
-    * at k=1024 a 32-cell probe keeps per-query candidates ≈ 32·N/k. */
-  def ivfProbes(k: Int): Int = math.max(4, k / 32)
+  /** Probe budget companion. Two regimes, both clamped to [1, k]:
+    *  - k ≥ 256: ~3% of cells (k/32), floor 16 — at k=1024 a 32-cell
+    *    probe keeps per-query candidates ≈ 32·N/k, and the measured
+    *    `--x1000sim` recall@5 at that point is ≥ 0.95.
+    *  - k < 256 (small corpora, where ivfCells = √N/2 gives few cells):
+    *    ~6% of cells (k/16), floor 8. The flat k/32-floor-4 rule gave
+    *    only 4 probes at k=158 (N=100k) and measured recall@5 0.69 —
+    *    barely over the 0.6 floor while walsh at the same scale reached
+    *    0.88. Probe FRACTION is the recall dial (IvfSpec's measured
+    *    curve), and at small k the fixed fraction is cheap: doubling
+    *    probes at N=100k costs ~2× of an already-sub-brute search. */
+  def ivfProbes(k: Int): Int = {
+    // the 16-floor on the large-k branch makes the curve monotone across
+    // the regime boundary (k=255 → 15, k=256 → 16)
+    val p = if (k < 256) math.max(8, k / 16) else math.max(16, k / 32)
+    math.min(k, p)
+  }
 
   /** IVF coarse quantization (X3 scale path): KMeans centroids as inverted-
     * file cells. Returns (assignments with a `cell` column, centroid table).

@@ -154,6 +154,19 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String],
         deleteTree(target)
       }
       Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      // Final narrowing: a stealer that completed its own rename +
+      // pointer-swap inside the window between the checks above and our
+      // deleteTree/move would have had its live v$next replaced by OUR
+      // data. Re-read the pointer once more after the stage→target move:
+      // if it advanced to >= next, the stealer won the version — abort
+      // before REPLACE_EXISTING re-points it at a version dir that now
+      // holds our rows (target stays behind; at the same version number
+      // it IS the data the advanced pointer references, so readers stay
+      // coherent either way).
+      if (currentVersion.exists(_ >= next)) {
+        Files.deleteIfExists(tmp)
+        contention(s"pointer advanced to v$next during commit — aborting pointer swap")
+      }
       Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       next

@@ -82,7 +82,8 @@ object DriveScale10x {
     val needsBig = args.length <= 1 ||
       !Set("--x100extracts", "--x100robust", "--x10bandskew",
         "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs",
-        "--x1000cc", "--x1000li", "--x1000sim").contains(args(1))
+        "--x1000cc", "--x1000li", "--x1000sim", "--x1000mm",
+        "--limedian").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -393,6 +394,85 @@ object DriveScale10x {
       }
       s.stop(); return
     }
+    // --limedian <dir> [op] [runs]: instrumented repeat-runner for the
+    // extract_median decade-3 WARM anomaly (round-12 verdict #1: 92.3 s
+    // warm vs 33.7 s cold at 688M rows — the only warm ≫ cold row in any
+    // tier; hypotheses on record, page-cache eviction + GK-sketch GC
+    // debt, were unverified). Runs the op K times in one JVM and prints,
+    // per run: wall, driver GC count/time delta, task-side
+    // executorRunTime / jvmGcTime / spill / shuffle bytes, and peak heap
+    // — enough to tell allocation debt (jvmGcTime climbs run-over-run)
+    // from host page-cache effects (wall climbs, GC flat).
+    if (args.length > 1 && args(1) == "--limedian") {
+      val dir = if (args.length > 2) args(2) else "/tmp/graft_scale1000li"
+      val op = if (args.length > 3) args(3) else "extract_median"
+      val runs = if (args.length > 4) args(4).toInt else 4
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val exRun = new java.util.concurrent.atomic.AtomicLong
+      val exGc = new java.util.concurrent.atomic.AtomicLong
+      val spillD = new java.util.concurrent.atomic.AtomicLong
+      val shRead = new java.util.concurrent.atomic.AtomicLong
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          Option(t.taskMetrics).foreach { m =>
+            exRun.addAndGet(m.executorRunTime); exGc.addAndGet(m.jvmGCTime)
+            spillD.addAndGet(m.diskBytesSpilled)
+            shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          }
+      })
+      def gcStats(): (Long, Long) = {
+        import scala.jdk.CollectionConverters._
+        val beans = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala
+        (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+      }
+      (1 to runs).foreach { i =>
+        val (gc0, gt0) = gcStats()
+        Seq(exRun, exGc, spillD, shRead).foreach(_.set(0L))
+        val t = run(op, dir)
+        Thread.sleep(1000) // listener drain
+        val (gc1, gt1) = gcStats()
+        val heap = (Runtime.getRuntime.totalMemory()
+          - Runtime.getRuntime.freeMemory()) >> 20
+        println(f"$op run$i wall=$t%7.2f s  driverGC=${gc1 - gc0}%4d/" +
+          f"${(gt1 - gt0) / 1000.0}%6.2f s  taskRun=${exRun.get / 1000.0}%8.1f s" +
+          f"  taskGC=${exGc.get / 1000.0}%7.2f s  spillDisk=${spillD.get >> 20}%6d MB" +
+          f"  shufRead=${shRead.get >> 20}%6d MB  heapUsed=$heap%6d MB")
+      }
+      s.stop(); return
+    }
+    // --x1000mm: THIRD decade for the multimodal family (round-12
+    // verdict #3) — the javax.imageio codec path at 500k / 5M images
+    // (BMP fixtures derived per doc_id; rides the same documents corpora
+    // as --x1000docs, so a completed docs tier reuses its parquet).
+    // Row-grain by semantics — the honest expectation is exponent → 1.0
+    // as the corpus swamps the per-partition codec-session floor; what
+    // decade 3 must prove is the cost stays per-ROW: no shuffle, no
+    // state growth, no temp-file or codec-cache debt compounding at 5M
+    // encode→decode roundtrips (the ImageIO temp-file class the r9 fix
+    // closed at decade 2). Cold AND warm per leg (exponents on cold).
+    if (args.length > 1 && args(1) == "--x1000mm") {
+      val doc10 = "/tmp/graft_scale10doc"
+      val doc100 = "/tmp/graft_scale100x"
+      val doc1000 = "/tmp/graft_scale1000doc"
+      for ((d, c) <- Seq((doc10, 10), (doc100, 100), (doc1000, 1000)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateDocs(s, base, d, c)
+      val mmOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("multimodal_meta", "multimodal_decode", "multimodal_resize")
+      mmOps.foreach { op =>
+        val c10 = run(op, doc10); val w10 = run(op, doc10)
+        val c100 = run(op, doc100); val w100 = run(op, doc100)
+        val c1000 = run(op, doc1000); val w1000 = run(op, doc1000)
+        val e2 = math.log(c100 / c10) / math.log(10.0)
+        val e3 = math.log(c1000 / c100) / math.log(10.0)
+        println(f"$op%-20s cold 10x=$c10%6.2f s 100x=$c100%7.2f s" +
+          f" 1000x=$c1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
+          f"  exp[100x->1000x]=$e3%5.2f" +
+          f"  (warm $w10%5.2f/$w100%5.2f/$w1000%5.2f s)")
+      }
+      s.stop(); return
+    }
     // --x1000li: THIRD decade for the lineitem/extract family (round-11
     // verdict #1) — ~670M pixel rows with the hot-zone skew ratio
     // preserved (nation-0 suppliers at 4000× copies, ONE zone still holds
@@ -517,7 +597,9 @@ object DriveScale10x {
     // top-5 (linear baseline AND the recall truth set), KMeans-IVF at
     // the heuristic operating point, walsh-IVF with ⌈log₂ k⌉ sign bits.
     // recall@5 vs brute prints per scale; the KMeans row REQUIREs
-    // recall ≥ 0.6 (IvfSpec's quantizer-quality floor) at every scale.
+    // recall ≥ 0.8 at every scale (round-12 verdict #5 raised the floor
+    // from 0.6 after the small-N leg measured 0.69 at 4 probes — the
+    // k<256 probe ramp in LlmOps.ivfProbes is what buys the margin).
     if (args.length > 1 && args(1) == "--x1000sim") {
       import org.apache.spark.sql.expressions.Window
       val tiers = Seq(("/tmp/graft_scale50sim", 50),
@@ -587,8 +669,8 @@ object DriveScale10x {
         println(f"N=$n%8d k=$k%4d nprobe=$nprobe%3d bits=$bits%2d  " +
           f"brute=$tB%7.2f s  kmeans_ivf=$tK%7.2f s (recall@5=$rK%.3f)  " +
           f"walsh_ivf=$tW%7.2f s (recall@5=$rW%.3f)")
-        require(rK >= 0.6,
-          f"kmeans IVF recall@5=$rK%.3f fell below the 0.6 floor at N=$n " +
+        require(rK >= 0.8,
+          f"kmeans IVF recall@5=$rK%.3f fell below the 0.8 floor at N=$n " +
             "— adjust ivfCells/ivfProbes")
       }
       s.stop(); return
@@ -910,7 +992,12 @@ object DriveScale10x {
     * recall measures nothing; the jitter turns each base vector into a
     * near-dup CLOUD whose members straddle cell boundaries, which is
     * exactly what the nprobe dial exists for. Copy 0 is unperturbed, so
-    * the fixed-|Q| query set (`vec_id < 10M, % 50 == 0`) is scale-stable. */
+    * the fixed-|Q| query set (`vec_id < 10M, % 50 == 0`) is scale-stable.
+    * The jitter mixes vec_id, not just (copy, dim): with (copy, dim)
+    * only, every copy is ONE rigid translation of the whole base set —
+    * all vectors in a copy share the same offset, a perfectly-correlated
+    * (and therefore gentler) ANN workload. Per-vector mixing makes each
+    * cloud member independently displaced, the adversarial shape. */
   def generateEmbPerturbed(s: SparkSession, base: String, out: String,
       copies: Int): Unit = {
     println(s"generating ${copies}x perturbed embeddings corpus at $out ...")
@@ -920,7 +1007,7 @@ object DriveScale10x {
       .select((col("vec_id") + col("__copy") * lit(10000000L)).as("vec_id"),
         expr("""transform(embedding, (x, i) ->
           CAST(x + (CASE WHEN __copy = 0 THEN 0.0
-                    ELSE (pmod(__copy * 131 + i * 17, 199) - 99) * 1.0e-3 END)
+                    ELSE (pmod(vec_id * 7919 + __copy * 131 + i * 17, 199) - 99) * 1.0e-3 END)
                AS FLOAT))""").as("embedding"),
         col("label"))
       .repartition((copies * 8 / 10).max(8))

@@ -55,7 +55,70 @@ object DriveSpill {
     // margin deserved a re-measure), plus zipf_fit's checkpointed
     // vocabulary rollup + TakeOrdered fit window
     "quality_tiles", "shard_balance", "funnel_latency",
-    "gini_spend", "ab_test", "seasonal_anomaly", "zipf_fit")
+    "gini_spend", "ab_test", "seasonal_anomaly", "zipf_fit",
+    // round-13 shapes (round-12 verdict #7): the native NearestCentroid
+    // assignment at the k=1024 cell budget (0.5 MB centroid literal in
+    // the plan + per-task scratch buffer, then the probe-join/window
+    // search machinery over 100k vectors), and the guided median/mad on
+    // the 10x lineitem corpus — the decade-3 quantile shapes (GK bracket
+    // pass + windowed (zone, value) count pass over 6.9M rows) that
+    // postdate the original 27-op drive
+    "ivf_assign_k1024", "extract_median_10x", "extract_mad_10x")
+
+  /** Synthetic rows that aren't registered-query names. Each is fully
+    * deterministic across heap sizes (the record/starved contract):
+    *  - `ivf_assign_k1024` skips the KMeans fit (treeAggregate float
+    *    sums vary with partitioning, which is the experiment variable
+    *    here) and takes the first 1024 vectors of a 50x-amplified,
+    *    per-(vec_id, copy, dim) jittered embedding corpus as the
+    *    centroid matrix — the NearestCentroid plan-literal shape at the
+    *    exact k the 10M-vector tier runs, with ivfSearch's rounded-6dp
+    *    arithmetic on top.
+    *  - `extract_median_10x`/`extract_mad_10x` run the registered
+    *    guided-engine queries against the 10x perturbed lineitem corpus
+    *    (generated on first use, same dir the --x100li tiers use). */
+  def extraOps(s: SparkSession, sf: String): Map[String, () => DataFrame] = {
+    val li10 = "/tmp/graft_scale10li"
+    def ensureLi10(): String = {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$li10/_READY")))
+        DriveScale10x.generateLineitem(s, sf, li10, 10)
+      li10
+    }
+    def ivfK1024(): DataFrame = {
+      val emb50 = graft.ops.Tables.embeddings(s, sf)
+        .select(col("*"), explode(sequence(lit(0), lit(49))).as("__copy"))
+        .select((col("vec_id") + col("__copy") * lit(10000000L)).as("vec_id"),
+          expr("""transform(embedding, (x, i) ->
+            CAST(x + (CASE WHEN __copy = 0 THEN 0.0
+                      ELSE (pmod(vec_id * 7919 + __copy * 131 + i * 17, 199) - 99) * 1.0e-3 END)
+                 AS FLOAT))""").as("embedding"),
+          col("label"))
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.ops.LlmOps.norm(col("v")))
+      // deterministic k=1024 centroids: the 1024 lowest-vec_id copy-0
+      // (unperturbed) vectors — base ids sit below the 10M copy stride
+      val cents = emb50.filter(col("vec_id") < 10000000L)
+        .orderBy(col("vec_id")).limit(1024)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      val centMatrix = array(cents.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+      val assigned = emb50.withColumn("cell",
+        graft.functions.native.nearest_centroid(col("v"), centMatrix))
+      import s.implicits._
+      val centroids = cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c) }.toDF("cell", "cvec")
+      val q = emb50.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      graft.ops.LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 32)
+    }
+    Map(
+      "ivf_assign_k1024" -> (() => ivfK1024()),
+      "extract_median_10x" ->
+        (() => SparkEntry.queries("extract_median")(s, ensureLi10())),
+      "extract_mad_10x" ->
+        (() => SparkEntry.queries("extract_mad")(s, ensureLi10())))
+  }
 
   /** Order-insensitive whole-result hash; doubles rounded to 1e-6 so a
     * spill-reordered float sum cannot flip the verdict. */
@@ -124,8 +187,10 @@ object DriveSpill {
       } else Map.empty
 
     var failed = List.empty[String]
+    val extras = extraOps(s, sf)
     val rows = chosen.map { op =>
-      val h = hashOf(SparkEntry.queries(op)(s, sf))
+      val h = hashOf(extras.get(op).map(_.apply())
+        .getOrElse(SparkEntry.queries(op)(s, sf)))
       Thread.sleep(500) // listener events drain async
       val (m, dk) = (mem.getAndSet(0L), disk.getAndSet(0L))
       val ok = if (starved) ref.get(op).contains(h) else true

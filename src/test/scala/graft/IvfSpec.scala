@@ -137,6 +137,25 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"LSH banding recall at sf0.01 collapsed to $recall%.3f")
   }
 
+  test("ivfProbes heuristic: ramped fraction at small k, never exceeds k") {
+    // Pins the probe-budget curve (round-12 verdict #5): small-k corpora
+    // get the ~6% ramp (floor 8), large-k the ~3% rule — the operating
+    // points the --x1000sim recall ≥ 0.8 gate was measured at. A silent
+    // constant change that starves the small-N leg fails here before a
+    // decade run has to discover it.
+    assert(LlmOps.ivfProbes(8) == 8)      // fixture scale: full probe = brute
+    assert(LlmOps.ivfProbes(158) == 9)    // N=100k leg: was 4 (recall 0.69)
+    assert(LlmOps.ivfProbes(500) == 16)   // N=1M leg: ~unchanged (was 15, recall 0.95)
+    assert(LlmOps.ivfProbes(1024) == 32)  // N=10M leg: unchanged (recall 1.0)
+    for (k <- Seq(1, 2, 4, 8, 16, 100, 255, 256, 512, 1024)) {
+      val p = LlmOps.ivfProbes(k)
+      assert(p >= 1 && p <= k, s"ivfProbes($k)=$p out of [1, k]")
+    }
+    // monotone in k: a bigger cell budget never probes fewer cells
+    val curve = (1 to 1200).map(LlmOps.ivfProbes)
+    assert(curve.sliding(2).forall(w => w(1) >= w(0)), "ivfProbes not monotone")
+  }
+
   test("assignment is deterministic under the fixed seed") {
     val e = embedded
     val a1 = LlmOps.ivfAssign(e, k = 4)._1.select("vec_id", "cell")

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, row_number, sum}
 import graft.ops.Tables
 
 /** Physical-plan regression tests — the 100 TB posture (SURVEY.md §4):
@@ -718,5 +719,40 @@ class PlanSpec extends AnyFunSuite {
       "exchange counts drifted from the recorded budget — review the plan " +
         "change, then re-record with Test/runMain graft.DriveExchangeBudget:\n  " +
         diffs.mkString("\n  "))
+
+    // Bounded-frame invariant for unpartitioned windows (r12 verdict #6):
+    // every Window/WindowGroupLimit with an empty partitionSpec must sit
+    // above a cardinality-bounding node (aggregate / global limit /
+    // TakeOrdered / local relation / registered small checkpoint) on
+    // every leaf path of its input — a global window is a one-task sort,
+    // fine on a |bands|-row frame, a silent scale-killer on corpus grain.
+    // Predicate shared with DriveWindowAudit so gate and drive can't
+    // diverge.
+    val windowFlags = plans.flatMap { case (name, ep) =>
+      val bad = DriveWindowAudit.unboundedGlobalWindows(ep)
+      if (bad.nonEmpty) Some(s"$name (${bad.size} site(s))") else None
+    }
+    assert(windowFlags.isEmpty,
+      "unpartitioned window over an UNBOUNDED frame — partition it or put " +
+        "an aggregate/limit below it: " + windowFlags.mkString(", "))
+  }
+
+  test("window audit predicate flags a seeded global window on corpus grain") {
+    // the counter-example the gate exists for: rank the raw lineitem scan
+    // globally (no partition spec, no bounding node below). The audit
+    // must flag it, and must NOT flag the same window once the frame is
+    // collapsed by an aggregate.
+    import org.apache.spark.sql.expressions.Window
+    val li = ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val badPlan = li
+      .withColumn("rn", row_number().over(Window.orderBy(col("l_orderkey"))))
+      .queryExecution.executedPlan
+    assert(DriveWindowAudit.unboundedGlobalWindows(badPlan).nonEmpty,
+      "seeded corpus-grain global window was NOT flagged — the gate is vacuous")
+    val okPlan = li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("q"))))
+      .queryExecution.executedPlan
+    assert(DriveWindowAudit.unboundedGlobalWindows(okPlan).isEmpty,
+      "aggregate-bounded global window was wrongly flagged")
   }
 }

@@ -13,6 +13,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# decade-scale oracles materialize multi-hundred-MB temp tables; give the
+# allocator a spill path and a bounded budget instead of an abort
+os.makedirs("/tmp/duckdb_tmp", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckdb_tmp'")
+con.execute("SET memory_limit='48GB'")
 for t in TABLES:
     p = f"{sf_dir}/{t}.parquet"
     if os.path.isdir(p):
@@ -57,7 +62,15 @@ for name in sorted(oracle):
     except Exception as e:
         fails.append((name, f"no spark output: {e}")); continue
     try:
-        want = canon(con.execute(sql).df())
+        # staged scripts (";---STAGE---" separators): run every stage but
+        # the last as a statement (CREATE TEMP TABLE ... materializations
+        # — the decomposition that keeps a 5M-doc quotient oracle inside
+        # DuckDB's allocator instead of re-deriving the signature table
+        # within one monolithic recursive chain); the last stage SELECTs.
+        stages = [p.strip() for p in sql.split(";---STAGE---")]
+        for st in stages[:-1]:
+            con.execute(st)
+        want = canon(con.execute(stages[-1]).df())
     except Exception as e:
         fails.append((name, f"oracle sql error: {e}")); continue
     if list(got.columns) != list(want.columns):
