@@ -78,14 +78,21 @@ object DriveSpill {
     *    guided-engine queries against the 10x perturbed lineitem corpus
     *    (generated on first use, same dir the --x100li tiers use). */
   def extraOps(s: SparkSession, sf: String): Map[String, () => DataFrame] = {
+    // both extras pin their INPUT base to sf0.1 regardless of the drive's
+    // SPARK_GRAFT_SF_DIR (historically the 10x corpus): the 10x corpus
+    // already amplifies embeddings/lineitem with the same 10M id stride,
+    // so re-amplifying it here would collide ids / square the row count —
+    // these rows are fixed-shape probes of the k=1024 assignment and the
+    // 6.9M-row guided quantiles, not functions of the ambient corpus
+    val fixedBase = "/root/testdata/sf0.1"
     val li10 = "/tmp/graft_scale10li"
     def ensureLi10(): String = {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$li10/_READY")))
-        DriveScale10x.generateLineitem(s, sf, li10, 10)
+        DriveScale10x.generateLineitem(s, fixedBase, li10, 10)
       li10
     }
     def ivfK1024(): DataFrame = {
-      val emb50 = graft.ops.Tables.embeddings(s, sf)
+      val emb50 = graft.ops.Tables.embeddings(s, fixedBase)
         .select(col("*"), explode(sequence(lit(0), lit(49))).as("__copy"))
         .select((col("vec_id") + col("__copy") * lit(10000000L)).as("vec_id"),
           expr("""transform(embedding, (x, i) ->

@@ -93,9 +93,9 @@ object DriveStreamScale {
   private def ops(dim: DataFrame): Seq[(String, String, DataFrame => DataFrame)] = Seq(
     ("dedupeById", "append", df => Streamy.dedupeById(df)),
     ("windowCounts", "update", df => Streamy.windowCounts(df)),
-    ("sessionFlush", "append", df => Streamy.sessionFlush(df).toDF),
-    ("runningUserTotals", "update", df => Streamy.runningUserTotals(df).toDF),
-    ("funnelProgress", "update", df => Streamy.funnelProgress(df, "view", "click", "purchase").toDF),
+    ("sessionFlush", "append", df => Streamy.sessionFlush(df).toDF()),
+    ("runningUserTotals", "update", df => Streamy.runningUserTotals(df).toDF()),
+    ("funnelProgress", "update", df => Streamy.funnelProgress(df, "view", "click", "purchase").toDF()),
     ("intervalJoin", "append", df => Streamy.intervalJoin(df, df)),
     ("enrich", "append", df => Streamy.enrich(df, dim, "user_id", "k")))
 
