@@ -51,4 +51,21 @@ class BenchProtocolSpec extends AnyFunSuite {
     val bad = good.replace("\"q2\":11.25", "\"q2\":\"11.25\"")
     assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))
   }
+
+  test("trailing tokens after the JSON object are rejected (r13 strict parse)") {
+    // the round-12 advisor finding: a default ObjectMapper stops at the
+    // first complete value, so '{...}garbage' passed the self-check yet a
+    // stricter tail-parsing driver would reject it — the silent-void class
+    assertThrows[Exception](
+      Bench.validateProtocolLine(good + "garbage", requireQueries = true))
+    assertThrows[Exception](
+      Bench.validateProtocolLine(good + """ {"second":1}""", requireQueries = true))
+  }
+
+  test("duplicated key is rejected (r13 strict parse)") {
+    // a duplicated field parses last-wins in lenient parsers and first-wins
+    // in others — ambiguous on the wire, so the validator refuses it
+    val dup = good.dropRight(1) + ""","value":99.0}"""
+    assertThrows[Exception](Bench.validateProtocolLine(dup, requireQueries = true))
+  }
 }
