@@ -60,9 +60,18 @@ object DriveWindowAudit {
       graft.ops.Ckpt.isSmallCheckpoint(r.rdd.id)
     // any other leaf (file scan, range, unknown source): unbounded
     case leaf if leaf.children.isEmpty => false
-    // generate (explode) multiplies rows by data-dependent array length —
-    // bounded input keeps it |frame|·|array| which is still key-bounded
-    // for the band/spine frames it appears over; recurse
+    // generate (explode) multiplies rows by a data-dependent array
+    // length, so a bounded INPUT does not bound the OUTPUT in general —
+    // a 1-row grand aggregate carrying a collect_list of the corpus
+    // would launder straight through. The one shape that IS bounded:
+    // exploding an explicit `sequence(lo, hi)` (day spines, band
+    // grids), whose length is bounded by the VALUE RANGE of its
+    // endpoints, never by corpus row count. Everything else (exploding
+    // a collected array column) stays unbounded.
+    case g: org.apache.spark.sql.execution.GenerateExec =>
+      g.generator.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Sequence]) &&
+        boundedFrame(g.child)
     // joins/unions/everything else: bounded iff ALL inputs are bounded
     case other => other.children.forall(boundedFrame)
   }

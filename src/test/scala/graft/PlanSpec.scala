@@ -754,5 +754,24 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan
     assert(DriveWindowAudit.unboundedGlobalWindows(okPlan).isEmpty,
       "aggregate-bounded global window was wrongly flagged")
+    // the aggregate-laundering shape: a 1-row grand aggregate carrying a
+    // collect_list of the corpus, exploded back to corpus grain, then
+    // globally ranked — the aggregate must NOT bound the explode
+    import org.apache.spark.sql.functions.{collect_list, explode}
+    val launderPlan = li.agg(collect_list(col("l_orderkey")).as("ks"))
+      .select(explode(col("ks")).as("k"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      .queryExecution.executedPlan
+    assert(DriveWindowAudit.unboundedGlobalWindows(launderPlan).nonEmpty,
+      "collect_list-explode laundering was NOT flagged")
+    // ...while an explicit sequence() spine (calendar/band grid — length
+    // bounded by the value range, not corpus rows) stays exempt
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, sequence}
+    val spinePlan = li.agg(fmin(col("l_orderkey")).as("lo"), fmax(col("l_orderkey")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("k"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      .queryExecution.executedPlan
+    assert(DriveWindowAudit.unboundedGlobalWindows(spinePlan).isEmpty,
+      "sequence-spine explode was wrongly flagged")
   }
 }
