@@ -83,7 +83,7 @@ object DriveScale10x {
       !Set("--x100extracts", "--x100robust", "--x10bandskew",
         "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs",
         "--x1000cc", "--x1000li", "--x1000sim", "--x1000mm",
-        "--limedian").contains(args(1))
+        "--limedian", "--simsweep").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -391,6 +391,56 @@ object DriveScale10x {
           f" 1000x=$c1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
           f"  exp[100x->1000x]=$e3%5.2f" +
           f"  (warm $w10%5.2f/$w100%5.2f/$w1000%5.2f s)")
+      }
+      s.stop(); return
+    }
+    // --simsweep [dir]: nprobe sweep at the decade-3 ANN operating point
+    // (k=1024, default the 10M perturbed corpus). The round-13 tier
+    // measured the crossover thinner under per-vector jitter (IVF 217 s
+    // vs brute 262 s end-to-end) with recall SATURATED at 1.000 — i.e.
+    // probe mass to spare. This prints the recall/cost dial: brute once
+    // (truth set), ONE fit+assign, then search-only wall per nprobe —
+    // the marginal-cost shape a production deployment tunes, separated
+    // from the amortized one-off fit.
+    if (args.length > 1 && args(1) == "--simsweep") {
+      import org.apache.spark.sql.expressions.Window
+      val dd = if (args.length > 2) args(2) else "/tmp/graft_scale5000sim"
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dd/_READY")),
+        s"$dd not generated — run --x1000sim first")
+      val e = Tables.embeddings(s, dd)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", LlmOps.norm(col("v")))
+      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("qid"), col("cand")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def topk(scored: org.apache.spark.sql.DataFrame) = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos_r").desc, col("vec_id").asc)))
+        .filter(col("rn") <= 5).select(col("qid"), col("vec_id").as("cand"))
+      val n = e.count()
+      val k = LlmOps.ivfCells(n)
+      var t0 = System.nanoTime()
+      val bf = pairs(topk(q.join(e, col("vec_id") =!= col("qid"))
+        .withColumn("cos_r", round(
+          LlmOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))))
+      println(f"brute N=$n k=$k  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      t0 = System.nanoTime()
+      val (assigned0, centroids) =
+        LlmOps.ivfAssign(e, k = k, fitFraction = math.min(1.0, 50.0 * k / n))
+      // materialize the assignment ONCE (disk checkpoint) so per-nprobe
+      // walls are search-only — the marginal cost a deployment pays
+      import graft.ops.Ckpt.DiskCheckpoint
+      val assigned = assigned0.diskCheckpoint()
+      println(f"fit+assign (one-off)  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      Seq(8, 16, 32, 64).foreach { np =>
+        t0 = System.nanoTime()
+        val got = pairs(LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = np))
+        val rc = got.intersect(bf).size.toDouble / bf.size
+        println(f"nprobe=$np%3d  search=${(System.nanoTime() - t0) / 1e9}%7.2f s  recall@5=$rc%.3f")
       }
       s.stop(); return
     }
