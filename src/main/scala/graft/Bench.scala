@@ -27,8 +27,30 @@ import org.apache.spark.sql.SparkSession
   * Reversing the second pass gives every row two different neighborhoods,
   * so systematic contention surfaces as divergence and gets the isolated
   * re-run.
+  *
+  * WHOLE-PASS contention (round-13 verdict #6): when an external load
+  * (a concurrent compile, another Spark session) overlaps one measured
+  * pass, that pass's TOTAL inflates 20%+ and every per-row slower-of-two
+  * inherits the noise — BENCH_r13's headline needed manual adjudication
+  * to read for exactly this. The protocol now self-adjudicates: if the
+  * two pass totals diverge more than 15% ([[contendedPassIndex]]), the
+  * slower pass is re-run once (same order) and the CLEAN pair feeds the
+  * per-row maxima; the original contended total stays in the JSON under
+  * `contended_pass` so the artifact tells the whole story on its own.
   */
 object Bench {
+  /** Whole-pass contention decision: index of the pass to re-run, when
+    * the two totals diverge more than `threshold` (default 15%) — the
+    * documented signature of an external load overlapping one pass.
+    * Pure (testable without Spark); None when either total is
+    * non-positive (a failed pass is a correctness problem, not noise). */
+  def contendedPassIndex(totals: Seq[Double], threshold: Double = 0.15): Option[Int] = {
+    require(totals.length == 2, s"expected two pass totals, got ${totals.length}")
+    if (totals.exists(_ <= 0)) None
+    else if (totals.max / totals.min > 1.0 + threshold)
+      Some(if (totals(0) >= totals(1)) 0 else 1)
+    else None
+  }
   /** Round-trip-parse one emitted protocol line with Jackson (the
     * independent parser Spark already ships) and assert the fields the
     * driver reads are present and well-typed. The historical failure
@@ -54,6 +76,17 @@ object Bench {
     require(node.path("value").isNumber, "value is not a JSON number")
     require(node.path("pass_totals").isArray, "pass_totals is not an array")
     require(node.path("contended").isArray, "contended is not an array")
+    // optional whole-pass adjudication record: when present it must be
+    // well-formed (the driver may read it to explain a pass delta)
+    if (node.has("contended_pass")) {
+      val cp = node.path("contended_pass")
+      require(cp.isObject, "contended_pass is not an object")
+      require(cp.path("pass").isInt, "contended_pass.pass is not an int")
+      require(cp.path("original_total").isNumber,
+        "contended_pass.original_total is not a number")
+      require(cp.path("rerun_total").isNumber,
+        "contended_pass.rerun_total is not a number")
+    }
     if (requireQueries) {
       require(node.path("queries").isObject, "queries is not an object")
       val it = node.path("queries").properties().iterator()
@@ -113,7 +146,21 @@ object Bench {
     // second pass REVERSED: see the scaladoc — same-order passes put
     // neighborhood contention on the same rows twice, hiding it from the
     // divergence trigger
-    val passes = Seq(measuredPass(queries), measuredPass(queries.reverse))
+    val rawPasses = Seq(measuredPass(queries), measuredPass(queries.reverse))
+    val rawTotals = rawPasses.map(totalOf)
+    // whole-pass contention adjudication (see scaladoc): >15% total
+    // divergence re-runs the slower pass once, and the clean pair feeds
+    // everything downstream; the contended original is kept in the JSON
+    val contendedPass = contendedPassIndex(rawTotals)
+    val passes = contendedPass match {
+      case Some(i) =>
+        System.err.println(f"[bench] pass totals diverge " +
+          f"${rawTotals.max / rawTotals.min}%.2fx (${rawTotals.mkString(", ")}) " +
+          s"— re-running pass ${i + 1} once (whole-pass contention protocol)")
+        rawPasses.updated(i,
+          measuredPass(if (i == 0) queries else queries.reverse))
+      case None => rawPasses
+    }
     val totals = passes.map(totalOf)
     // per-row slower-of-two (NOT "the pass with the slower total": with the
     // passes in different orders, a row's contended run can sit in either)
@@ -154,10 +201,16 @@ object Bench {
       s"""{"name":"$n","p1":${p1Map(n)},"p2":${p2Map(n)},"isolated":${isolated(n)}}"""
     }.mkString("[", ",", "]")
     spark.stop()
+    // self-describing whole-pass adjudication record: which pass was
+    // contended, what it originally measured, what the clean re-run
+    // measured (pass_totals already carries the clean pair)
+    val passAdj = contendedPass.map { i =>
+      s""","contended_pass":{"pass":${i + 1},"original_total":${rawTotals(i)},"rerun_total":${totals(i)}}"""
+    }.getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals,"contended":$contendedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals$passAdj,"contended":$contendedJson,"queries":$qs,"sf":"$sfDir"}"""
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals,"contended":$contendedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passTotals$passAdj,"contended":$contendedJson,"sf":"$sfDir"}"""
     // validate BEFORE printing; print anyway on failure (forensics) but
     // exit non-zero so the driver can never record a silent parse void
     val protocolErr =

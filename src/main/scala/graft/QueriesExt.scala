@@ -353,6 +353,65 @@ object QueriesExt {
     * each consumer pays its own pipeline, so bench rows stay
     * order-independent and the candidate join stays visible in every
     * consumer's plan (PlanSpec pins its (label, band, cell) key). */
+  /** Character-trigram Jaccard pair pipeline — the shared BUILDER behind
+    * the pair listing (dedup_ngram_jaccard) and its bounded top-k
+    * companion (dedup_ngram_jaccard_topk). Scale-safe EXACT blocking: the
+    * semantic length gate |na-nb| <= 3 implies floor(na/4) and
+    * floor(nb/4) differ by at most 1, so the length band joins as an
+    * equi-key — (lang, band) buckets replace a lang-only join (~4
+    * distinct values → N²/4 candidate pairs). One side probes its band
+    * ±1; each qualifying pair meets in exactly one (probe band = build
+    * band) bucket, so no distinct is needed and the output is
+    * byte-identical to the unbanded join.
+    *
+    * No checkpoint: materializing shingle arrays is a ~3×-corpus-size
+    * spill at scale. The ±1 probe side stays SLIM (no shingle array —
+    * Catalyst prunes the shingle transform out of that branch entirely),
+    * the build side computes its arrays in one pass, and the probe
+    * side's array attaches to the surviving candidates by one id-keyed
+    * join (a second shingle pass over the corpus — recompute beats
+    * corpus-sized materialization). */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val withSh = base.repartition(LlmOps.spreadWidth(base))
+      .withColumn("norm", LlmOps.normText(col("text")))
+      .withColumn("sh", expr(
+        """array_distinct(CASE WHEN length(norm) >= 3
+           THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
+           ELSE array() END)"""))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"),
+        floor(col("n_chars") / 4).as("band"))
+    val a = withSh.select(col("doc_id").as("doc_a"), col("lang"),
+      col("n_chars").as("na"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
+    val b = withSh.select(col("doc_id").as("doc_b"), col("lang"),
+      col("n_chars").as("nb"), col("sh").as("shb"), col("band").as("jband"))
+    val sha = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    a.join(b, Seq("lang", "jband"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 3)
+      .join(sha, Seq("doc_a"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Oracle CTE chain mirroring [[ngramJaccardPairs]] — ends in
+    * `jpairs(doc_a, doc_b, jaccard)`. The oracle keeps the semantic
+    * (lang, |len diff| <= 3) join rather than replaying the band
+    * mechanics: the banding is proven output-identical by construction
+    * (every qualifying pair meets in exactly one bucket). */
+  private val ngramJaccardCtes: String =
+    s"""n AS (SELECT doc_id, lang, n_chars,
+          list_distinct(list_transform(range(length($normSql)-2),
+            i -> substring($normSql, i+1, 3))) AS sh
+        FROM documents),
+      jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 3)"""
+
   private def embedDupPairs(s: SparkSession, d: String): DataFrame =
     embedDupPairsFrom(emb(s, d))
 
@@ -1284,55 +1343,42 @@ object QueriesExt {
         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         ORDER BY doc_a, doc_b""")),
     "dedup_ngram_jaccard" -> Q(
+      (s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $ngramJaccardCtes
+        SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b""")),
+    "dedup_ngram_jaccard_topk" -> Q(
+      // Bounded-output companion to the pair LISTING above (round-13
+      // verdict #4): per-doc top-3 most-similar neighbors by character-
+      // trigram Jaccard. Candidate generation is the identical
+      // (lang, length-band) blocked join ([[ngramJaccardPairs]]); the
+      // OUTPUT is <= 3 rows per doc at ANY duplication factor — the
+      // WindowGroupLimit rank pattern (hard_negatives), which is what
+      // lets the 10x oracle gate run where the raw listing's output is
+      // quadratic by semantics. Pairs symmetrize first (each doc ranks
+      // neighbors from BOTH sides of the a<b listing); ties break on
+      // neighbor id for cross-engine determinism.
       (s, d) => {
-        // Scale-safe EXACT blocking: the semantic length gate |na-nb| <= 3
-        // implies floor(na/4) and floor(nb/4) differ by at most 1, so the
-        // length band joins as an equi-key — (lang, band) buckets replace
-        // the old lang-only join (~4 distinct values → N²/4 candidate
-        // pairs). One side probes its band ±1; each qualifying pair meets
-        // in exactly one (probe band = build band) bucket, so no distinct
-        // is needed and the output is byte-identical to the unbanded join.
-        val base = docs(s, d)
-        val withSh = base.repartition(LlmOps.spreadWidth(base))
-          .withColumn("norm", LlmOps.normText(col("text")))
-          .withColumn("sh", expr(
-            """array_distinct(CASE WHEN length(norm) >= 3
-               THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
-               ELSE array() END)"""))
-          .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"),
-            floor(col("n_chars") / 4).as("band"))
-        // No checkpoint: materializing shingle arrays is a ~3×-corpus-size
-        // spill at scale. The ±1 probe side stays SLIM (no shingle array —
-        // Catalyst prunes the shingle transform out of that branch
-        // entirely), the build side computes its arrays in one pass, and
-        // the probe side's array attaches to the surviving candidates by
-        // one id-keyed join (a second shingle pass over the corpus —
-        // recompute beats corpus-sized materialization).
-        val a = withSh.select(col("doc_id").as("doc_a"), col("lang"),
-          col("n_chars").as("na"),
-          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
-        val b = withSh.select(col("doc_id").as("doc_b"), col("lang"),
-          col("n_chars").as("nb"), col("sh").as("shb"), col("band").as("jband"))
-        val sha = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-        a.join(b, Seq("lang", "jband"))
-          .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 3)
-          .join(sha, Seq("doc_a"))
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-          .select(col("doc_a"), col("doc_b"),
-            round(col("inter").cast("double") /
-              (size(col("sha")) + size(col("shb")) - col("inter")), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+        import org.apache.spark.sql.expressions.Window
+        val p = ngramJaccardPairs(s, d)
+        val sym = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"),
+            col("jaccard"))
+          .unionAll(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"),
+            col("jaccard")))
+        sym.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("jaccard").desc, col("nbr").asc)).cast("int"))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("nbr"), col("jaccard"))
+          .orderBy("doc_id", "rn")
       },
-      Some(s"""WITH n AS (SELECT doc_id, lang, n_chars,
-          list_distinct(list_transform(range(length($normSql)-2),
-            i -> substring($normSql, i+1, 3))) AS sh
-        FROM documents)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-        FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
-          AND abs(a.n_chars - b.n_chars) <= 3
-        ORDER BY doc_a, doc_b""")),
+      Some(s"""WITH $ngramJaccardCtes,
+        jsym AS (SELECT doc_a AS doc_id, doc_b AS nbr, jaccard FROM jpairs
+                 UNION ALL
+                 SELECT doc_b, doc_a, jaccard FROM jpairs)
+        SELECT doc_id, CAST(rn AS INT) AS rn, nbr, jaccard FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, nbr ASC) AS rn FROM jsym) t
+        WHERE rn <= 3 ORDER BY doc_id, rn""")),
     "dedup_embed_cosine" -> Q(
       // Embedding near-dup pair LISTING over [[embedDupPairs]] (sign-LSH
       // banding + exact cosine gate). NB output semantics: a duplicated
@@ -1344,6 +1390,36 @@ object QueriesExt {
       (s, d) => embedDupPairs(s, d).orderBy("vec_a", "vec_b"),
       Some(s"""WITH $embedPairCtes
         SELECT vec_a, vec_b, cos_r FROM epairs ORDER BY vec_a, vec_b""")),
+    "dedup_embed_cosine_topk" -> Q(
+      // Bounded-output companion to the embedding pair LISTING (round-13
+      // verdict #4): per-vector top-3 nearest near-dup neighbors from the
+      // same sign-LSH + cosine-gate candidate pairs. Output is <= 3 rows
+      // per vector at ANY duplication factor (WindowGroupLimit rank, like
+      // dedup_ngram_jaccard_topk), so this row is 10x-gateable where the
+      // raw listing's output is quadratic by semantics. Symmetrize, rank
+      // by cosine desc with neighbor-id tie-break.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = embedDupPairs(s, d)
+        val sym = p.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"),
+            col("cos_r"))
+          .unionAll(p.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"),
+            col("cos_r")))
+        sym.withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos_r").desc, col("nbr").asc)).cast("int"))
+          .filter(col("rn") <= 3)
+          .select(col("vec_id"), col("rn"), col("nbr"), col("cos_r"))
+          .orderBy("vec_id", "rn")
+      },
+      Some(s"""WITH $embedPairCtes,
+        esym AS (SELECT vec_a AS vec_id, vec_b AS nbr, cos_r FROM epairs
+                 UNION ALL
+                 SELECT vec_b, vec_a, cos_r FROM epairs)
+        SELECT vec_id, CAST(rn AS INT) AS rn, nbr, cos_r FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_r DESC, nbr ASC) AS rn FROM esym) t
+        WHERE rn <= 3 ORDER BY vec_id, rn""")),
     "dedup_embed_clusters" -> Q(
       // Bounded-output embedding dedup (r6 verdict task #9): the same
       // sign-LSH + cosine-gate candidate pairs, resolved to duplicate-

@@ -68,4 +68,38 @@ class BenchProtocolSpec extends AnyFunSuite {
     val dup = good.dropRight(1) + ""","value":99.0}"""
     assertThrows[Exception](Bench.validateProtocolLine(dup, requireQueries = true))
   }
+
+  // ---- whole-pass contention adjudication (round-13 verdict #6) ----------
+
+  test("contended pass detection: >15% divergence names the slower pass") {
+    // the BENCH_r13 shape: pass 2 overlapped an external load (20% over)
+    assert(Bench.contendedPassIndex(Seq(132.5, 159.6)).contains(1))
+    assert(Bench.contendedPassIndex(Seq(159.6, 132.5)).contains(0))
+  }
+
+  test("contended pass detection: totals within the band do not re-run") {
+    assert(Bench.contendedPassIndex(Seq(132.5, 140.0)).isEmpty) // 5.7%
+    assert(Bench.contendedPassIndex(Seq(100.0, 115.0)).isEmpty) // exactly 15%
+    assert(Bench.contendedPassIndex(Seq(100.0, 100.0)).isEmpty)
+  }
+
+  test("contended pass detection: a failed (non-positive) pass is not noise") {
+    assert(Bench.contendedPassIndex(Seq(0.0, 150.0)).isEmpty)
+    assert(Bench.contendedPassIndex(Seq(-1.0, 150.0)).isEmpty)
+  }
+
+  test("protocol line with a contended_pass record validates") {
+    val adjudicated = good.replace(""","contended":[]""",
+      ""","contended_pass":{"pass":2,"original_total":159.6,"rerun_total":131.8},"contended":[]""")
+    Bench.validateProtocolLine(adjudicated, requireQueries = true)
+  }
+
+  test("malformed contended_pass record is rejected") {
+    val bad = good.replace(""","contended":[]""",
+      ""","contended_pass":{"pass":"two","original_total":159.6,"rerun_total":131.8},"contended":[]""")
+    assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))
+    val bad2 = good.replace(""","contended":[]""",
+      ""","contended_pass":[2],"contended":[]""")
+    assertThrows[Exception](Bench.validateProtocolLine(bad2, requireQueries = true))
+  }
 }

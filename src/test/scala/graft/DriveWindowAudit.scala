@@ -66,12 +66,18 @@ object DriveWindowAudit {
     // would launder straight through. The one shape that IS bounded:
     // exploding an explicit `sequence(lo, hi)` (day spines, band
     // grids), whose length is bounded by the VALUE RANGE of its
-    // endpoints, never by corpus row count. Everything else (exploding
+    // endpoints, never by corpus row count. The Sequence must be the
+    // generator's DIRECT child — a tree-wide exists() would let
+    // `explode(concat(collect_list(x), sequence(1, 2)))` launder a
+    // corpus-grain array through on the strength of its 2-element
+    // decoration (round-13 advisor finding). Everything else (exploding
     // a collected array column) stays unbounded.
     case g: org.apache.spark.sql.execution.GenerateExec =>
-      g.generator.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Sequence]) &&
-        boundedFrame(g.child)
+      (g.generator match {
+        case e: org.apache.spark.sql.catalyst.expressions.ExplodeBase =>
+          e.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Sequence]
+        case _ => false
+      }) && boundedFrame(g.child)
     // joins/unions/everything else: bounded iff ALL inputs are bounded
     case other => other.children.forall(boundedFrame)
   }

@@ -773,5 +773,18 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan
     assert(DriveWindowAudit.unboundedGlobalWindows(spinePlan).isEmpty,
       "sequence-spine explode was wrongly flagged")
+    // the sequence-DECORATION laundering shape (round-13 advisor): a
+    // corpus-grain collect_list concatenated with a 2-element sequence —
+    // a Sequence exists in the generator's TREE, but it is not the
+    // generator's direct child, so the explode output is still corpus
+    // grain and must be flagged (the old exists()-based predicate let
+    // this through)
+    import org.apache.spark.sql.functions.{concat, lit => flit}
+    val decoratedPlan = li.agg(collect_list(col("l_orderkey")).as("ks"))
+      .select(explode(concat(col("ks"), sequence(flit(1L), flit(2L)))).as("k"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      .queryExecution.executedPlan
+    assert(DriveWindowAudit.unboundedGlobalWindows(decoratedPlan).nonEmpty,
+      "concat(collect_list, sequence) laundering was NOT flagged")
   }
 }

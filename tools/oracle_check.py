@@ -14,10 +14,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 # decade-scale oracles materialize multi-hundred-MB temp tables; give the
-# allocator a spill path and a bounded budget instead of an abort
+# allocator a spill path and a bounded budget instead of an abort. The
+# budget derives from HOST RAM (override with DUCKDB_MEM): a hardcoded
+# 48GB would let DuckDB grow past physical memory on a smaller machine
+# and OOM the host before it ever decides to spill.
 os.makedirs("/tmp/duckdb_tmp", exist_ok=True)
 con.execute("SET temp_directory='/tmp/duckdb_tmp'")
-con.execute("SET memory_limit='48GB'")
+def _default_mem_gb():
+    try:
+        with open("/proc/meminfo") as f:
+            total_kb = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
+        return max(1, min(48, int(total_kb * 0.7 / 1024 / 1024)))
+    except Exception:
+        return 8  # conservative fallback when /proc is unavailable
+mem = os.environ.get("DUCKDB_MEM", f"{_default_mem_gb()}GB")
+con.execute(f"SET memory_limit='{mem}'")
 for t in TABLES:
     p = f"{sf_dir}/{t}.parquet"
     if os.path.isdir(p):
@@ -67,7 +78,11 @@ for name in sorted(oracle):
         # — the decomposition that keeps a 5M-doc quotient oracle inside
         # DuckDB's allocator instead of re-deriving the signature table
         # within one monolithic recursive chain); the last stage SELECTs.
-        stages = [p.strip() for p in sql.split(";---STAGE---")]
+        # The marker must sit at a STATEMENT boundary (start of a line),
+        # so a future oracle carrying the literal inside a string constant
+        # is never mis-split mid-expression.
+        stages = [p.strip() for p in
+                  __import__("re").split(r";---STAGE---[ \t]*\n", sql)]
         for st in stages[:-1]:
             con.execute(st)
         want = canon(con.execute(stages[-1]).df())
