@@ -21,6 +21,8 @@ final class Engine(
     workDir: String,
     bucketed: Boolean = true) {
 
+  /** The engine's working root (artifacts live under `<workRoot>/out/<id>`). */
+  val workRoot: String = workDir
   val cache = new Cache(spark, s"$workDir/cache")
   val pipeline = new Pipeline(spark, cache, bucketed = bucketed)
   private val states = new StateTable(spark, s"$workDir/state", Seq("id"))
@@ -41,10 +43,14 @@ final class Engine(
     * store's MERGE keeps the first body, like the queue row. */
   def submit(req: Request): String = { submitAll(Seq(req)); req.id }
 
-  /** Batch submit: ONE request-store MERGE and ONE queue-row MERGE for the
-    * whole batch (a JSONL drop file submits hundreds of documents — one
-    * snapshot rewrite per document would make ingest O(N²)). Both stores
-    * vacuum to a bounded version count on every commit. */
+  /** Batch submit: ONE request-store delta append and ONE queue-row delta
+    * append for the whole batch — O(batch), not O(live): a snapshot
+    * MERGE per submit rewrites the live queue every time (measured ~1.2 s
+    * per +1k batch against a 10⁵-row live queue, DriveQueueScale r13 —
+    * the lifecycle's one super-linear-in-live write). The deltas merge
+    * into every read immediately (snapshot wins on key overlap — the
+    * same insert-only MERGE semantics) and fold into the snapshot at the
+    * next tick's commit. */
   def submitAll(reqs: Seq[Request]): Seq[String] = {
     if (reqs.isEmpty) return Seq.empty
     val ts = now()
@@ -67,10 +73,13 @@ final class Engine(
       case None => unique
     }
     if (fresh.nonEmpty) {
-      requestStore.upsert(fresh.toDS().toDF())
-      requestStore.vacuum(keep = 4)
-      states.upsert(fresh.map(r => (r.id, -1, ts)).toDF("id", "status", "submit_time"))
-      states.vacuum(keep = 4)
+      // `fresh` is key-unique (grouped above) — appendDelta's contract;
+      // cross-batch re-submits resolve earliest-wins at read time, the
+      // same first-body-kept semantics the snapshot MERGE gave. No
+      // version commits here, so no per-submit vacuum: versions only
+      // move at tick time, where the deltas fold and vacuum runs.
+      requestStore.appendDelta(fresh.toDS().toDF())
+      states.appendDelta(fresh.map(r => (r.id, -1, ts)).toDF("id", "status", "submit_time"))
     }
     reqs.map(_.id)
   }
@@ -82,12 +91,131 @@ final class Engine(
       df.filter(col("id") === id).select("status")
         .collect().headOption.map(_.getInt(0)))
 
+  /** Per-request artifact write — the fallback/singleton path (the
+    * batched path below covers groups): results parquet + display-named
+    * CSV + JSON echo, fault-contained to this request. */
+  private def writeSingle(id: String, result: DataFrame): Int =
+    try {
+      result.write.mode("overwrite").parquet(s"$outDir/$id/results")
+      Artifacts.writeCsv(result, s"$outDir/$id/results_csv")
+      new java.io.File(s"$outDir/$id").mkdirs()
+      Artifacts.writeRequestJson(
+        Map("id" -> id, "complete_time" -> now()), s"$outDir/$id/request.json")
+      1
+    } catch { case scala.util.control.NonFatal(_) =>
+      // a failure AFTER the results-parquet commit (CSV/JSON write)
+      // must not leave a -2 request serving a complete-looking
+      // result: results() keys on _SUCCESS, so drop the marker
+      new java.io.File(s"$outDir/$id/results/_SUCCESS").delete()
+      -2
+    }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+
+  /** Batched artifact writer (round-13 verdict #3): ONE partitioned write
+    * per artifact KIND for a whole same-schema group of completed
+    * requests — 2 Spark jobs per group instead of 2 per request. The
+    * per-request job-launch floor dominated the processing leg at small
+    * request sizes (348 ms/request at n=2000, DriveQueueScale r13).
+    * Files split per request at the FILESYSTEM edge: each staging
+    * partition dir `__req_id=<id>` renames to the request's artifact
+    * path and gets the `_SUCCESS` marker [[results]] requires. Row order
+    * inside each request's artifact is preserved by a pre-shuffle
+    * ordinal (`monotonically_increasing_id` stamped before the
+    * `__req_id` repartition, restored by the in-partition sort) so the
+    * byte-golden CSV contract holds. Fault containment: a batch failure
+    * falls back to [[writeSingle]] per member, which demotes
+    * individually — exactly the old granularity. */
+  private def writeGroup(group: Seq[(String, DataFrame)]): Seq[(String, Int)] =
+    try {
+      val ids = group.map(_._1)
+      require(ids.forall(id => !id.contains("/") && !id.contains("=") &&
+        !id.contains("%")), "request id unsafe as a partition value")
+      def tag(df: DataFrame, id: String) = df
+        .withColumn("__ord", monotonically_increasing_id())
+        .withColumn("__req_id", lit(id))
+      def shape(frames: Seq[DataFrame]) = frames.reduce(_ unionByName _)
+        .repartition(col("__req_id"))
+        .sortWithinPartitions(col("__req_id"), col("__ord"))
+        .drop("__ord")
+      val stagingP = java.nio.file.Files.createTempDirectory("graft_artp")
+      shape(group.map { case (id, df) => tag(df, id) })
+        .write.mode("overwrite").partitionBy("__req_id")
+        .parquet(stagingP.toString)
+      // CSV kind from the STAGED parquet — one scan of what the parquet
+      // job already computed, not a second computation of every member
+      // merge (and ONE displayNames rename pass instead of one per
+      // member — withColumnRenamed re-analyzes the plan each call, which
+      // at hundreds of requests per tick was pure driver burn). Row
+      // order: each staged file was written in artifact order and packed
+      // read splits keep per-file rows contiguous, so the promoted CSV
+      // preserves the byte-golden order; a request keeps ONE csv file
+      // while its artifact fits one read split — the same |zones|-rows
+      // assumption writeSingle's coalesce(1) makes. __req_id (a
+      // partition column on the read side) must NOT pass through the
+      // dotted-name grammar.
+      val back = spark.read.option("basePath", stagingP.toString)
+        .parquet(stagingP.toString)
+      val stagingC = java.nio.file.Files.createTempDirectory("graft_artc")
+      back.columns.filterNot(_ == "__req_id")
+        .foldLeft(back)((d2, c) => d2.withColumnRenamed(c, ops.Naming.display(c)))
+        .write.mode("overwrite").partitionBy("__req_id")
+        .option("header", "true").option("nullValue", "")
+        .csv(stagingC.toString)
+      val res = group.map { case (id, df) =>
+        val pSrc = stagingP.resolve(s"__req_id=$id")
+        val cSrc = stagingC.resolve(s"__req_id=$id")
+        // an EMPTY result writes no partition dir — the per-request path
+        // materializes the empty artifact correctly
+        if (!java.nio.file.Files.exists(pSrc) ||
+            !java.nio.file.Files.exists(cSrc)) id -> writeSingle(id, df)
+        else try {
+          val pDst = java.nio.file.Paths.get(s"$outDir/$id/results")
+          val cDst = java.nio.file.Paths.get(s"$outDir/$id/results_csv")
+          java.nio.file.Files.createDirectories(pDst.getParent)
+          deleteTree(pDst); deleteTree(cDst)
+          java.nio.file.Files.move(pSrc, pDst)
+          java.nio.file.Files.createFile(pDst.resolve("_SUCCESS"))
+          java.nio.file.Files.move(cSrc, cDst)
+          java.nio.file.Files.createFile(cDst.resolve("_SUCCESS"))
+          Artifacts.writeRequestJson(
+            Map("id" -> id, "complete_time" -> now()), s"$outDir/$id/request.json")
+          id -> 1
+        } catch { case scala.util.control.NonFatal(_) =>
+          new java.io.File(s"$outDir/$id/results/_SUCCESS").delete()
+          id -> -2
+        }
+      }
+      deleteTree(stagingP); deleteTree(stagingC)
+      res
+    } catch { case scala.util.control.NonFatal(_) =>
+      // plan/analysis/write failure anywhere in the batch: retry each
+      // member alone so one poisoned result can't sink its neighbors
+      group.map { case (id, df) => id -> writeSingle(id, df) }
+    }
+
+  /** Write artifacts for all completed requests of a tick: group by
+    * result schema (requests select different columns — only identical
+    * schemas can share one partitioned write), cap group size so a
+    * union plan never grows unbounded, singletons take the direct path. */
+  private def writeArtifacts(done: Seq[(String, DataFrame)]): Map[String, Int] =
+    done.groupBy(_._2.schema).toSeq.flatMap { case (_, members) =>
+      members.grouped(256).flatMap { g =>
+        if (g.size == 1) g.map { case (id, df) => id -> writeSingle(id, df) }
+        else writeGroup(g)
+      }
+    }.toMap
+
   /** One cron pass: drain new/waiting requests in priority order, process
     * each end-to-end, persist results + status transitions (1 complete /
-    * -2 error), write the CSV + JSON echo artifacts. One state read up
-    * front and ONE committed state version per tick; artifact writes are
-    * per-request fault-contained (the result DataFrame is lazy — a runtime
-    * failure surfaces here, not in Pipeline.tick's plan-time catch, and
+    * -2 error), write the CSV + JSON echo artifacts (batched per artifact
+    * kind — see [[writeGroup]]). One state read up front and ONE committed
+    * state version per tick; artifact writes are per-request
+    * fault-contained (the result DataFrame is lazy — a runtime failure
+    * surfaces at write time, not in Pipeline.tick's plan-time catch, and
     * must demote that request to -2 without aborting the batch). */
   def tick(base: DataFrame, pixels: DataFrame, locations: DataFrame): Map[String, Int] = {
     // heal submit-crash orphans first: a crash between the request-store
@@ -126,22 +254,10 @@ final class Engine(
           .toSeq
       case _ => Seq.empty
     }
-    val outcomes = pipeline.tick(pending, base, pixels, locations).map {
-      case (id, 1, result) =>
-        try {
-          result.write.mode("overwrite").parquet(s"$outDir/$id/results")
-          Artifacts.writeCsv(result, s"$outDir/$id/results_csv")
-          new java.io.File(s"$outDir/$id").mkdirs()
-          Artifacts.writeRequestJson(
-            Map("id" -> id, "complete_time" -> now()), s"$outDir/$id/request.json")
-          id -> 1
-        } catch { case scala.util.control.NonFatal(_) =>
-          // a failure AFTER the results-parquet commit (CSV/JSON write)
-          // must not leave a -2 request serving a complete-looking
-          // result: results() keys on _SUCCESS, so drop the marker
-          new java.io.File(s"$outDir/$id/results/_SUCCESS").delete()
-          id -> -2
-        }
+    val ticked = pipeline.tick(pending, base, pixels, locations)
+    val written = writeArtifacts(ticked.collect { case (id, 1, r) => (id, r) })
+    val outcomes = ticked.map {
+      case (id, 1, _) => id -> written(id)
       case (id, st, _) => id -> st
     }
     if (outcomes.nonEmpty) {

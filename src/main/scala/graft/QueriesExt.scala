@@ -1731,7 +1731,12 @@ object QueriesExt {
     "sim_topk_ivf_list" -> Q(
       (s, d) => {
         val e = emb(s, d)
-        val (assigned, centroids) = LlmOps.ivfAssign(e)
+        // content-addressed index reuse (round-13 verdict #1): the trained
+        // quantizer + assignment come from the IVF index cache — a hit is
+        // two parquet reads, search-only cost; the oracle stays sound
+        // because it recomputes assignment/probe/rank from source against
+        // the dumped centroids, wherever the engine got them
+        val (assigned, centroids) = IvfIndex.cachedAssign(e, d)
         centroids.coalesce(1).write.mode("overwrite").parquet(ivfCentroidDump)
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1769,7 +1774,10 @@ object QueriesExt {
   private lazy val ivfKmeansContractQ: Q = Q(
       (s, d) => {
         val e = emb(s, d)
-        val (assigned, centroids) = LlmOps.ivfAssign(e)
+        // cached index (see sim_topk_ivf_list): the contract recompute
+        // below reads the SOURCE parquet fresh, so a stale-cache bug
+        // would hash-mismatch rather than self-confirm
+        val (assigned, centroids) = IvfIndex.cachedAssign(e, d)
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         val res = LlmOps.ivfSearch(assigned, centroids, q, topK = 5, nprobe = 4)

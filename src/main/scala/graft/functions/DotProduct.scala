@@ -98,6 +98,14 @@ object native {
   def nearest_centroid(v: Column, centroids: Column): Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), Bridge.expression(centroids)))
 
+  /** Primitive-array GK bracket sketch (see [[GkBracketAgg]]): array of
+    * approximate quantiles at `fracs` with rank error ≤ count/accuracy —
+    * the allocation-light `percentile_approx` replacement for the guided
+    * engine's bracket pass. */
+  def gk_bracket(v: Column, fracs: Seq[Double], accuracy: Int): Column =
+    Bridge.column(GkBracketAgg(Bridge.expression(v.cast("double")), fracs, accuracy)
+      .toAggregateExpression())
+
   /** Make the native expressions callable by name from `spark.sql` on a
     * live session (cluster-wide: `--conf spark.sql.extensions=
     * graft.plans.GraftExtensions`). */

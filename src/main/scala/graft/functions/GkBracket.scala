@@ -1,0 +1,335 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Zero-garbage Greenwald–Khanna quantile sketch over PRIMITIVE arrays —
+  * the allocation-light replacement for `percentile_approx` in the guided
+  * quantile engine's BRACKET pass (round-13 verdict #5).
+  *
+  * Why: Spark's `QuantileSummaries` buffers every inserted value in an
+  * `ArrayBuffer[Double]` — one boxed `java.lang.Double` per input row.
+  * At the 688M-row decade-3 leg the FIRST run in a JVM spends 49% of task
+  * time in GC (1512 s of 3106 s task time) while the interpreter/C1 churn
+  * through that garbage before C2 compiles the path (SCALE.md
+  * `--limedian`: run1 113 s vs 24 s steady). This sketch keeps the head
+  * buffer and the compressed summary in primitive `Array[Double]` /
+  * `Array[Long]`, so the per-row steady-state allocation is ZERO and the
+  * cold-start GC debt disappears with the garbage.
+  *
+  * The algorithm and its parameters mirror the published GK01 scheme as
+  * Spark ships it (same `relativeError = 1/accuracy`, same head size,
+  * same compression threshold and merge rule), so the guarantee the
+  * guided engine's coverage proof rests on is unchanged: for any queried
+  * fraction `p` the returned value's RANK lies within
+  * `relativeError * count` of `ceil(p * count)` — the ±3/accuracy
+  * bracket margin in `Extracts.guidedPercentiles` therefore still
+  * strictly covers the target interpolation ranks. Exactness of the
+  * guided results never depended on WHICH valid bracket comes back (the
+  * final interpolation recomputes from exact window counts; a coverage
+  * miss raises), so swapping the sketch cannot change any query output
+  * beyond the brackets — and GkBracketSpec pins the rank guarantee
+  * differentially against exact ranks on adversarial inputs.
+  */
+object GkSketch {
+  val HeadSize = 50000
+  val CompressThresholdFactor = 2 // compress when samples > 2 * (1/eps)
+
+  def deserialize(bytes: Array[Byte]): GkSketch = {
+    val bb = ByteBuffer.wrap(bytes)
+    val eps = bb.getDouble()
+    val count = bb.getLong()
+    val n = bb.getInt()
+    val s = new GkSketch(eps)
+    s.count = count
+    s.ensureSampled(n)
+    s.sampledCount = n
+    var i = 0
+    while (i < n) { s.values(i) = bb.getDouble(); i += 1 }
+    i = 0
+    while (i < n) { s.gs(i) = bb.getLong(); i += 1 }
+    i = 0
+    while (i < n) { s.deltas(i) = bb.getLong(); i += 1 }
+    s
+  }
+}
+
+/** Mutable GK summary. Not thread-safe (one per aggregation buffer). */
+final class GkSketch(val relativeError: Double) {
+  import GkSketch._
+  // compressed samples, sorted by value: parallel primitive arrays
+  private[functions] var values: Array[Double] = new Array[Double](16)
+  private[functions] var gs: Array[Long] = new Array[Long](16)
+  private[functions] var deltas: Array[Long] = new Array[Long](16)
+  private[functions] var sampledCount: Int = 0
+  private[functions] var count: Long = 0L
+  // head buffer: lazily sized so empty groups cost 16 doubles, not 50k
+  private var head: Array[Double] = null
+  private var headCount: Int = 0
+  // reusable flush scratch (ping-pong with the sampled arrays): without
+  // it every head flush allocates ~1.2 MB of merge arrays — ~50 GB of
+  // transient garbage across a 688M-row scan, the bulk of what was left
+  // of the cold-start GC debt after de-boxing
+  private var scratchV: Array[Double] = null
+  private var scratchG: Array[Long] = null
+  private var scratchD: Array[Long] = null
+
+  private[functions] def ensureSampled(n: Int): Unit =
+    if (values.length < n) {
+      val cap = math.max(n, values.length * 2)
+      values = java.util.Arrays.copyOf(values, cap)
+      gs = java.util.Arrays.copyOf(gs, cap)
+      deltas = java.util.Arrays.copyOf(deltas, cap)
+    }
+
+  def insert(x: Double): Unit = {
+    if (head == null) head = new Array[Double](HeadSize)
+    head(headCount) = x
+    headCount += 1
+    if (headCount == HeadSize) flushHead()
+  }
+
+  /** Merge the sorted head into the summary (GK batch insert), then
+    * compress if the summary outgrew its threshold. */
+  private[functions] def flushHead(): Unit = {
+    if (headCount == 0) return
+    java.util.Arrays.sort(head, 0, headCount)
+    val needed = sampledCount + headCount
+    if (scratchV == null || scratchV.length < needed) {
+      val cap = math.max(needed, GkSketch.HeadSize + 4096)
+      scratchV = new Array[Double](cap)
+      scratchG = new Array[Long](cap)
+      scratchD = new Array[Long](cap)
+    }
+    val nv = scratchV
+    val ng = scratchG
+    val nd = scratchD
+    var out = 0
+    var si = 0
+    var hi = 0
+    var currentCount = count
+    while (hi < headCount) {
+      val x = head(hi)
+      while (si < sampledCount && values(si) <= x) {
+        nv(out) = values(si); ng(out) = gs(si); nd(out) = deltas(si)
+        out += 1; si += 1
+      }
+      currentCount += 1
+      val delta =
+        if (out == 0 || (si == sampledCount && hi == headCount - 1)) 0L
+        else math.floor(2 * relativeError * currentCount).toLong
+      nv(out) = x; ng(out) = 1L; nd(out) = delta
+      out += 1; hi += 1
+    }
+    while (si < sampledCount) {
+      nv(out) = values(si); ng(out) = gs(si); nd(out) = deltas(si)
+      out += 1; si += 1
+    }
+    // ping-pong: the old sampled arrays become the next flush's scratch
+    scratchV = values; scratchG = gs; scratchD = deltas
+    values = nv; gs = ng; deltas = nd; sampledCount = out
+    count = currentCount
+    headCount = 0
+    val threshold = CompressThresholdFactor * math.ceil(1.0 / relativeError).toInt
+    if (sampledCount > threshold) compress()
+  }
+
+  /** GK compression: merge sample i into its successor when the combined
+    * uncertainty stays under 2·eps·count — in place, right to left. */
+  private def compress(): Unit = {
+    if (sampledCount < 2) return
+    val mergeThreshold = 2 * relativeError * count
+    // backward pass writing survivors into the REUSABLE scratch (reverse
+    // order) — compress runs after nearly every flush, so a fresh
+    // allocation here would be the same per-flush garbage the ping-pong
+    // exists to remove. Never aliases `values`: after a flush the
+    // scratch is the PREVIOUS sampled array, and merge() builds fresh.
+    if (scratchV == null || scratchV.length < sampledCount) {
+      scratchV = new Array[Double](sampledCount)
+      scratchG = new Array[Long](sampledCount)
+      scratchD = new Array[Long](sampledCount)
+    }
+    val keepV = scratchV
+    val keepG = scratchG
+    val keepD = scratchD
+    var kept = 0
+    // the LAST sample is always kept (max guard)
+    var headIdx = sampledCount - 1
+    keepV(kept) = values(headIdx); keepG(kept) = gs(headIdx); keepD(kept) = deltas(headIdx)
+    kept += 1
+    var i = sampledCount - 2
+    while (i >= 1) { // the first sample is always kept (min guard)
+      val mergedG = gs(i) + keepG(kept - 1)
+      if (mergedG + keepD(kept - 1) < mergeThreshold) {
+        keepG(kept - 1) = mergedG // absorb i into its kept successor
+      } else {
+        keepV(kept) = values(i); keepG(kept) = gs(i); keepD(kept) = deltas(i)
+        kept += 1
+      }
+      i -= 1
+    }
+    if (sampledCount > 1) {
+      keepV(kept) = values(0); keepG(kept) = gs(0); keepD(kept) = deltas(0)
+      kept += 1
+    }
+    // reverse back into ascending order
+    var a = 0
+    while (a < kept) {
+      val src = kept - 1 - a
+      values(a) = keepV(src); gs(a) = keepG(src); deltas(a) = keepD(src)
+      a += 1
+    }
+    sampledCount = kept
+  }
+
+  /** Merge another sketch into this one (partial aggregation). Both heads
+    * flush first; the merged summary is the value-sorted union with the
+    * standard GK merge bound (deltas carry over; the combined summary
+    * honors eps_a + eps_b ≤ 2·eps rank error, then compresses back toward
+    * eps like Spark's merge — the bracket margin 3/accuracy was chosen
+    * against exactly this worst case: Spark's own merged summaries carry
+    * the same bound). */
+  def merge(other: GkSketch): GkSketch = {
+    other.flushHead()
+    this.flushHead()
+    if (other.sampledCount == 0) return this
+    if (this.sampledCount == 0) {
+      this.values = other.values; this.gs = other.gs; this.deltas = other.deltas
+      this.sampledCount = other.sampledCount; this.count = other.count
+      return this
+    }
+    val n = sampledCount + other.sampledCount
+    val nv = new Array[Double](n)
+    val ng = new Array[Long](n)
+    val nd = new Array[Long](n)
+    var i = 0; var j = 0; var out = 0
+    while (i < sampledCount || j < other.sampledCount) {
+      val takeMine = j >= other.sampledCount ||
+        (i < sampledCount && values(i) <= other.values(j))
+      if (takeMine) {
+        nv(out) = values(i); ng(out) = gs(i)
+        // a sample interleaved into the other summary inherits the
+        // other's local uncertainty (the GK merge rule): its true rank
+        // in the union can shift by what the neighbouring foreign
+        // samples absorb. Using the foreign NEXT sample's (g+delta-1)
+        // like Spark keeps the proof shape; simpler conservative form:
+        // delta + other's max spread at this point. We mirror Spark:
+        // delta_new = delta + (next foreign g + next foreign delta - 1),
+        // clamped at pure-carry for edge positions.
+        nd(out) = deltas(i) + (if (j < other.sampledCount)
+          other.gs(j) + other.deltas(j) - 1 else 0L)
+        i += 1
+      } else {
+        nv(out) = other.values(j); ng(out) = other.gs(j)
+        nd(out) = other.deltas(j) + (if (i < sampledCount)
+          gs(i) + deltas(i) - 1 else 0L)
+        j += 1
+      }
+      out += 1
+    }
+    values = nv; gs = ng; deltas = nd; sampledCount = out
+    count += other.count
+    val threshold = GkSketch.CompressThresholdFactor *
+      math.ceil(1.0 / relativeError).toInt
+    if (sampledCount > threshold) compress()
+    this
+  }
+
+  /** Approximate quantile with the GK guarantee: |rank(result) −
+    * ceil(p·count)| ≤ relativeError·count. NaN when empty. */
+  def query(p: Double): Double = {
+    flushHead()
+    if (sampledCount == 0) return Double.NaN
+    if (p <= relativeError) return values(0)
+    if (p >= 1.0 - relativeError) return values(sampledCount - 1)
+    val rank = math.ceil(p * count).toLong
+    val targetError = relativeError * count
+    var minRank = 0L
+    var i = 0
+    while (i < sampledCount - 1) {
+      minRank += gs(i)
+      val maxRank = minRank + deltas(i)
+      if (maxRank <= rank + targetError && rank - targetError <= minRank)
+        return values(i)
+      i += 1
+    }
+    values(sampledCount - 1)
+  }
+
+  def serialize(): Array[Byte] = {
+    flushHead()
+    val bb = ByteBuffer.allocate(8 + 8 + 4 + sampledCount * 24)
+    bb.putDouble(relativeError)
+    bb.putLong(count)
+    bb.putInt(sampledCount)
+    var i = 0
+    while (i < sampledCount) { bb.putDouble(values(i)); i += 1 }
+    i = 0
+    while (i < sampledCount) { bb.putLong(gs(i)); i += 1 }
+    i = 0
+    while (i < sampledCount) { bb.putLong(deltas(i)); i += 1 }
+    bb.array()
+  }
+}
+
+/** `gk_bracket(v, fracs, accuracy)` — array of GK approximate quantiles
+  * at the given fractions, the drop-in bracket source for
+  * `Extracts.guidedPercentiles` / `guidedTileBounds`. NULL for an empty
+  * (or all-null) group, like `percentile_approx`. */
+@ExpressionDescription(usage = "gk_bracket(v, fracs, accuracy)")
+case class GkBracketAgg(
+    child: Expression,
+    fracs: Seq[Double],
+    accuracy: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GkSketch] with UnaryLike[Expression] {
+
+  require(accuracy > 0, "accuracy must be positive")
+  require(fracs.nonEmpty && fracs.forall(f => f >= 0.0 && f <= 1.0),
+    "fractions must be in [0, 1]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gk_bracket expects a double argument, got ${child.dataType.simpleString}" +
+        " (the Column helper casts for you)")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gk_bracket"
+
+  override def createAggregationBuffer(): GkSketch =
+    new GkSketch(1.0 / accuracy)
+
+  override def update(buffer: GkSketch, input: InternalRow): GkSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: GkSketch, other: GkSketch): GkSketch =
+    buffer.merge(other)
+
+  override def eval(buffer: GkSketch): Any = {
+    buffer.flushHead()
+    if (buffer.count == 0) null
+    else new GenericArrayData(fracs.map(buffer.query).toArray)
+  }
+
+  override def serialize(buffer: GkSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): GkSketch =
+    GkSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GkBracketAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GkBracketAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GkBracketAgg =
+    copy(child = newChild)
+}

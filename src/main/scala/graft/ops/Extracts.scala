@@ -284,7 +284,6 @@ object Extracts {
     // bracket pass: ONE sketch per zone covers every fraction's window;
     // clamped fractions fall back to exact min/max (cheap codegen
     // aggregates), so edge windows provably cover rank 1 / rank n
-    val allFracs = (pls ++ phs).map(lit(_))
     val widen = col("__g_n") <= 2L * accuracy
     // zones with n ≤ 2·accuracy widen to [min, max]: the fractional
     // margin 3/accuracy is worth < 1 RANK there, so a window could miss
@@ -293,7 +292,12 @@ object Extracts {
     // exactly the bounded-state budget the guided path already pays
     val bounds = pixels.groupBy(z).agg(
         count(v).as("__g_n"), min(v).as("__g_min"), max(v).as("__g_max"),
-        percentile_approx(v, array(allFracs: _*), lit(accuracy)).as("__g_pa"))
+        // primitive-array GK (graft.functions.GkBracketAgg), not
+        // percentile_approx: same rank guarantee, ZERO per-row garbage —
+        // Spark's QuantileSummaries boxes every inserted double, and the
+        // first run in a JVM spent 49% of task time in GC at 688M rows
+        // (SCALE.md --limedian) before C2 caught up
+        graft.functions.native.gk_bracket(v, pls ++ phs, accuracy).as("__g_pa"))
       .select(Seq(z, col("__g_n")) ++ ps.indices.flatMap { i =>
         Seq(
           (if (pls(i) == 0.0) col("__g_min")
@@ -495,8 +499,9 @@ object Extracts {
     val widen = col("__t_n") <= (accuracy.toLong * (k + 3)) / 2
     val bounds = pixels.groupBy(z).agg(
         count(v).as("__t_n"), min(v).as("__t_mn"), max(v).as("__t_mx"),
-        percentile_approx(v, array((pls ++ phs).map(lit(_)): _*),
-          lit(accuracy)).as("__t_pa"))
+        // primitive-array GK bracket (see guidedPercentiles' note)
+        graft.functions.native.gk_bracket(v, pls ++ phs, accuracy)
+          .as("__t_pa"))
       .select(Seq(z, col("__t_n"), col("__t_mn"), col("__t_mx")) ++
         (1 until k).flatMap { j =>
           Seq(when(widen, col("__t_mn"))

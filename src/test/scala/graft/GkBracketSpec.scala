@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{GkSketch, native}
+
+/** Differential gate for the primitive-array GK bracket sketch (round-13
+  * verdict #5): the guided quantile engine's coverage proof rests on the
+  * rank guarantee |rank(query(p)) − ceil(p·n)| ≤ n/accuracy — these tests
+  * pin it empirically against EXACT ranks on adversarial shapes (uniform,
+  * heavy ties, sorted, constant), through the full Spark aggregation path
+  * (update → serialize → merge across partitions → eval), plus the
+  * engine-level equivalence: guided percentiles stay EXACTLY equal to the
+  * buffering `percentile` with the new bracket underneath. */
+class GkBracketSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Exact rank window of a value in a sorted multiset: [first, last]
+    * 1-based positions where it (or its insertion point) lies. */
+  private def rankWindow(sorted: Array[Double], v: Double): (Long, Long) = {
+    // lowest rank: count of values strictly below + 1; highest: count <= v
+    val below = sorted.count(_ < v).toLong
+    val atOrBelow = sorted.count(_ <= v).toLong
+    (below + 1, math.max(atOrBelow, below + 1))
+  }
+
+  private def checkGuarantee(data: Seq[Double], accuracy: Int,
+      parts: Int, label: String): Unit = {
+    val fracs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val out = data.toDF("v").repartition(parts)
+      .agg(native.gk_bracket(col("v"), fracs, accuracy).as("b"))
+      .head().getSeq[Double](0)
+    val sorted = data.toArray.sorted
+    val n = data.size.toLong
+    val eps = n.toDouble / accuracy
+    fracs.zip(out).foreach { case (p, got) =>
+      val target = math.ceil(p * n).toLong
+      val (lo, hi) = rankWindow(sorted, got)
+      // some rank of the returned value must lie within target ± eps
+      assert(lo <= target + eps && hi >= target - eps,
+        f"$label: frac $p returned $got with rank window [$lo,$hi], " +
+          f"target $target ± $eps%.1f (n=$n, accuracy=$accuracy)")
+    }
+  }
+
+  test("rank guarantee holds through partial aggregation: uniform data") {
+    val rng = new scala.util.Random(42)
+    checkGuarantee(Seq.fill(120000)(rng.nextDouble() * 1000), 100, 16, "uniform")
+  }
+
+  test("rank guarantee holds: heavy ties (90% one value)") {
+    val rng = new scala.util.Random(7)
+    val data = Seq.fill(80000)(if (rng.nextDouble() < 0.9) 5.0 else rng.nextDouble() * 10)
+    checkGuarantee(data, 100, 8, "ties")
+  }
+
+  test("rank guarantee holds: pre-sorted and reverse-sorted input") {
+    val asc = (1 to 70000).map(_.toDouble)
+    checkGuarantee(asc, 100, 4, "sorted")
+    checkGuarantee(asc.reverse, 100, 4, "reverse")
+  }
+
+  test("rank guarantee holds at the engine's default accuracy on small groups") {
+    val rng = new scala.util.Random(11)
+    checkGuarantee(Seq.fill(3000)(rng.nextGaussian()), 1000, 8, "small-n")
+  }
+
+  test("empty and all-null groups yield NULL, like percentile_approx") {
+    val out = Seq[(Int, Option[Double])]((1, None), (1, None))
+      .toDF("g", "v").groupBy("g")
+      .agg(native.gk_bracket(col("v"), Seq(0.5), 100).as("b"))
+      .head()
+    assert(out.isNullAt(1), "all-null group must yield NULL")
+  }
+
+  test("GkSketch unit: merge of disjoint halves brackets the global median") {
+    val a = new GkSketch(0.01)
+    val b = new GkSketch(0.01)
+    (1 to 50000).foreach(i => a.insert(i.toDouble))
+    (50001 to 100000).foreach(i => b.insert(i.toDouble))
+    val m = a.merge(b)
+    val got = m.query(0.5)
+    assert(math.abs(got - 50000) <= 2000, s"merged median $got too far from 50000")
+    // serialize round-trip preserves the answer
+    val rt = GkSketch.deserialize(m.serialize())
+    assert(rt.query(0.5) == got)
+  }
+
+  test("engine equivalence: guided percentiles stay EXACT over the new bracket") {
+    // the whole point of the swap — exactness never depended on the
+    // bracket source, only on its rank guarantee. Compare the registered
+    // guided forms against Spark's exact percentile on real fixture data.
+    val d = "/root/testdata/sf0.001"
+    val px = graft.ops.Tables.pixels(spark, d)
+    val guided = graft.ops.Extracts.guidedQuantiles(px,
+        Seq(0.5, 0.9), Seq("g50", "g90"))
+      .orderBy("asdf_id").collect()
+    val exact = px.groupBy("asdf_id")
+      .agg(expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.9)").as("e90"))
+      .orderBy("asdf_id").collect()
+    assert(guided.length == exact.length)
+    // Spark's `percentile` associates the interpolation differently than
+    // the guided engine's fixed formula (one-ulp differences like
+    // 95373.097 vs 95373.09700000001 predate the bracket swap) — the
+    // binding contract is the DuckDB oracle gate's 1e-6 relative
+    // tolerance, which is what this pins
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    guided.zip(exact).foreach { case (g, e) =>
+      assert(close(g.getDouble(1), e.getDouble(1)) && close(g.getDouble(2), e.getDouble(2)),
+        s"guided percentile diverged at zone ${g.get(0)}: " +
+          s"(${g.getDouble(1)}, ${g.getDouble(2)}) vs (${e.getDouble(1)}, ${e.getDouble(2)})")
+    }
+  }
+}

@@ -164,4 +164,44 @@ class IvfSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().toSeq
     assert(a1 == a2)
   }
+
+  test("content-addressed index cache: hit path is read-only, refit on new content") {
+    // round-13 verdict #1: the second invocation for the same corpus +
+    // params must be a pure cache HIT — nothing under the cache root is
+    // written (so neither KMeans nor the assignment pass ran; both come
+    // back as parquet scans) — and the results must be identical. A
+    // corpus whose content fingerprint changes gets a DIFFERENT root, so
+    // stale cells can never be probe-hit.
+    import graft.ops.IvfIndex
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // private corpus copy: the shared fixtures must not grow cache roots
+    // that other tests/rounds could collide with
+    val tmp = Files.createTempDirectory("graft_ivfidx").toString
+    val src = Paths.get(s"$d/embeddings.parquet")
+    Files.copy(src, Paths.get(s"$tmp/embeddings.parquet"),
+      StandardCopyOption.COPY_ATTRIBUTES)
+    def embT = embeddedAt(tmp)
+    def newestMtime(p: java.io.File): Long = {
+      val kids = Option(p.listFiles()).getOrElse(Array.empty)
+      (p.lastModified +: kids.map(newestMtime).toSeq).max
+    }
+    val root = IvfIndex.cacheRoot(tmp, "embeddings")
+    val (a1, c1) = IvfIndex.cachedAssign(embT, tmp)
+    val r1 = a1.select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    val cent1 = c1.orderBy("cell").collect().toSeq
+    val stamp = newestMtime(new java.io.File(root))
+    Thread.sleep(20) // mtime granularity guard
+    val (a2, c2) = IvfIndex.cachedAssign(embT, tmp)
+    val r2 = a2.select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    val cent2 = c2.orderBy("cell").collect().toSeq
+    assert(newestMtime(new java.io.File(root)) == stamp,
+      "cache root was written on the hit path — the index was re-derived")
+    assert(r1 == r2 && cent1 == cent2, "hit returned different results")
+    // content change ⇒ different root (re-fit, never a stale hit)
+    val f = new java.io.File(s"$tmp/embeddings.parquet")
+    assert(f.setLastModified(f.lastModified() + 73000),
+      "could not touch the fixture copy")
+    assert(IvfIndex.cacheRoot(tmp, "embeddings") != root,
+      "content fingerprint ignored the file change — stale index would be hit")
+  }
 }
