@@ -364,6 +364,32 @@ object DriveScale10x {
       }
       s.stop(); return
     }
+    // --x10000ev: FOURTH decade for the event families (round-13 verdict
+    // #7) — ~10⁹ events (~20 GB parquet), the cheapest fact family by
+    // disk budget. The state table already has a decade-4 row; this
+    // gives the FACT side one: the banded two-phase ranks, the 128-bit
+    // integer promotions, and the map-combining aggregates at a volume
+    // where any residual super-linear term or overflow class would have
+    // to show. Decade-3 → decade-4 exponents on cold rows, warm printed
+    // alongside, same whale-skew ratio as every earlier leg.
+    if (args.length > 1 && args(1) == "--x10000ev") {
+      val ev1000 = "/tmp/graft_scale1000ev"
+      val ev10000 = "/tmp/graft_scale10000ev"
+      for ((d, c) <- Seq((ev1000, 1000), (ev10000, 10000)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateEvents(s, base, d, c)
+      val evOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("gini_spend", "rfm_scores", "funnel_latency",
+          "ab_test", "seasonal_anomaly", "ks_drift_binned")
+      evOps.foreach { op =>
+        val c3 = run(op, ev1000); val w3 = run(op, ev1000)
+        val c4 = run(op, ev10000); val w4 = run(op, ev10000)
+        val e4 = math.log(c4 / c3) / math.log(10.0)
+        println(f"$op%-20s cold 1000x=$c3%8.2f s 10000x=$c4%9.2f s" +
+          f"  exp[1000x->10000x]=$e4%5.2f  (warm $w3%7.2f/$w4%8.2f s)")
+      }
+      s.stop(); return
+    }
     // --x1000docs: THIRD decade for the vocabulary family (round-9
     // verdict #7) — 5M documents, the token-explode shuffle at ~10⁹
     // exploded rows. The explode-width heuristic (LlmOps.spreadWidth)
@@ -1071,8 +1097,11 @@ object DriveScale10x {
       copies: Int): Unit = {
     println(s"generating ${copies}x events corpus at $out ...")
     val P = copyOthers(base, out, Set("events"))
+    // parts cap: the heuristic is rows-tracking, but 16k part files at
+    // 10^4x is pure file-count overhead on a single host — 4096 keeps
+    // ~5 MB parts at decade 4 and leaves every earlier tier unchanged
     amplifyEvents(s, base, out, copies, copies * 4,
-      (copies * 16 / 10).max(16))
+      (copies * 16 / 10).max(16).min(4096))
     java.nio.file.Files.writeString(P.resolve("_READY"), "ok")
     println(s"  events: " +
       s.read.parquet(s"$out/events.parquet").count() + " rows")
