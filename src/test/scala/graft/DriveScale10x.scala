@@ -991,8 +991,16 @@ object DriveScale10x {
     * skew ratio, so the decades compare like for like). */
   private def amplifyEvents(s: SparkSession, base: String, out: String,
       copies: Int, whaleCopies: Int, parts: Int): Unit = {
-    val ev = s.read.parquet(s"$base/events.parquet")
     val whale = col("user_id") % 997 === 0
+    // repartition the SMALL base BEFORE the explode: a post-explode
+    // repartition materializes the whole amplified corpus as shuffle
+    // files (measured: the 10⁴× leg wrote ~50 GB of shuffle and filled
+    // the disk before the 20 GB output started). Shuffling ~100k base
+    // rows costs ~2 MB and each of the `parts` tasks explodes and
+    // writes its own slice directly — same rows, no corpus-sized
+    // intermediate. Round-robin spread keeps whale rows (×4 fan-out)
+    // evenly distributed across tasks.
+    val ev = s.read.parquet(s"$base/events.parquet").repartition(parts)
     ev.select(col("*"),
         explode(sequence(lit(0),
           when(whale, lit(whaleCopies - 1)).otherwise(lit(copies - 1))))
@@ -1003,7 +1011,6 @@ object DriveScale10x {
         when(whale, col("user_id"))
           .otherwise(col("user_id") + col("__copy") * lit(10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
-      .repartition(parts)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
