@@ -89,10 +89,21 @@ final class GkSketch(val relativeError: Double) {
     }
 
   def insert(x: Double): Unit = {
-    if (head == null) head = new Array[Double](HeadSize)
+    // the head GROWS geometrically toward HeadSize instead of starting
+    // there: hash aggregation holds one live buffer PER GROUP, and a
+    // fixed 400 KB head across thousands of fine-grained zones was
+    // gigabytes of per-query allocation (measured: a bench pass-wide
+    // slowdown from GC pressure). Small groups stay tens-of-entries
+    // small; only streams that actually reach 50k values pay for 50k.
+    if (head == null) head = new Array[Double](64)
+    if (headCount == head.length) {
+      if (head.length < HeadSize)
+        head = java.util.Arrays.copyOf(head,
+          math.min(HeadSize, head.length * 4))
+      else flushHead()
+    }
     head(headCount) = x
     headCount += 1
-    if (headCount == HeadSize) flushHead()
   }
 
   /** Merge the sorted head into the summary (GK batch insert), then
@@ -102,7 +113,12 @@ final class GkSketch(val relativeError: Double) {
     java.util.Arrays.sort(head, 0, headCount)
     val needed = sampledCount + headCount
     if (scratchV == null || scratchV.length < needed) {
-      val cap = math.max(needed, GkSketch.HeadSize + 4096)
+      // size to NEED, not to the head capacity: eval/serialize flush
+      // every non-empty group once, and a HeadSize-scaled scratch there
+      // was ~1.3 MB of garbage per group — the other half of the
+      // fine-grained-zone GC pressure. Streams that flush repeatedly
+      // settle after one regrow (sampled is compress-bounded).
+      val cap = needed + 64
       scratchV = new Array[Double](cap)
       scratchG = new Array[Long](cap)
       scratchD = new Array[Long](cap)
