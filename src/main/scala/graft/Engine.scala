@@ -137,7 +137,14 @@ final class Engine(
       def tag(df: DataFrame, id: String) = df
         .withColumn("__ord", monotonically_increasing_id())
         .withColumn("__req_id", lit(id))
-      def shape(frames: Seq[DataFrame]) = frames.reduce(_ unionByName _)
+      // BALANCED union tree, not a left fold: Dataset construction runs
+      // the analyzer eagerly, so folding N members analyzes plans of
+      // size 1..N — O(N²) analyzer work that dominates the per-request
+      // floor at hundreds of members. A tree analyzes O(N log N).
+      def unionTree(fs: Seq[DataFrame]): DataFrame =
+        if (fs.size == 1) fs.head
+        else unionTree(fs.grouped(8).map(_.reduce(_ unionByName _)).toSeq)
+      def shape(frames: Seq[DataFrame]) = unionTree(frames)
         .repartition(col("__req_id"))
         .sortWithinPartitions(col("__req_id"), col("__ord"))
         .drop("__ord")

@@ -36,7 +36,11 @@ final class Pipeline(
     // offline it surfaces as config — a raster with a different class
     // domain (land-cover codes, …) passes its own list, instead of the
     // pivot silently zeroing every unlisted class
-    categoricalClasses: Seq[String] = Seq("A", "N", "R")) {
+    categoricalClasses: Seq[String] = Seq("A", "N", "R"),
+    // merge-result memoization (see buildOutput). Off only for plan-shape
+    // inspection: with it on, a repeated request returns a cached scan
+    // and the merge JOIN plan is never the returned frame
+    memoizeMerge: Boolean = true) {
 
   /** The msr descriptor the reference hashes
     * (`queue/request_tools.py:371-383`). */
@@ -161,32 +165,64 @@ final class Pipeline(
   /** build_output (`queue/request_tools.py:516-613`): compute/reuse every
     * extract, rename through the [[Naming]] grammar, wide-merge onto the
     * boundary attribute frame, reorder. Returns the merged result plus the
-    * request echo (S6 analog). */
+    * request echo (S6 analog).
+    *
+    * The MERGED result is itself content-addressed (round-14): the key is
+    * the ordered item-key list (each already content-addresses boundary ×
+    * data × method × version) plus the base frame's column set — two
+    * requests selecting the same work get ONE merge computation and every
+    * later one a plain parquet read, and the probe runs BEFORE any
+    * per-item plan construction, so a duplicate-work request costs a hash
+    * + one scan instead of N joins' analysis (the dominant term of the
+    * measured per-request floor). Same staleness contract as the extract
+    * cache underneath: keys assume the source relations for a given
+    * `msrVersion` are stable per work dir — reprocessing changed data is
+    * a version bump, exactly like the reference
+    * (`queue/extract_check.py:92-98`). */
   def buildOutput(req: Request, base: DataFrame, pixels: DataFrame,
       locations: DataFrame): (DataFrame, String) = {
     val items = checkRequest(req)
-    val frames = items.map { item =>
-      val df = compute(item, pixels, locations)
-      item.kind match {
-        case "release" =>
-          val cols = Naming.msrMethods(item.dataset)
-          df.select(col("asdf_id") +: cols.map(m =>
-            col(m).as(Naming.col(item.dataset, item.temporal, m))): _*)
-        case _ =>
-          if (item.method == "categorical") {
-            val cls = df.columns.filter(_.startsWith("categorical_"))
-            df.select(col("asdf_id") +: cls.toSeq.map(c =>
-              col(c).as(Naming.col(item.dataset, item.temporal, c))): _*)
-          } else
-            df.select(col("asdf_id"),
-              col(item.method).as(Naming.col(item.dataset, item.temporal, item.method)))
+    // item order is part of the key — it determines output column order
+    val mergeKey = keyOf(JObj(Seq(
+      "boundary" -> JStr(req.boundary.name),
+      "version" -> JStr(msrVersion),
+      "base_cols" -> JArr(base.columns.toSeq.map(JStr(_))),
+      "items" -> JArr(items.map(i =>
+        JStr(s"${i.key}:${i.dataset}:${i.temporal}:${i.method}"))))))
+    def mergedFresh: DataFrame = {
+      val frames = items.map { item =>
+        val df = compute(item, pixels, locations)
+        item.kind match {
+          case "release" =>
+            val cols = Naming.msrMethods(item.dataset)
+            df.select(col("asdf_id") +: cols.map(m =>
+              col(m).as(Naming.col(item.dataset, item.temporal, m))): _*)
+          case _ =>
+            if (item.method == "categorical") {
+              val cls = df.columns.filter(_.startsWith("categorical_"))
+              df.select(col("asdf_id") +: cls.toSeq.map(c =>
+                col(c).as(Naming.col(item.dataset, item.temporal, c))): _*)
+            } else
+              df.select(col("asdf_id"),
+                col(item.method).as(Naming.col(item.dataset, item.temporal, item.method)))
+        }
       }
+      // P7 (`queue/request_tools.py:649-656`): strip any pre-existing
+      // exfield_* columns from the base frame before merging, so stale
+      // extract columns from a prior run can neither survive into the
+      // passthrough section nor collide with newly generated names
+      Merge.wide(Merge.dropExFields(base), frames)
     }
-    // P7 (`queue/request_tools.py:649-656`): strip any pre-existing
-    // exfield_* columns from the base frame before merging, so stale
-    // extract columns from a prior run can neither survive into the
-    // passthrough section nor collide with newly generated names
-    val merged = Merge.wide(Merge.dropExFields(base), frames)
+    // coalesce(1) on the FILL: merged results are |zones| rows (every
+    // side is pre-aggregated), and a single-file artifact is what keeps
+    // the read-back row order identical to the fresh merge — the CSV
+    // byte-golden contract rides on it (multi-part parquet read-back
+    // returns partitions in file order, not write order). Same
+    // single-file assumption Artifacts.writeCsv already makes.
+    val merged =
+      if (memoizeMerge)
+        cache.getOrCompute(s"merge_$mergeKey")(mergedFresh.coalesce(1))
+      else mergedFresh
     val echo = render(toJVal(Map(
       "id" -> req.id,
       "boundary" -> req.boundary.name,

@@ -112,11 +112,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.misses(p.checkRequest(req2)).isEmpty)
   }
 
+  test("merge memoization: duplicate-work requests share ONE merged result") {
+    // round-14: the merged result is itself content-addressed (ordered
+    // item keys + base columns). A second request with the same work is
+    // a probe-hit — identical rows back, nothing new written under the
+    // cache root — and the probe runs before per-item plan construction,
+    // which is what collapses the duplicate-request floor.
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val p = new Pipeline(spark, new Cache(spark, root), bucketed = false)
+    val r1 = p.buildOutput(request, base, pixels, locations)._1
+      .orderBy("asdf_id").collect().toSeq
+    def newest(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      (f.lastModified +: kids.map(newest).toSeq).max
+    }
+    val stamp = newest(new java.io.File(root))
+    Thread.sleep(20)
+    val r2 = p.buildOutput(request.copy(id = "twin"), base, pixels, locations)._1
+      .orderBy("asdf_id").collect().toSeq
+    assert(r1 == r2, "memoized merge returned different rows")
+    assert(newest(new java.io.File(root)) == stamp,
+      "duplicate-work request wrote to the cache — merge was recomputed")
+  }
+
   test("bucketed pipeline: same results, merge without extract-side shuffles") {
     val root = Files.createTempDirectory("graft_pipe").toString
     val plain = pipeline().buildOutput(request, base, pixels, locations)._1
       .orderBy("asdf_id").collect().toSeq
-    val bp = new Pipeline(spark, new Cache(spark, root), bucketed = true, buckets = 4)
+    // memoizeMerge off: this test pins the merge JOIN plan shape, which
+    // with memoization on is only ever the (eagerly filled) cache's
+    // internal plan — the returned frame would be a plain scan
+    val bp = new Pipeline(spark, new Cache(spark, root), bucketed = true,
+      buckets = 4, memoizeMerge = false)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val (out, _) = bp.buildOutput(request, base, pixels, locations)
