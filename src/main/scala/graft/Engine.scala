@@ -176,9 +176,20 @@ final class Engine(
         val pSrc = stagingP.resolve(s"__req_id=$id")
         val cSrc = stagingC.resolve(s"__req_id=$id")
         // an EMPTY result writes no partition dir — the per-request path
-        // materializes the empty artifact correctly
+        // materializes the empty artifact correctly. A MULTI-PART csv
+        // (artifact larger than one read split, so the staged re-read
+        // split it) would break the one-file byte-golden contract — each
+        // part carries its own header and inter-part order is unpinned —
+        // so oversized members demote to writeSingle's coalesce(1) too
+        // (round-14 advisor finding).
+        def csvParts(p: java.nio.file.Path): Long = {
+          val s = java.nio.file.Files.list(p)
+          try s.filter(f => f.getFileName.toString.startsWith("part-")).count()
+          finally s.close()
+        }
         if (!java.nio.file.Files.exists(pSrc) ||
-            !java.nio.file.Files.exists(cSrc)) id -> writeSingle(id, df)
+            !java.nio.file.Files.exists(cSrc) ||
+            csvParts(cSrc) != 1L) id -> writeSingle(id, df)
         else try {
           val pDst = java.nio.file.Paths.get(s"$outDir/$id/results")
           val cDst = java.nio.file.Paths.get(s"$outDir/$id/results_csv")

@@ -27,12 +27,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A crashed query must be VISIBLE in the round artifact, never an
+    // omitted key (round-14 verdict #4: four crashed queries made
+    // "198/198" read as all-green because a thrown query wrote nothing
+    // and the driver's CORRECTNESS json simply lacked the key). On
+    // failure we write an `_ERROR` marker file into the query's output
+    // dir — the driver's parquet read of that dir then fails and the
+    // key lands in the round file as an explicit `err` row — plus a
+    // `_FAILURES.json` rollup and a loud stdout summary.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name failed: $msg")
+          failures(name) = msg
+          val d = Paths.get(s"$outDir/$name")
+          // replace any partial parquet output with the bare marker so
+          // the dir can never read as a valid (truncated) result
+          def wipe(p: java.nio.file.Path): Unit = {
+            if (Files.isDirectory(p))
+              Files.list(p).forEach(c => wipe(c))
+            Files.deleteIfExists(p)
+          }
+          wipe(d)
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_ERROR"), s"$name\n$msg\n")
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +79,12 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_FAILURES.json"), failJson)
+    if (failures.nonEmpty)
+      println(s"[verify] ${failures.size} QUERY FAILURE(S): " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -137,9 +137,19 @@ final class GkSketch(val relativeError: Double) {
         out += 1; si += 1
       }
       currentCount += 1
+      // GK01 invariant: every tuple must satisfy g + Δ ≤ 2εn, or query()'s
+      // acceptance window (±εn around the target rank) can fail to admit
+      // ANY tuple and fall through to the max. A new tuple has g = 1, so
+      // Δ = ⌊2εn⌋ − 1 (round-14 verdict: Δ = ⌊2εn⌋ gave g+Δ = ⌊2εn⌋+1
+      // > 2εn whenever 2εn is non-integral — every tuple over-wide, zero
+      // query hits on misaligned n, e.g. n=3704 @ ε=0.001, and the guided
+      // engine's coverage guard correctly crashed four percentile
+      // queries at sf0.01). merge() preserves the invariant (carry
+      // g_B+Δ_B−1 ≤ 2εn_B−1 keeps g+Δ ≤ 2ε(n_A+n_B)); compress()'s
+      // strict `< 2εn` merge bound does too.
       val delta =
         if (out == 0 || (si == sampledCount && hi == headCount - 1)) 0L
-        else math.floor(2 * relativeError * currentCount).toLong
+        else math.max(0L, math.floor(2 * relativeError * currentCount).toLong - 1)
       nv(out) = x; ng(out) = 1L; nd(out) = delta
       out += 1; hi += 1
     }
@@ -216,8 +226,17 @@ final class GkSketch(val relativeError: Double) {
     this.flushHead()
     if (other.sampledCount == 0) return this
     if (this.sampledCount == 0) {
-      this.values = other.values; this.gs = other.gs; this.deltas = other.deltas
-      this.sampledCount = other.sampledCount; this.count = other.count
+      // COPY, never adopt by reference: flushHead ping-pongs the sampled
+      // arrays into scratch and compress writes into them in place, so a
+      // shared array would let later mutation of either sketch corrupt
+      // the other. Safe-by-luck in the Spark aggregate path (`other` is
+      // freshly deserialized per row) but the class is public and
+      // unit-tested directly (round-14 advisor finding).
+      val n = other.sampledCount
+      this.values = java.util.Arrays.copyOf(other.values, n)
+      this.gs = java.util.Arrays.copyOf(other.gs, n)
+      this.deltas = java.util.Arrays.copyOf(other.deltas, n)
+      this.sampledCount = n; this.count = other.count
       return this
     }
     val n = sampledCount + other.sampledCount
@@ -265,7 +284,22 @@ final class GkSketch(val relativeError: Double) {
     if (p <= relativeError) return values(0)
     if (p >= 1.0 - relativeError) return values(sampledCount - 1)
     val rank = math.ceil(p * count).toLong
-    val targetError = relativeError * count
+    // Primary bound: εn, guaranteed to admit a tuple while the g+Δ ≤ 2εn
+    // invariant holds (flushHead's Δ−1 assignment; see the proof sketch
+    // there). Defensive layer: widen to the sketch's ACTUAL max tuple
+    // uncertainty (g+Δ)/2 — a no-op under the invariant, but if a future
+    // edit re-breaks it this returns a near-target value (error ≤
+    // max(g+Δ)/2 ≤ 2εn post-merge) instead of silently returning the
+    // zone max; the guided engine's ±3εn bracket margin still covers at
+    // 2εn error, and its runtime raise_error backstops anything worse.
+    var maxGD = 0L
+    var j = 0
+    while (j < sampledCount) {
+      val gd = gs(j) + deltas(j)
+      if (gd > maxGD) maxGD = gd
+      j += 1
+    }
+    val targetError = math.max(relativeError * count, maxGD / 2.0)
     var minRank = 0L
     var i = 0
     while (i < sampledCount - 1) {
@@ -277,6 +311,24 @@ final class GkSketch(val relativeError: Double) {
     }
     values(sampledCount - 1)
   }
+
+  /** Max per-tuple uncertainty g+Δ over the compressed summary (flushes
+    * the head first) — diagnostic for the GK invariant g+Δ ≤ 2εn that
+    * query()'s hit guarantee rests on (GkBracketSpec pins it across an
+    * n × accuracy × distribution × fan-in sweep). */
+  def maxTupleUncertainty: Long = {
+    flushHead()
+    var m = 0L
+    var i = 0
+    while (i < sampledCount) {
+      val gd = gs(i) + deltas(i)
+      if (gd > m) m = gd
+      i += 1
+    }
+    m
+  }
+
+  def totalCount: Long = { flushHead(); count }
 
   def serialize(): Array[Byte] = {
     flushHead()

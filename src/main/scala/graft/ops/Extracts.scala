@@ -201,10 +201,17 @@ object Extracts {
       case "mad" | "mad_guided" =>
         // two guided medians: per-zone median, broadcast back (|zones|
         // rows), then the guided median of |v − med| — same answer as the
-        // buffering `mad_buffer`, never more than O(n/accuracy) reducer state
-        val med = guidedPercentile(pixels, zone, value, 0.5, guidedAccuracy)
+        // buffering `mad_buffer`, never more than O(n/accuracy) reducer state.
+        // The guided engine scans its input TWICE per call (bracket pass +
+        // window pass) and mad calls it twice, so without sharing, the
+        // (zone, value) projection is derived four times from the source
+        // scan. Checkpoint it once (DISK_ONLY + lazy, same policy and
+        // dry-run rationale as mad_buffer's pv above): one derivation, four
+        // block reads — measured 3.2 → ~2 s at sf0.1 (round-14 verdict #7).
+        val pv = pixels.select(z, v).diskCheckpointLazy()
+        val med = guidedPercentile(pv, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as("__g_med"))
-        val dev = joinOnZone(pixels, med, zone)
+        val dev = joinOnZone(pv, med, zone)
           .select(z, abs(v - col("__g_med")).as(value))
         guidedPercentile(dev, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as(method))

@@ -83,7 +83,8 @@ object DriveScale10x {
       !Set("--x100extracts", "--x100robust", "--x10bandskew",
         "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs",
         "--x1000cc", "--x1000li", "--x1000sim", "--x1000mm",
-        "--limedian", "--simsweep", "--simcache", "--x10000ev").contains(args(1))
+        "--limedian", "--simsweep", "--simcache", "--x10000ev",
+        "--x10000docs").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -384,6 +385,31 @@ object DriveScale10x {
       evOps.foreach { op =>
         val c3 = run(op, ev1000); val w3 = run(op, ev1000)
         val c4 = run(op, ev10000); val w4 = run(op, ev10000)
+        val e4 = math.log(c4 / c3) / math.log(10.0)
+        println(f"$op%-20s cold 1000x=$c3%8.2f s 10000x=$c4%9.2f s" +
+          f"  exp[1000x->10000x]=$e4%5.2f  (warm $w3%7.2f/$w4%8.2f s)")
+      }
+      s.stop(); return
+    }
+    // --x10000docs: FOURTH decade for the documents family (round-14
+    // verdict #6) — 50M documents (~7 GB parquet), the cheapest decade-4
+    // tier after events. The adversarial shape scales with it: the
+    // boilerplate megacluster grows to ~1M identical docs (2% of every
+    // copy), so dedup_lines' line-quotient and text_quality_lm's
+    // per-doc scoring meet a megacluster 100× the decade-3 one, and
+    // vocab_top's token explode runs at ~10¹⁰ exploded rows. Cold
+    // decade-3 → decade-4 exponents (warm alongside), local[32].
+    if (args.length > 1 && args(1) == "--x10000docs") {
+      val doc1000 = "/tmp/graft_scale1000doc"
+      val doc10000 = "/tmp/graft_scale10000doc"
+      for ((d, c) <- Seq((doc1000, 1000), (doc10000, 10000)))
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_READY")))
+          generateDocs(s, base, d, c)
+      val docOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("vocab_top", "dedup_lines", "text_quality_lm")
+      docOps.foreach { op =>
+        val c3 = run(op, doc1000); val w3 = run(op, doc1000)
+        val c4 = run(op, doc10000); val w4 = run(op, doc10000)
         val e4 = math.log(c4 / c3) / math.log(10.0)
         println(f"$op%-20s cold 1000x=$c3%8.2f s 10000x=$c4%9.2f s" +
           f"  exp[1000x->10000x]=$e4%5.2f  (warm $w3%7.2f/$w4%8.2f s)")
@@ -946,7 +972,16 @@ object DriveScale10x {
     def rot(i: Int) = { val k = (i * 3) % 26; alpha.drop(k) + alpha.take(k) }
     val boiler = ("the quarterly portfolio navigation footer repeats across " +
       "every published revision of this document set ") * 5
-    val docs = s.read.parquet(s"$base/documents.parquet")
+    // repartition the SMALL base BEFORE the explode (the decade-4 events
+    // lesson, amplifyEvents above): a post-explode repartition
+    // materializes the whole amplified corpus as shuffle files — at the
+    // 10⁴× docs tier that is ~75 GB of transient shuffle for a ~7 GB
+    // output. Shuffling the ~5k-row base costs ~2 MB; each task explodes
+    // and writes its slice directly. Part cap 2048 (the events cap
+    // rationale at decade 4) leaves every earlier tier's layout unchanged
+    // (1000× = 1600 parts < cap).
+    val parts = (16 * (copies / 10).max(1)).min(2048)
+    val docs = s.read.parquet(s"$base/documents.parquet").repartition(parts)
     // rotation depends only on copy % 26 (rot(0) is the identity, matching
     // copy 0's raw text), so the CASE chain is 26 branches regardless of
     // the copy count — a branch per copy blew past Catalyst's comfortable
@@ -962,7 +997,6 @@ object DriveScale10x {
         when(col("doc_id") % 50 === 7, lit(boiler)).otherwise(rotText).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
-      .repartition(16 * (copies / 10).max(1))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
@@ -1025,7 +1059,14 @@ object DriveScale10x {
     val hotSupp = s.read.parquet(s"$base/supplier.parquet")
       .filter(col("s_nationkey") === 0)
       .select("s_suppkey").collect().map(_.getLong(0))
-    val li = s.read.parquet(s"$base/lineitem.parquet")
+    // pre-explode repartition (the decade-4 events lesson, amplifyEvents):
+    // a post-explode repartition materialized the whole amplified corpus
+    // as shuffle files — ~58 GB of transient disk for the 15 GB 1000×
+    // output, nearly the whole free budget on this host. Shuffling the
+    // ~690k-row base costs ~60 MB; each task explodes and writes its own
+    // slice. Hashes are unaffected (all consumers compare order-free);
+    // round-robin spread keeps hot-supplier rows (×4 fan-out) even.
+    val li = s.read.parquet(s"$base/lineitem.parquet").repartition(parts)
     val hot = col("l_suppkey").isin(hotSupp.toSeq: _*)
     val price =
       if (perturb) (col("l_extendedprice") + col("__copy") * lit(1e-4))
@@ -1040,7 +1081,6 @@ object DriveScale10x {
         col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
         col("l_quantity"), price, col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-      .repartition(parts)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 

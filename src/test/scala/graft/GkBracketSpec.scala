@@ -87,6 +87,78 @@ class GkBracketSpec extends AnyFunSuite {
     assert(rt.query(0.5) == got)
   }
 
+  test("guided acceptance criterion: query(p±3ε) brackets cover the " +
+      "interpolation ranks across n × accuracy × distribution × fan-in") {
+    // The round-14 regression class: the sketch honored its rank bound on
+    // the shapes above yet the GUIDED ENGINE's acceptance criterion —
+    // query(p−3ε)/query(p+3ε) must bracket the values at interpolation
+    // ranks ⌊r⌋/⌈r⌉, r = 1+p(n−1) (ops/Extracts.scala's runtime guard) —
+    // failed at misaligned n (3704 @ accuracy 1000: every tuple carried
+    // g+Δ = ⌊2εn⌋+1 > 2εn, zero query hits, fall-through to the zone
+    // max). This sweep asserts that exact predicate, plus the g+Δ ≤ 2εn
+    // invariant it rests on, through the full aggregate shape: partition
+    // fan-in, per-partition sketches, serialize round-trips, fold merge.
+    val ns = Seq(2500, 3704, 5000, 12000, 35000, 100000, 200000)
+    val accuracies = Seq(100, 1000, 10000)
+    val fanIns = Seq(1, 2, 8, 32)
+    val ps = Seq(0.05, 0.5, 0.95, 0.99)
+    def dists(n: Int, seed: Int): Seq[(String, Array[Double])] = {
+      val rng = new scala.util.Random(seed)
+      Seq(
+        "uniform"   -> Array.fill(n)(rng.nextDouble() * 1e6),
+        "ties"      -> Array.fill(n)(if (rng.nextDouble() < 0.8)
+                         rng.nextInt(5).toDouble else rng.nextDouble() * 10),
+        "sorted"    -> Array.tabulate(n)(_.toDouble),
+        "lognormal" -> Array.fill(n)(math.exp(rng.nextGaussian() * 2)))
+    }
+    for {
+      n <- ns
+      acc <- accuracies
+      if n > 2 * acc // below this the engine widens to [min,max] — GK unused
+      (label, data) <- dists(n, n ^ acc)
+      parts <- fanIns
+    } {
+      val eps = 1.0 / acc
+      val chunkSize = math.max(1, (n + parts - 1) / parts)
+      val m = data.grouped(chunkSize).map { c =>
+        val s = new GkSketch(eps)
+        c.foreach(s.insert)
+        GkSketch.deserialize(s.serialize()) // the shuffle's serde edge
+      }.reduce(_ merge _)
+      val ctx = s"n=$n acc=$acc dist=$label parts=$parts"
+      assert(m.maxTupleUncertainty <= 2 * eps * n,
+        s"$ctx: GK invariant violated — max(g+Δ)=${m.maxTupleUncertainty}" +
+          f" > 2εn=${2 * eps * n}%.3f")
+      val sorted = data.sorted
+      ps.foreach { p =>
+        val e = 3.0 / acc
+        // mirror the engine exactly: clamped fractions use exact min/max
+        val lo = if (p - e <= 0.0) sorted.head else m.query(p - e)
+        val hi = if (p + e >= 1.0) sorted.last else m.query(p + e)
+        val r = 1.0 + p * (n - 1)
+        val kLo = math.floor(r).toInt
+        val kHi = math.ceil(r).toInt
+        assert(lo <= sorted(kLo - 1) && sorted(kHi - 1) <= hi,
+          s"$ctx p=$p: bracket [$lo,$hi] misses interpolation values " +
+            s"${sorted(kLo - 1)}/${sorted(kHi - 1)} at ranks $kLo/$kHi")
+      }
+    }
+  }
+
+  test("merge into an empty sketch copies, never aliases, the other's arrays") {
+    val a = new GkSketch(0.01)
+    val b = new GkSketch(0.01)
+    (1 to 5000).foreach(i => b.insert(i.toDouble))
+    val m = a.merge(b) // merge flushes both, then hits the empty-this path
+    val before = b.query(0.5)
+    // mutating the adopter must not corrupt the donor
+    (5001 to 20000).foreach(i => m.insert(i.toDouble))
+    m.query(0.9)
+    assert(b.query(0.5) == before,
+      "donor sketch changed after the adopting sketch was mutated — " +
+        "merge aliased the arrays instead of copying")
+  }
+
   test("engine equivalence: guided percentiles stay EXACT over the new bracket") {
     // the whole point of the swap — exactness never depended on the
     // bracket source, only on its rank guarantee. Compare the registered
