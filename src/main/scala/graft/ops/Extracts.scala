@@ -202,13 +202,16 @@ object Extracts {
         // two guided medians: per-zone median, broadcast back (|zones|
         // rows), then the guided median of |v − med| — same answer as the
         // buffering `mad_buffer`, never more than O(n/accuracy) reducer state.
-        // The guided engine scans its input TWICE per call (bracket pass +
-        // window pass) and mad calls it twice, so without sharing, the
-        // (zone, value) projection is derived four times from the source
-        // scan. Checkpoint it once (DISK_ONLY + lazy, same policy and
-        // dry-run rationale as mad_buffer's pv above): one derivation, four
-        // block reads — measured 3.2 → ~2 s at sf0.1 (round-14 verdict #7).
-        val pv = pixels.select(z, v).diskCheckpointLazy()
+        // NOT checkpointed (round-15 A/B): the guided engine reads its
+        // input four times across the two calls, but each read is a
+        // 2-column pushed parquet scan + broadcast probe — codegen'd
+        // columnar, ~0.3 s at sf0.1 — while a shared DISK_ONLY checkpoint
+        // replaces them with java-serialized block reads plus an up-front
+        // corpus write. Measured (DriveBenchSubset, warm, sf0.1):
+        // 2.7 s direct vs 3.8 s checkpointed. The cost here is the GK
+        // insert loop, not scan re-derivation; mad_buffer checkpoints
+        // because ITS passes re-buffer whole value sets, not for the scan.
+        val pv = pixels
         val med = guidedPercentile(pv, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as("__g_med"))
         val dev = joinOnZone(pv, med, zone)
