@@ -375,10 +375,10 @@ object QueriesExt {
     val base = docs(s, d)
     val withSh = base.repartition(LlmOps.spreadWidth(base))
       .withColumn("norm", LlmOps.normText(col("text")))
-      .withColumn("sh", expr(
-        """array_distinct(CASE WHEN length(norm) >= 3
-           THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
-           ELSE array() END)"""))
+      // native O(len) shingling: the lambda substring form is O(len²)
+      // per doc (see functions.CharNgrams)
+      .withColumn("sh", array_distinct(
+        graft.functions.native.char_ngrams(col("norm"), 3)))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"),
         floor(col("n_chars") / 4).as("band"))
     val a = withSh.select(col("doc_id").as("doc_a"), col("lang"),
@@ -1880,21 +1880,36 @@ object QueriesExt {
       // counts over the whole corpus, per-doc mean log-probability
       // (self-perplexity proxy — low scores = out-of-distribution docs)
       (s, d) => {
-        // one scan: the trigram explode is materialized once and feeds both
-        // the count build and the re-join. No broadcast hint on counts — the
-        // distinct-trigram vocabulary is unbounded at corpus scale, so the
-        // join strategy is AQE's call (it will still broadcast while small)
-        val tri = docs(s, d)
+        // trigram stream derived TWICE, materialized NEVER (round-15
+        // decade-4 lesson): the old diskCheckpoint of the (doc_id,
+        // trigram) explode is corpus×~300-sized — java-serialized it
+        // disk-filled the host at the 50M-doc tier (10¹⁰ rows) — while
+        // the explode is a cheap per-row transform of the scanned column.
+        // Each pass recomputes it; only the trigram COUNTS persist
+        // (alphabet³-bounded grain — normText's lowercase output — tens
+        // of KB at any corpus size, hence smallCheckpointLazy). The
+        // attach rides Extracts.joinOnZone, which (a) broadcasts counts
+        // EXPLICITLY — the checkpoint-backed aggregate carries estimate
+        // stats, corpus-scaled, so left to the planner this was an SMJ
+        // that shuffled the 10¹⁰-row trigram stream (measured 35+ min at
+        // the 50M-doc tier) — and (b) joins on xxhash64(g) so the build
+        // side stays a LongHashedRelation: the single-string-key generic
+        // path probes through BytesToBytesMap at ~3.4 µs/row (thread-dump
+        // + stage-metrics evidence, DriveLmProbe: the probe was 15× the
+        // whole counts-build pass), the same generic-key cliff joinOnZone
+        // was built to avoid. The smallCheckpointLazy registration is the
+        // audited declaration that counts is key-bounded broadcast-safe.
+        def tri = docs(s, d)
           .repartition(LlmOps.spreadWidth(docs(s, d))) // single-partition source, ~300x explode
           .withColumn("norm", LlmOps.normText(col("text")))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN length(norm) >= 3
-               THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
-               ELSE array() END""")).as("g"))
-          .diskCheckpoint()
+          // native O(len) trigrams — the lambda substring form is O(len²)
+          // per doc and burned 17+ min/pass at the 50M-doc tier
+          .select(col("doc_id"), explode(
+            graft.functions.native.char_ngrams(col("norm"), 3)).as("g"))
         val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .smallCheckpointLazy()
         val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
-        tri.join(counts, Seq("g"))
+        graft.ops.Extracts.joinOnZone(tri, counts, "g")
           .crossJoin(broadcast(total))
           .groupBy(col("doc_id"))
           .agg(round(avg(log(col("cnt") / col("tot"))), 6).as("lm_score"))
@@ -1929,17 +1944,31 @@ object QueriesExt {
     "vocab_top" -> Q(
       // document-frequency vocabulary build (tokenizer prep): token →
       // (docs containing it, total occurrences), top 50 by df. Scale
-      // shape: explode → (token, doc) pre-aggregate (map-side combinable,
-      // one shuffle) → token rollup (second shuffle, vocabulary-sized) →
-      // global top-k via TakeOrdered — never a full sort of the vocab.
+      // shape (round-15 rework): BOTH aggregates run at VOCABULARY grain —
+      // tf from a plain token count, df by exploding the per-row
+      // array_distinct (first-occurrence identity is closed-form inside
+      // one row, no cross-row state). The previous (token, doc_id)
+      // pre-aggregate materialized ~|corpus| groups — measured at the
+      // 50M-doc decade-4 tier as a sort-fallback in the partial agg and
+      // exponent 1.18; two cheap corpus scans with O(|vocab|) state beat
+      // one scan with O(|corpus|) state at every decade. Global top-k
+      // stays TakeOrdered — never a full sort of the vocab. Both explodes
+      // are INLINE complex generators so InferFiltersFromGenerate skips
+      // them (the round-5 scan-pushdown trap).
       (s, d) => {
-        val tok = tokens(s, d)
-        tok.groupBy(col("token"), col("doc_id"))
-          .agg(count(lit(1)).as("tfd"))
-          .groupBy(col("token"))
-          .agg(count(lit(1)).as("df"), sum(col("tfd")).as("tf"))
+        val base = docs(s, d)
+        val spread = base.repartition(LlmOps.spreadWidth(base))
+        val tf = spread
+          .select(explode(split(LlmOps.normText(col("text")), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        val df = spread
+          .select(explode(array_distinct(
+            split(LlmOps.normText(col("text")), " "))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        df.join(tf, Seq("token"))
           .orderBy(col("df").desc, col("tf").desc, col("token").asc)
           .limit(50)
+          .select(col("token"), col("df"), col("tf"))
       },
       Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
         tok AS (SELECT doc_id, token FROM n, unnest(w) AS u(token)),
@@ -2438,10 +2467,9 @@ object QueriesExt {
       (s, d) => docs(s, d)
         .repartition(LlmOps.spreadWidth(docs(s, d)))
         .withColumn("norm", LlmOps.normText(col("text")))
-        .withColumn("tris", expr(
-          """CASE WHEN length(norm) >= 3
-             THEN transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))
-             ELSE array() END"""))
+        // native O(len) trigrams (see functions.CharNgrams)
+        .withColumn("tris",
+          graft.functions.native.char_ngrams(col("norm"), 3))
         .select(col("doc_id"),
           size(col("tris")).as("n_tri"),
           when(size(col("tris")) > 0,
@@ -5488,8 +5516,11 @@ object QueriesExt {
           base.filter(col("doc_id") % 7 === 0)
             .select((-col("doc_id") - 1L).as("doc_id"),
               expr("substring(norm, 11, 120)").as("norm")))
-        val shE =
-          "array_distinct(transform(sequence(1, length(norm)-7), i -> substring(norm, i, 8)))"
+        // native O(len) 8-gram shingles (norm is capped at 512 chars, so
+        // the lambda form was only O(512²)-bounded, but the native walk
+        // is strictly cheaper and keeps the shingling idiom uniform)
+        val shE = array_distinct(
+          graft.functions.native.char_ngrams(col("norm"), 8))
         val fil = corpus.filter(length(col("norm")) >= 8)
         // build each doc's shingle array ONCE and checkpoint the
         // (doc_id, s) frame — DISK_ONLY (Ckpt): corpus-sized blocks in
@@ -5516,7 +5547,7 @@ object QueriesExt {
         // the array payload is therefore explicitly hinted `merge`
         // below: the no-broadcast decision is encoded in the plan, not
         // left to an estimate that degrades with corpus size.
-        val shArr = fil.withColumn("s", expr(shE))
+        val shArr = fil.withColumn("s", shE)
           .select(col("doc_id"), col("s"))
           .diskCheckpoint()
         val idx = shArr.select(col("doc_id").as("doc_b"),

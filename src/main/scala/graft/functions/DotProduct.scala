@@ -91,6 +91,12 @@ object native {
     Bridge.column(MinRollingHash(Bridge.expression(s),
       org.apache.spark.sql.catalyst.expressions.Literal(window)))
 
+  /** O(len) character n-gram array (see [[CharNgrams]]): replaces the
+    * O(len²) `transform(sequence(...), i -> substring(s, i, n))` lambda. */
+  def char_ngrams(s: Column, n: Int): Column =
+    Bridge.column(CharNgrams(Bridge.expression(s),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
   def walsh_sign_bits(v: Column, nBits: Int): Column =
     Bridge.column(WalshSignBits(Bridge.expression(v),
       org.apache.spark.sql.catalyst.expressions.Literal(nBits)))
@@ -113,6 +119,8 @@ object native {
     Bridge.registerFunction(spark, "graft_dot", args => DotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "min_rolling_hash",
       args => MinRollingHash(args(0), args(1)))
+    Bridge.registerFunction(spark, "char_ngrams",
+      args => CharNgrams(args(0), args(1)))
     Bridge.registerFunction(spark, "walsh_sign_bits",
       args => WalshSignBits(args(0), args(1)))
     Bridge.registerFunction(spark, "nearest_centroid",
