@@ -46,15 +46,33 @@ object Verify {
           failures(name) = msg
           val d = Paths.get(s"$outDir/$name")
           // replace any partial parquet output with the bare marker so
-          // the dir can never read as a valid (truncated) result
+          // the dir can never read as a valid (truncated) result. The
+          // children are LISTED before any delete (deleting under an
+          // open directory stream is unspecified) and the stream is
+          // closed eagerly (Files.list holds an fd until closed — one
+          // leak per wiped dir otherwise, round-15 advisor). The whole
+          // cleanup sits in its own try: a cleanup failure must not
+          // abort the remaining queries nor skip the _FAILURES rollup.
           def wipe(p: java.nio.file.Path): Unit = {
-            if (Files.isDirectory(p))
-              Files.list(p).forEach(c => wipe(c))
+            if (Files.isDirectory(p)) {
+              val s = Files.list(p)
+              val kids = try {
+                val b = List.newBuilder[java.nio.file.Path]
+                s.forEach(c => b += c)
+                b.result()
+              } finally s.close()
+              kids.foreach(wipe)
+            }
             Files.deleteIfExists(p)
           }
-          wipe(d)
-          Files.createDirectories(d)
-          Files.writeString(d.resolve("_ERROR"), s"$name\n$msg\n")
+          try {
+            wipe(d)
+            Files.createDirectories(d)
+            Files.writeString(d.resolve("_ERROR"), s"$name\n$msg\n")
+          } catch { case e2: Throwable =>
+            System.err.println(
+              s"[verify] $name: _ERROR marker cleanup failed: ${e2.getMessage}")
+          }
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

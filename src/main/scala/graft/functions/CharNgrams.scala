@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,8 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * evidence, round 15) vs seconds after. This walks the byte array ONCE,
   * records each character's byte offset, then slices `n`-char windows by
   * offset — exact UTF-8 character semantics, identical output to the
-  * lambda form (including `array()` when the string is shorter than `n`,
-  * matching the sites' `CASE WHEN length >= n` guard).
+  * lambda form INCLUDING null handling: the CASE's `length(s) >= n`
+  * condition is NULL for a NULL string, which falls to the ELSE arm, so
+  * a NULL input yields `array()` — NOT null (round-15 advisor: a
+  * null-preserving version silently changed `size(...)` consumers from
+  * 0 to -1/null on NULL-text docs and diverged from the DuckDB oracles'
+  * `greatest(length-2,0)` shape). Hence the expression is never-null and
+  * overrides `eval`/`doGenCode` directly instead of the null-safe
+  * wrappers.
   */
 case class CharNgrams(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,17 +51,29 @@ case class CharNgrams(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = false
 
   @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
 
-  override protected def nullSafeEval(s: Any, w: Any): Any =
-    CharNgrams.ngrams(s.asInstanceOf[UTF8String], n)
+  override def eval(input: InternalRow): Any = {
+    val s = left.eval(input)
+    if (s == null) CharNgrams.empty
+    else CharNgrams.ngrams(s.asInstanceOf[UTF8String], n)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val nLit = n
-    nullSafeCodeGen(ctx, ev, (str, _) =>
-      s"${ev.value} = graft.functions.CharNgrams.ngrams($str, $nLit);")
+    val leftGen = left.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    val resultCode =
+      code"""
+         |${leftGen.code}
+         |$javaType ${ev.value} = ${leftGen.isNull}
+         |  ? graft.functions.CharNgrams.empty()
+         |  : graft.functions.CharNgrams.ngrams(${leftGen.value}, $nLit);
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
@@ -63,6 +83,10 @@ case class CharNgrams(left: Expression, right: Expression)
 
 object CharNgrams {
   private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** The NULL-input result (see the class doc); also referenced from
+    * generated code. */
+  def empty: ArrayData = Empty
 
   /** Shared by interpreted eval and generated code. One byte pass for the
     * character offsets, one O(1) slice per window. */

@@ -487,13 +487,28 @@ final class StateTable(spark: SparkSession, dir: String, keys: Seq[String],
   def versions: Seq[Long] =
     versionDirs.map(f => versionOf(f.getName)).distinct.sorted
 
+  /** Test-only seam: runs after vacuum's single pointer read, before any
+    * delete — lets a spec interleave a lease-stealing writer's commit
+    * deterministically (see StateTableSpec's vacuum-race case). */
+  protected[graft] var onVacuumAfterPointerRead: () => Unit = () => ()
+
   /** Drop all but the newest `keep` versions — plus unreferenced
     * same-number TWINS of the current version (the garbage a losing
     * writer's per-writer-unique dir becomes when its pointer swap
-    * aborted; twins at older numbers age out with their number). */
+    * aborted; twins at older numbers age out with their number).
+    *
+    * The pointer is read ONCE and both the version number and the twin
+    * discriminator derive from that single read (round-15 advisor: the
+    * previous `currentVersion` + `currentDirName.get` pair re-read the
+    * pointer — a lease-stealer's commit landing between the two reads
+    * made `cur` the OLD number and `curName` the NEW name, so the real
+    * current-version dir looked like an unreferenced twin and was
+    * deleted). With one read, a concurrently-advanced pointer is simply
+    * a version `> cur` that vacuum never touches. */
   def vacuum(keep: Int = 2): Unit = withWriterLease {
-    val cur = currentVersion.getOrElse(return)
-    val curName = currentDirName.get
+    val curName = currentDirName.getOrElse(return)
+    val cur = versionOf(curName)
+    onVacuumAfterPointerRead()
     val keepNums = versions.filter(_ <= cur).takeRight(keep).toSet
     versionDirs.foreach { f =>
       val n = versionOf(f.getName)

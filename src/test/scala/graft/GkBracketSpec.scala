@@ -100,7 +100,10 @@ class GkBracketSpec extends AnyFunSuite {
     // fan-in, per-partition sketches, serialize round-trips, fold merge.
     val ns = Seq(2500, 3704, 5000, 12000, 35000, 100000, 200000)
     val accuracies = Seq(100, 1000, 10000)
-    val fanIns = Seq(1, 2, 8, 32)
+    // 1 and 32 bound the fan-in behavior (no merge at all vs. deepest
+    // fold + most serde edges); the interior points added tens of
+    // seconds of CI for no extra coverage (round-15 advisor)
+    val fanIns = Seq(1, 32)
     val ps = Seq(0.05, 0.5, 0.95, 0.99)
     def dists(n: Int, seed: Int): Seq[(String, Array[Double])] = {
       val rng = new scala.util.Random(seed)

@@ -462,4 +462,34 @@ class StateTableSpec extends AnyFunSuite {
     // the real current version is untouched
     assert(t.read().get.as[(Long, Int)].collect().toMap == Map(1L -> 1))
   }
+
+  test("vacuum race: a lease-stealer's commit landing after the pointer " +
+      "read deletes nothing current (round-15 advisor double-read fix)") {
+    // The pre-fix shape: vacuum read the pointer TWICE (number, then
+    // name). A stealer's commit between the reads made `cur` the old
+    // number and `curName` the new name, so the REAL current-version dir
+    // matched the same-number-twin rule and was deleted. The hook fires
+    // at exactly the historical window — after vacuum's (now single)
+    // pointer read, before any delete — and a zero-lease stealer commits
+    // there. The stolen writer's version and data must survive.
+    val dir = Files.createTempDirectory("graft_vrace").toString
+    val t = new StateTable(spark, dir, Seq("id"))
+    t.commit(Seq((1L, 0)).toDF("id", "status")) // v0
+    t.commit(Seq((1L, 1)).toDF("id", "status")) // v1 (current at read time)
+    t.onVacuumAfterPointerRead = () => {
+      // leaseMs = -1 makes ANY held lease stale to the stealer —
+      // deterministic steal, no sleep in the test
+      val stealer = new StateTable(spark, dir, Seq("id"), leaseMs = -1L)
+      stealer.commit(Seq((1L, 2)).toDF("id", "status")) // v2, steals _LOCK
+    }
+    t.vacuum(keep = 1)
+    val back = new StateTable(spark, dir, Seq("id"))
+    assert(back.read().get.as[(Long, Int)].collect().toMap == Map(1L -> 2),
+      "the lease-stealer's committed version was damaged by vacuum")
+    // retention math stays relative to the version vacuum READ: v1 kept
+    // (keep=1 of versions <= cur), v0 reaped, v2 untouched
+    val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(!names.exists(_.startsWith("v0_")), "v0 should be vacuumed")
+    assert(names.exists(_.startsWith("v2_")), "stolen-commit v2 must survive")
+  }
 }
