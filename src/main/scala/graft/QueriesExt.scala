@@ -336,23 +336,6 @@ object QueriesExt {
         .diskCheckpointLazy() // one block read per memo hit (see dupClusters)
     }
 
-  /** Embedding near-dup candidate pairs (vec_a, vec_b, cos_r) — the
-    * shared BUILDER behind the pair listing (dedup_embed_cosine) and the
-    * bounded-output cluster resolution (dedup_embed_clusters); each
-    * caller constructs its own pipeline (see the NOT-memoized note
-    * below). Random-hyperplane
-    * (sign) LSH banding: each vector gets 6 deterministic sign bits
-    * against Walsh/Hadamard hyperplanes (plane j flips sign with index
-    * bit j — mutually orthogonal, engine-portable integer construction),
-    * grouped into 3 bands × 2 bits; candidates are pairs sharing
-    * (label, band, cell) — a bucketed equi-join whose bucket sizes bound
-    * the pair space — then the exact rounded cosine >= 0.3 gate.
-    * Standard LSH candidate generation: recall < 1 by design (same trade
-    * as MinHash banding, X2); the DuckDB oracle mirrors the identical
-    * construction ([[embedPairCtes]]). NOT memoized (unlike [[dupPairs]]):
-    * each consumer pays its own pipeline, so bench rows stay
-    * order-independent and the candidate join stays visible in every
-    * consumer's plan (PlanSpec pins its (label, band, cell) key). */
   /** Character-trigram Jaccard pair pipeline — the shared BUILDER behind
     * the pair listing (dedup_ngram_jaccard) and its bounded top-k
     * companion (dedup_ngram_jaccard_topk). Scale-safe EXACT blocking: the
@@ -412,6 +395,23 @@ object QueriesExt {
         FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
           AND abs(a.n_chars - b.n_chars) <= 3)"""
 
+  /** Embedding near-dup candidate pairs (vec_a, vec_b, cos_r) — the
+    * shared BUILDER behind the pair listing (dedup_embed_cosine) and the
+    * bounded-output cluster resolution (dedup_embed_clusters); each
+    * caller constructs its own pipeline (see the NOT-memoized note
+    * below). Random-hyperplane
+    * (sign) LSH banding: each vector gets 6 deterministic sign bits
+    * against Walsh/Hadamard hyperplanes (plane j flips sign with index
+    * bit j — mutually orthogonal, engine-portable integer construction),
+    * grouped into 3 bands × 2 bits; candidates are pairs sharing
+    * (label, band, cell) — a bucketed equi-join whose bucket sizes bound
+    * the pair space — then the exact rounded cosine >= 0.3 gate.
+    * Standard LSH candidate generation: recall < 1 by design (same trade
+    * as MinHash banding, X2); the DuckDB oracle mirrors the identical
+    * construction ([[embedPairCtes]]). NOT memoized (unlike [[dupPairs]]):
+    * each consumer pays its own pipeline, so bench rows stay
+    * order-independent and the candidate join stays visible in every
+    * consumer's plan (PlanSpec pins its (label, band, cell) key). */
   private def embedDupPairs(s: SparkSession, d: String): DataFrame =
     embedDupPairsFrom(emb(s, d))
 
@@ -1880,39 +1880,53 @@ object QueriesExt {
       // counts over the whole corpus, per-doc mean log-probability
       // (self-perplexity proxy — low scores = out-of-distribution docs)
       (s, d) => {
-        // trigram stream derived TWICE, materialized NEVER (round-15
-        // decade-4 lesson): the old diskCheckpoint of the (doc_id,
-        // trigram) explode is corpus×~300-sized — java-serialized it
-        // disk-filled the host at the 50M-doc tier (10¹⁰ rows) — while
-        // the explode is a cheap per-row transform of the scanned column.
-        // Each pass recomputes it; only the trigram COUNTS persist
-        // (alphabet³-bounded grain — normText's lowercase output — tens
-        // of KB at any corpus size, hence smallCheckpointLazy). The
-        // attach rides Extracts.joinOnZone, which (a) broadcasts counts
-        // EXPLICITLY — the checkpoint-backed aggregate carries estimate
-        // stats, corpus-scaled, so left to the planner this was an SMJ
-        // that shuffled the 10¹⁰-row trigram stream (measured 35+ min at
-        // the 50M-doc tier) — and (b) joins on xxhash64(g) so the build
-        // side stays a LongHashedRelation: the single-string-key generic
-        // path probes through BytesToBytesMap at ~3.4 µs/row (thread-dump
-        // + stage-metrics evidence, DriveLmProbe: the probe was 15× the
-        // whole counts-build pass), the same generic-key cliff joinOnZone
-        // was built to avoid. The smallCheckpointLazy registration is the
-        // audited declaration that counts is key-bounded broadcast-safe.
-        def tri = docs(s, d)
+        // Two corpus passes, NOTHING corpus-sized ever materialized or
+        // shuffled (round-15/16 decade-4 lessons): pass 1 explodes native
+        // O(len) trigrams into an alphabet³-bounded count aggregate
+        // (normText's lowercase grain — tens of KB at ANY corpus size;
+        // that bound is what makes the driver-side collect here the same
+        // class as broadcasting it, NOT a collect/driver-loop
+        // anti-pattern). Pass 2 scores each document in ONE native
+        // expression walk (functions.LmTrigramScore): per-window map
+        // probe at tens of ns, sum in document order, round(avg, 6)
+        // inline. This replaces the former explode → broadcast-hash
+        // joinOnZone probe (~3.4-4 µs per trigram ROW, 15× the
+        // counts-build pass; ~190 s at the decade-3 tier, DriveLmProbe)
+        // → corpus-grain groupBy(doc_id) chain: no second explode, no
+        // probe leg, no doc-grain shuffle. A doc with no scored trigrams
+        // (NULL/short text) yields NULL and is filtered — the joined+
+        // grouped form omitted those doc_ids (inner join), so the
+        // result set is identical; summation order matches the exploded
+        // stream's partial-agg order, so values are bit-identical.
+        val cRows = docs(s, d)
           .repartition(LlmOps.spreadWidth(docs(s, d))) // single-partition source, ~300x explode
           .withColumn("norm", LlmOps.normText(col("text")))
           // native O(len) trigrams — the lambda substring form is O(len²)
           // per doc and burned 17+ min/pass at the 50M-doc tier
-          .select(col("doc_id"), explode(
+          .select(explode(
             graft.functions.native.char_ngrams(col("norm"), 3)).as("g"))
-        val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-          .smallCheckpointLazy()
-        val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
-        graft.ops.Extracts.joinOnZone(tri, counts, "g")
-          .crossJoin(broadcast(total))
-          .groupBy(col("doc_id"))
-          .agg(round(avg(log(col("cnt") / col("tot"))), 6).as("lm_score"))
+          .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .collect()
+        val tot = { var t = 0L; cRows.foreach(t += _.getLong(1)); t.toDouble }
+        val grams = cRows.map(_.getString(0))
+        val logps = cRows.map(r => math.log(r.getLong(1) / tot))
+        // explode(array(score)) is a deliberate pushdown barrier, not
+        // decoration: written as select(score).filter(isNotNull),
+        // PushPredicateThroughNonJoin substitutes the alias and sinks
+        // `isnotnull(lm_trigram_score(...))` below the Project AND the
+        // spread repartition — the probe pass runs TWICE per row, on the
+        // unspread source partitions (verified in the formatted plan).
+        // As a generator output the score attribute originates at the
+        // Generate, so the filter cannot sink, the expression evaluates
+        // ONCE, and the inferred-generator-filter trap doesn't bite: the
+        // child is an inline complex generator (the vocab_top lesson),
+        // and even inferred, isnotnull/size of a CreateArray const-folds.
+        val base = docs(s, d)
+        base.repartition(LlmOps.spreadWidth(base))
+          .select(col("doc_id"), explode(array(
+            graft.functions.native.lm_trigram_score(
+              LlmOps.normText(col("text")), grams, logps))).as("lm_score"))
+          .filter(col("lm_score").isNotNull)
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),

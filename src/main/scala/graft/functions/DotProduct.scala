@@ -104,6 +104,18 @@ object native {
   def nearest_centroid(v: Column, centroids: Column): Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), Bridge.expression(centroids)))
 
+  /** One-pass per-document corpus-LM score (see [[LmTrigramScore]]): the
+    * driver-collected, alphabet³-bounded (gram → log-prob) table rides
+    * the expression as two foldable array literals. */
+  def lm_trigram_score(s: Column, grams: Array[String],
+      logps: Array[Double]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    Bridge.column(LmTrigramScore(Bridge.expression(s),
+      Literal.create(grams.toSeq, ArrayType(StringType)),
+      Literal.create(logps.toSeq, ArrayType(DoubleType))))
+  }
+
   /** Primitive-array GK bracket sketch (see [[GkBracketAgg]]): array of
     * approximate quantiles at `fracs` with rank error ≤ count/accuracy —
     * the allocation-light `percentile_approx` replacement for the guided
@@ -125,5 +137,7 @@ object native {
       args => WalshSignBits(args(0), args(1)))
     Bridge.registerFunction(spark, "nearest_centroid",
       args => NearestCentroid(args(0), args(1)))
+    Bridge.registerFunction(spark, "lm_trigram_score",
+      args => LmTrigramScore(args(0), args(1), args(2)))
   }
 }
