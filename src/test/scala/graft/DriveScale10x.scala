@@ -92,6 +92,14 @@ object DriveScale10x {
     // timing INCLUDES query construction: several builders localCheckpoint
     // eagerly, and that materialization is part of the operator's cost
     def run(name: String, d: String): Double = {
+      // reclaim the PREVIOUS run's shuffle/spill files before timing this
+      // one: ContextCleaner frees them only when the driver-side shuffle
+      // refs are GC'd, which lags whole passes on a large heap — the
+      // round-15 decade-4 "warm slower than cold" inversion was the next
+      // pass contending with a near-full scratch disk (round 16 re-run
+      // hit ENOSPC at the same spot before this settle)
+      System.gc()
+      Thread.sleep(2000)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(s, d)
       df.select(xxhash64(df.columns.map(col): _*).as("h"))

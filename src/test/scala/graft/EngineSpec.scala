@@ -67,6 +67,65 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("batched path, oversized member: an artifact spanning >1 read split " +
+    "demotes to writeSingle — one csv file, one header, byte-golden order") {
+    // round-15 verdict #2 'done' criterion. The batched promote move is
+    // only byte-golden while a request's staged CSV is ONE part file; an
+    // artifact larger than a read split re-reads as several tasks, each
+    // writing its own headered part with unpinned inter-part order. Force
+    // that shape deterministically: tiny parquet row groups (the staged
+    // write) + tiny maxPartitionBytes (the staged re-read), a 4000-zone
+    // base so each member carries enough rows to split. The guard must
+    // detect the multi-part staging and demote to writeSingle's
+    // coalesce(1), whose bytes equal the per-request path's exactly.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hc.get("parquet.block.size"))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      hc.setInt("parquet.block.size", 4096)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val bigBase = (1 to 4000).map(i => (i, s"zone-$i")).toDF("asdf_id", "name")
+      val bigPixels = (1 to 4000).map(i =>
+        (i, (i % 17).toDouble, 1.0, "A", 1998)).toDF(
+        "asdf_id", "value", "weight", "cls", "temporal")
+      val eBatch = newEngine()
+      val ids = Seq("req-m0", "req-m1")
+      ids.foreach(i => eBatch.submit(request.copy(id = i)))
+      assert(eBatch.tick(bigBase, bigPixels, locations) == ids.map(_ -> 1).toMap)
+      // non-vacuity: under these confs this artifact really is >1 split
+      val splits = spark.read.parquet(
+        eBatch.workRoot + "/out/req-m0/results").rdd.getNumPartitions
+      assert(splits > 1, s"fixture too small to force a split (got $splits)")
+      val eSingle = newEngine()
+      eSingle.submit(request.copy(id = "req-ms"))
+      assert(eSingle.tick(bigBase, bigPixels, locations) == Map("req-ms" -> 1))
+      def csvOneFile(e: Engine, id: String): String = {
+        val dir = new java.io.File(e.workRoot + s"/out/$id/results_csv")
+        val f = dir.listFiles().filter(_.getName.endsWith(".csv"))
+        assert(f.length == 1, s"expected ONE csv file in $dir, got ${f.length}")
+        new String(java.nio.file.Files.readAllBytes(f.head.toPath))
+      }
+      val golden = csvOneFile(eSingle, "req-ms")
+      val header = golden.linesIterator.next()
+      assert(golden.linesIterator.count(_ == header) == 1,
+        "golden csv must carry exactly one header line")
+      ids.foreach { id =>
+        val got = csvOneFile(eBatch, id)
+        assert(got == golden, s"$id demoted CSV bytes differ from the " +
+          "per-request path (order or header breakage)")
+      }
+    } finally {
+      prevBlock match {
+        case Some(v) => hc.set("parquet.block.size", v)
+        case None => hc.unset("parquet.block.size")
+      }
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
   test("completed requests are not reprocessed on the next tick") {
     val e = newEngine()
     e.submit(request)
