@@ -1459,6 +1459,76 @@ object QueriesExt {
           coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY idx), '')
             AS kept_text
         FROM k GROUP BY doc_id ORDER BY doc_id""")),
+    "dedup_spans" -> Q(
+      // X15d ExactSubstr-style duplicated-SPAN extraction (the output
+      // shape of suffix-array substring dedup — "Deduplicating Training
+      // Data Makes Language Models Better", Lee et al. 2022;
+      // Spark-shaped): [[repeated_ngrams]] (X15c) reports the
+      // duplication *fraction* per doc; this op emits the actual maximal
+      // word spans a cutting pass would remove. A 5-word sliding gram is
+      // duplicated when it occurs ≥ 2 times corpus-wide (total
+      // occurrences, so within-doc repeats count — ExactSubstr's
+      // "appears more than once in the corpus"); runs of consecutive
+      // duplicated gram positions merge into maximal spans via
+      // gaps-and-islands (pos − row_number per doc), re-textualized from
+      // the doc's own word array. Scale shape: one (doc, pos, gram)
+      // explode (linear in corpus tokens), one gram-frequency aggregate
+      // (vocabulary-grain, map-side combinable — NOT (gram, doc) grain,
+      // the vocab_top decade-4 lesson), one join back of only the
+      // duplicated positions, one per-doc window (state bounded by doc
+      // length) and one doc-grain join for the span text — nothing
+      // corpus-squared, output bounded by input positions.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
+        val w = base.repartition(LlmOps.spreadWidth(base))
+          .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("__w"))
+        val g = w.filter(size(col("__w")) >= 5)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, size(__w) - 5),
+                 i -> array_join(slice(__w, i + 1, 5), ' '))""")))
+          .toDF("doc_id", "pos", "gram")
+        val dupGrams = g.groupBy(col("gram"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= 2)
+        val dup = g.join(dupGrams, Seq("gram")).select(col("doc_id"), col("pos"))
+        val spans = dup
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .groupBy(col("doc_id"), (col("pos") - col("rn")).as("__isl"))
+          .agg(min(col("pos")).as("start_word"),
+            (max(col("pos")) - min(col("pos")) + lit(5)).as("len_words"))
+        spans.join(w, Seq("doc_id"))
+          .withColumn("span_idx", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("start_word"))).cast("int"))
+          .select(col("doc_id"), col("span_idx"),
+            col("start_word").cast("int").as("start_word"),
+            col("len_words").cast("int").as("len_words"),
+            expr("array_join(slice(__w, start_word + 1, len_words), ' ')")
+              .as("span_text"))
+          .orderBy("doc_id", "span_idx")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              array_to_string(w[i+1:i+5], ' ') AS gram
+            FROM n, unnest(range(greatest(len(w) - 4, 0))) AS u(i)),
+          occ AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          dup AS (SELECT doc_id, pos FROM g JOIN occ USING (gram)),
+          isl AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM dup),
+          sp AS (SELECT doc_id, min(pos) AS start_word,
+              max(pos) - min(pos) + 5 AS len_words
+            FROM isl GROUP BY doc_id, grp)
+        SELECT sp.doc_id,
+          CAST(row_number() OVER (PARTITION BY sp.doc_id ORDER BY start_word) AS INT)
+            AS span_idx,
+          CAST(start_word AS INT) AS start_word,
+          CAST(len_words AS INT) AS len_words,
+          array_to_string(w[start_word + 1 : start_word + len_words], ' ')
+            AS span_text
+        FROM sp JOIN n ON sp.doc_id = n.doc_id
+        ORDER BY doc_id, span_idx""")),
     "repeated_ngrams" -> Q(
       // Sliding-window repeated-substring signal (X15c, the Spark-shaped
       // stand-in for suffix-array substring dedup): fraction of a doc's
@@ -1955,6 +2025,101 @@ object QueriesExt {
               ([27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1])[j+1])) AS BIGINT)
           )) AS BIGINT) AS fp
         FROM t ORDER BY doc_id""")),
+    "dsir_weights" -> Q(
+      // Data Selection via Importance Resampling weights ("Data
+      // Selection for Language Models via Importance Resampling", Xie
+      // et al. 2023): score every document by how much its
+      // hashed-bigram distribution looks like a TARGET exemplar set
+      // (here lang = 'en') vs the raw corpus — the standard
+      // train-data-curation importance weight log p_target(x)/p_raw(x)
+      // under two hashed-feature unigram-of-bigrams models. Features:
+      // word bigrams hashed to 4096 buckets via the engine-portable md5
+      // 3-hex-digit primitive ([[hexv]]); add-1 smoothing over the
+      // bucket space. Arithmetic is integer MICRO-log throughout
+      // (floor(x·1e6 + 0.5), the r9 overflow-sweep house rule): per-doc
+      // sums are order-independent Long adds, so Spark and DuckDB agree
+      // bit-for-bit regardless of partial-agg order.
+      //
+      // Scale shape (the [[text_quality_lm]] pattern): pass 1 explodes
+      // bigram buckets into a 4096-group aggregate (map-side combinable,
+      // state bounded by the bucket space at ANY corpus size) and
+      // collects it — bounded, the broadcast-equivalent class, not a
+      // driver-loop anti-pattern. Pass 2 scores each doc in one
+      // expression walk: bucket per gram, then element_at into a
+      // 4096-long weight ARRAY literal (O(1) positional index — an
+      // ArrayBasedMapData literal would linear-scan per probe) riding
+      // the task binary. No join, no probe leg (the r15 ~4 µs/row BHJ
+      // lesson), no doc-grain shuffle; per-doc state is one Long.
+      (s, d) => {
+        val toBuckets =
+          """transform(transform(
+               CASE WHEN size(__w) >= 2
+                 THEN transform(sequence(0, size(__w) - 2),
+                   i -> concat(element_at(__w, i + 1), ' ', element_at(__w, i + 2)))
+                 ELSE array() END,
+               g -> substring(md5(g), 1, 3)),
+               h -> (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+                  + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substring(h, 3, 1)) - 1))"""
+        val base = docs(s, d)
+        val withB = base.repartition(LlmOps.spreadWidth(base))
+          .select(col("doc_id"), col("lang"),
+            split(LlmOps.normText(col("text")), " ").as("__w"))
+          .withColumn("__b", expr(toBuckets))
+        val cRows = withB
+          .select(col("lang"), explode(col("__b")).as("bkt"))
+          .groupBy(col("bkt")).agg(
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"),
+            count(lit(1)).as("r"))
+          .collect()
+        var tTot = 0L; var rTot = 0L
+        cRows.foreach { r => tTot += r.getLong(1); rTot += r.getLong(2) }
+        val micro = new Array[Long](4096)
+        val defW = math.floor((math.log(1.0 / (tTot + 4096.0)) -
+          math.log(1.0 / (rTot + 4096.0))) * 1e6 + 0.5).toLong
+        java.util.Arrays.fill(micro, defW) // never-seen buckets (unprobed
+        // by construction — every doc gram's bucket has a count row — but
+        // filled deterministically)
+        cRows.foreach { row =>
+          val b = row.getInt(0)
+          micro(b) = math.floor((math.log((row.getLong(1) + 1.0) / (tTot + 4096.0)) -
+            math.log((row.getLong(2) + 1.0) / (rTot + 4096.0))) * 1e6 + 0.5).toLong
+        }
+        val wArr = typedLit(micro.toSeq)
+        withB.select(col("doc_id"),
+            size(col("__b")).cast("bigint").as("n_grams"),
+            aggregate(col("__b"), lit(0L),
+              (acc, b) => acc + element_at(wArr, b + 1)).as("__micro"))
+          .select(col("doc_id"), col("n_grams"),
+            round(col("__micro") / lit(1e6), 6).as("dsir_sum"),
+            when(col("n_grams") === 0, lit(null).cast("double"))
+              .otherwise(round(col("__micro") / lit(1e6) / col("n_grams"), 6))
+              .as("dsir_avg"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, lang,
+              coalesce(string_split($normSql, ' '), ['']) AS w FROM documents),
+          g AS (SELECT doc_id, lang, w[i+1] || ' ' || w[i+2] AS gram
+            FROM n, unnest(range(greatest(len(w) - 1, 0))) AS u(i)),
+          b AS (SELECT doc_id, lang,
+              (strpos('0123456789abcdef', substring(md5(gram), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(gram), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(gram), 3, 1)) - 1) AS bkt
+            FROM g),
+          c AS (SELECT bkt, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t,
+              count(*) AS r FROM b GROUP BY 1),
+          tot AS (SELECT sum(t) AS tt, sum(r) AS rr FROM c),
+          wts AS (SELECT bkt, CAST(floor((ln((t + 1) / (tt + 4096.0)) -
+              ln((r + 1) / (rr + 4096.0))) * 1000000 + 0.5) AS BIGINT) AS wm
+            FROM c CROSS JOIN tot),
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              sum(wm) AS micro FROM b JOIN wts USING (bkt) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+          round(coalesce(micro, 0) / 1000000.0, 6) AS dsir_sum,
+          CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+            ELSE round(micro / 1000000.0 / n_grams, 6) END AS dsir_avg
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""")),
     "vocab_top" -> Q(
       // document-frequency vocabulary build (tokenizer prep): token →
       // (docs containing it, total occurrences), top 50 by df. Scale

@@ -84,7 +84,7 @@ object DriveScale10x {
         "--x100bandskew", "--x100hotzone", "--x1000ev", "--x1000docs",
         "--x1000cc", "--x1000li", "--x1000sim", "--x1000mm",
         "--limedian", "--simsweep", "--simcache", "--x10000ev",
-        "--x10000docs").contains(args(1))
+        "--x10000docs", "--x10000li").contains(args(1))
     if (needsBig &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/_READY")))
       generate(s, base, big)
@@ -614,6 +614,54 @@ object DriveScale10x {
           f" 1000x=$c1000%8.2f s  exp[10x->100x]=$e2%5.2f" +
           f"  exp[100x->1000x]=$e3%5.2f" +
           f"  (warm $w10%5.2f/$w100%5.2f/$w1000%5.2f s)")
+      }
+      s.stop(); return
+    }
+    // --x10000li: FOURTH decade for the guided-extract family (round-15
+    // verdict #6) — ~6.9B pixel rows. A materialized decade-4 lineitem
+    // parquet is ~77 GB (the 1000x corpus is 7.7 GB; per-copy value
+    // perturbation defeats dictionary compression) and exceeds the
+    // host's scratch budget, so this tier READ-AMPLIFIES the decade-3
+    // corpus in-plan: an inline explode of a `copies`-element sequence
+    // per scanned row, with per-copy value perturbation on a FINER grid
+    // (+copy·1e-7) than the materialized amplifiers' 1e-4 step so no
+    // in-plan copy collides with a materialized one — distinct values
+    // keep the guided (zone, value) count state honest (the round-6
+    // holistic-amplification rule). What this measures: the guided
+    // engines' GK-bracket + windowed-count passes at 6.9B rows —
+    // everything downstream of the scan. What it under-counts: scan IO
+    // (7.7 GB read stands in for 77 GB of logical rows) — the same
+    // documented trade as the fixed-|Q| sim tiers. The explode child is
+    // an inline complex generator, so InferFiltersFromGenerate cannot
+    // push the sequence into the scan (the round-5 trap).
+    if (args.length > 1 && args(1) == "--x10000li") {
+      val li1000 = "/tmp/graft_scale1000li"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$li1000/_READY")))
+        generateLineitem(s, base, li1000, 1000)
+      def pixels4(copies: Int) = {
+        val p = Tables.pixels(s, li1000)
+        if (copies <= 1) p
+        else p
+          .withColumn("__c", explode(sequence(lit(1), lit(copies))))
+          .withColumn("value", col("value") + col("__c") * lit(1e-7))
+          .drop("__c")
+      }
+      def runOp4(method: String, copies: Int): Double = {
+        System.gc(); Thread.sleep(2000)
+        val t0 = System.nanoTime()
+        val df = graft.ops.Extracts.extract(pixels4(copies), method)
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val liOps = if (args.length > 2) args.drop(2).toSeq
+        else Seq("mean", "median", "percentile", "mad")
+      liOps.foreach { op =>
+        val c3 = runOp4(op, 1); val w3 = runOp4(op, 1)
+        val c4 = runOp4(op, 10); val w4 = runOp4(op, 10)
+        val e4 = math.log(c4 / c3) / math.log(10.0)
+        println(f"extract_$op%-12s cold 1000x=$c3%8.2f s 10000x=$c4%9.2f s" +
+          f"  exp[1000x->10000x]=$e4%5.2f  (warm $w3%7.2f/$w4%8.2f s)")
       }
       s.stop(); return
     }

@@ -317,6 +317,82 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture must contain cross-doc 5-gram repetition or the signal is vacuous")
   }
 
+  test("dedup_spans: maximal duplicated word spans equal a Scala brute force (X15d)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_spans")(spark, d)
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    val docs = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", LlmOps.normText($"text").as("n"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // total-occurrence counts (within-doc repeats count: ExactSubstr's
+    // "appears more than once in the corpus")
+    val words = docs.map { case (id, n) => id -> n.split(" ").toSeq }
+    val allGrams = words.flatMap { case (_, w) =>
+      if (w.length >= 5) w.sliding(5).map(_.mkString(" ")).toSeq else Seq.empty
+    }
+    val occ = allGrams.groupBy(identity).map { case (g, v) => g -> v.length }
+    val expect = words.flatMap { case (id, w) =>
+      val dupPos =
+        if (w.length < 5) Seq.empty[Int]
+        else (0 to w.length - 5).filter(i => occ(w.slice(i, i + 5).mkString(" ")) >= 2)
+      // merge runs of consecutive duplicated positions into maximal spans
+      val spans = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      spans.zipWithIndex.map { case ((s, e), i) =>
+        (id, i + 1, s, e - s + 5, w.slice(s, e - s + 5 + s).mkString(" "))
+      }
+    }
+    assert(out == expect && out.nonEmpty)
+    // the fixture must actually exercise span MERGING (a >5-word span =
+    // at least two overlapping duplicated grams fused) or X15d collapses
+    // into X15c's per-gram signal
+    assert(out.exists(_._4 > 5), "no merged span in fixture — vacuous")
+  }
+
+  test("dsir_weights: hashed-bigram importance weights equal a Scala brute force (X16)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dsir_weights")(spark, d)
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    val docs = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", $"lang", LlmOps.normText($"text").as("n"))
+      .as[(Long, Option[String], Option[String])].collect().toSeq.sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Int = {
+      val h = md.digest(g.getBytes("UTF-8")).take(2)
+      // first 3 hex digits = 12 bits
+      ((h(0) & 0xff) << 4) | ((h(1) & 0xff) >> 4)
+    }
+    val perDoc = docs.map { case (id, lang, n) =>
+      val w = n.getOrElse("").split(" ").toSeq
+      val bs = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).map(bucket).toSeq
+               else Seq.empty[Int]
+      (id, lang.contains("en"), bs)
+    }
+    val t = new Array[Long](4096); val r = new Array[Long](4096)
+    perDoc.foreach { case (_, en, bs) =>
+      bs.foreach { b => r(b) += 1; if (en) t(b) += 1 }
+    }
+    val tT = t.sum.toDouble + 4096.0; val rT = r.sum.toDouble + 4096.0
+    def wm(b: Int): Long =
+      math.floor((math.log((t(b) + 1.0) / tT) - math.log((r(b) + 1.0) / rT)) * 1e6 + 0.5).toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = perDoc.map { case (id, _, bs) =>
+      val micro = bs.map(wm).sum
+      (id, bs.size.toLong, r6(micro / 1e6),
+        if (bs.isEmpty) None else Some(r6(micro / 1e6 / bs.size)))
+    }
+    assert(out == expect && out.nonEmpty)
+    // the weights must discriminate: target-language docs score higher
+    // on average than the rest (that is DSIR's whole point)
+    val (en, rest) = out.zip(perDoc).partition(_._2._2)
+    val enAvg = en.flatMap(_._1._4); val restAvg = rest.flatMap(_._1._4)
+    assert(enAvg.nonEmpty && restAvg.nonEmpty)
+    assert(enAvg.sum / enAvg.size > restAvg.sum / restAvg.size,
+      "en exemplar docs must out-score the raw rest on average")
+  }
+
   test("sim_rrf: fusion equals a Scala brute-force RRF over both rankings (X46)") {
     val d = "/root/testdata/sf0.001"
     val vecs = graft.ops.Tables.embeddings(spark, d)
