@@ -1528,7 +1528,7 @@ object QueriesExt {
           array_to_string(w[start_word + 1 : start_word + len_words], ' ')
             AS span_text
         FROM sp JOIN n ON sp.doc_id = n.doc_id
-        ORDER BY doc_id, span_idx""")),
+        ORDER BY sp.doc_id, span_idx""")),
     "repeated_ngrams" -> Q(
       // Sliding-window repeated-substring signal (X15c, the Spark-shaped
       // stand-in for suffix-array substring dedup): fraction of a doc's
