@@ -2044,30 +2044,22 @@ object QueriesExt {
       // bigram buckets into a 4096-group aggregate (map-side combinable,
       // state bounded by the bucket space at ANY corpus size) and
       // collects it — bounded, the broadcast-equivalent class, not a
-      // driver-loop anti-pattern. Pass 2 scores each doc in one
-      // expression walk: bucket per gram, then element_at into a
-      // 4096-long weight ARRAY literal (O(1) positional index — an
-      // ArrayBasedMapData literal would linear-scan per probe) riding
-      // the task binary. No join, no probe leg (the r15 ~4 µs/row BHJ
-      // lesson), no doc-grain shuffle; per-doc state is one Long.
+      // driver-loop anti-pattern. Pass 2 scores each doc in ONE fused
+      // native walk ([[graft.functions.DsirScore]]) probing a 4096-long
+      // weight array literal riding the task binary. No join, no probe
+      // leg (the r15 ~4 µs/row BHJ lesson), no doc-grain shuffle;
+      // per-doc state is one Long. Both passes use the native
+      // [[graft.functions.DsirBigram]] walker — the SQL-lambda
+      // formulation (transform + md5/substring/instr per gram +
+      // aggregate probe) is CodegenFallback and interpreted `Md5` buys
+      // a MessageDigest per call: 7.5 s for the sf0.1 scoring pass vs
+      // ~1 s fused (measured r16).
       (s, d) => {
-        val toBuckets =
-          """transform(transform(
-               CASE WHEN size(__w) >= 2
-                 THEN transform(sequence(0, size(__w) - 2),
-                   i -> concat(element_at(__w, i + 1), ' ', element_at(__w, i + 2)))
-                 ELSE array() END,
-               g -> substring(md5(g), 1, 3)),
-               h -> (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
-                  + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
-                  + (instr('0123456789abcdef', substring(h, 3, 1)) - 1))"""
         val base = docs(s, d)
-        val withB = base.repartition(LlmOps.spreadWidth(base))
-          .select(col("doc_id"), col("lang"),
-            split(LlmOps.normText(col("text")), " ").as("__w"))
-          .withColumn("__b", expr(toBuckets))
-        val cRows = withB
-          .select(col("lang"), explode(col("__b")).as("bkt"))
+        val spread = base.repartition(LlmOps.spreadWidth(base))
+        val cRows = spread
+          .select(col("lang"), explode(graft.functions.native
+            .dsir_buckets(LlmOps.normText(col("text")))).as("bkt"))
           .groupBy(col("bkt")).agg(
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"),
             count(lit(1)).as("r"))
@@ -2085,15 +2077,18 @@ object QueriesExt {
           micro(b) = math.floor((math.log((row.getLong(1) + 1.0) / (tTot + 4096.0)) -
             math.log((row.getLong(2) + 1.0) / (rTot + 4096.0))) * 1e6 + 0.5).toLong
         }
-        val wArr = typedLit(micro.toSeq)
-        withB.select(col("doc_id"),
-            size(col("__b")).cast("bigint").as("n_grams"),
-            aggregate(col("__b"), lit(0L),
-              (acc, b) => acc + element_at(wArr, b + 1)).as("__micro"))
-          .select(col("doc_id"), col("n_grams"),
-            round(col("__micro") / lit(1e6), 6).as("dsir_sum"),
-            when(col("n_grams") === 0, lit(null).cast("double"))
-              .otherwise(round(col("__micro") / lit(1e6) / col("n_grams"), 6))
+        // explode(array(..)) is the deliberate generator barrier (the
+        // text_quality_lm pattern): as a plain projection, CollapseProject
+        // would substitute the walk into every consuming alias and
+        // evaluate it once per output column
+        spread.select(col("doc_id"), explode(array(graft.functions.native
+            .dsir_score(LlmOps.normText(col("text")), micro))).as("__s"))
+          .select(col("doc_id"),
+            col("__s").getItem(0).as("n_grams"),
+            round(col("__s").getItem(1) / lit(1e6), 6).as("dsir_sum"),
+            when(col("__s").getItem(0) === 0, lit(null).cast("double"))
+              .otherwise(round(col("__s").getItem(1) / lit(1e6) /
+                col("__s").getItem(0), 6))
               .as("dsir_avg"))
           .orderBy("doc_id")
       },

@@ -116,6 +116,20 @@ object native {
       Literal.create(logps.toSeq, ArrayType(DoubleType))))
   }
 
+  /** Word-bigram md5-12-bit bucket ids (see [[DsirBuckets]]): the DSIR
+    * counts-pass feed — explode into a 4096-group aggregate. */
+  def dsir_buckets(s: Column): Column =
+    Bridge.column(DsirBuckets(Bridge.expression(s)))
+
+  /** Fused DSIR scoring walk (see [[DsirScore]]): `[n_grams, micro]`
+    * per document against a foldable 4096-long weight array literal. */
+  def dsir_score(s: Column, weights: Array[Long]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    Bridge.column(DsirScore(Bridge.expression(s),
+      Literal.create(weights.toSeq, ArrayType(LongType))))
+  }
+
   /** Primitive-array GK bracket sketch (see [[GkBracketAgg]]): array of
     * approximate quantiles at `fracs` with rank error ≤ count/accuracy —
     * the allocation-light `percentile_approx` replacement for the guided
@@ -139,5 +153,8 @@ object native {
       args => NearestCentroid(args(0), args(1)))
     Bridge.registerFunction(spark, "lm_trigram_score",
       args => LmTrigramScore(args(0), args(1), args(2)))
+    Bridge.registerFunction(spark, "dsir_buckets", args => DsirBuckets(args(0)))
+    Bridge.registerFunction(spark, "dsir_score",
+      args => DsirScore(args(0), args(1)))
   }
 }

@@ -393,6 +393,47 @@ class LlmOpsSpec extends AnyFunSuite {
       "en exemplar docs must out-score the raw rest on average")
   }
 
+  test("native DsirBigram: split-semantics brute-force parity on adversarial strings; interpreted == codegen") {
+    val strs: Seq[String] = Seq(null, "", "one", "a b", "a  b", " lead",
+      "trail ", "a b c d a b", "übergröße zh 中文 字 中文 字")
+    val df = strs.map(Tuple1(_)).toDF("s")
+    val micro = Array.tabulate(4096)(i => (i * 2654435761L) % 1000 - 500)
+    def outDf = df.select(
+      graft.functions.native.dsir_buckets($"s").as("b"),
+      graft.functions.native.dsir_score($"s", micro).as("r"))
+    def brute(s: String): (Seq[Int], Long) =
+      if (s == null) (Seq.empty, 0L)
+      else {
+        // Spark split(col, " ") = Java split with limit -1 (trailing
+        // empty tokens kept) — the contract the byte walk must match
+        val w = s.split(" ", -1)
+        if (w.length < 2) (Seq.empty, 0L)
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val bs = w.sliding(2).map(_.mkString(" ")).map { g =>
+            val h = md.digest(g.getBytes("UTF-8"))
+            ((h(0) & 0xff) << 4) | ((h(1) & 0xff) >> 4)
+          }.toSeq
+          (bs, bs.map(micro(_)).sum)
+        }
+      }
+    val got = outDf.as[(Seq[Int], Seq[Long])].collect().toSeq
+    strs.zip(got).foreach { case (s, (bs, r)) =>
+      val (eb, em) = brute(s)
+      assert(bs == eb && r == Seq(eb.size.toLong, em), s"mismatch for <$s>")
+    }
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      assert(outDf.as[(Seq[Int], Seq[Long])].collect().toSeq == got,
+        "interpreted/codegen divergence")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sim_rrf: fusion equals a Scala brute-force RRF over both rankings (X46)") {
     val d = "/root/testdata/sf0.001"
     val vecs = graft.ops.Tables.embeddings(spark, d)
