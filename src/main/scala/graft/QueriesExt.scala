@@ -1483,15 +1483,25 @@ object QueriesExt {
         val base = docs(s, d)
         val w = base.repartition(LlmOps.spreadWidth(base))
           .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("__w"))
+        // positions carry the 16-byte md5 of the gram, not the gram
+        // string: the frequency aggregate and the join-back only need
+        // gram IDENTITY, and md5 equality is the house exactness bar
+        // (dedup_exact keys on sha2(norm) — collision odds at 10¹⁰
+        // grams are ~2⁻⁶⁴ birthday-adjusted). On the dense synthetic
+        // corpus where ~every position is duplicated this shrinks the
+        // two per-position shuffles ~40% (measured: the decade-4 tier
+        // ENOSPC'd the host's scratch with string keys).
         val g = w.filter(size(col("__w")) >= 5)
           .select(col("doc_id"), posexplode(expr(
             """transform(sequence(0, size(__w) - 5),
                  i -> array_join(slice(__w, i + 1, 5), ' '))""")))
           .toDF("doc_id", "pos", "gram")
-        val dupGrams = g.groupBy(col("gram"))
+          .select(col("doc_id"), col("pos"), unhex(md5(col("gram"))).as("h"))
+        val dupGrams = g.groupBy(col("h"))
           .agg(count(lit(1)).as("occ"))
           .filter(col("occ") >= 2)
-        val dup = g.join(dupGrams, Seq("gram")).select(col("doc_id"), col("pos"))
+          .select(col("h"))
+        val dup = g.join(dupGrams, Seq("h")).select(col("doc_id"), col("pos"))
         val spans = dup
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
