@@ -2095,10 +2095,17 @@ object QueriesExt {
             .dsir_score(LlmOps.normText(col("text")), micro))).as("__s"))
           .select(col("doc_id"),
             col("__s").getItem(0).as("n_grams"),
-            round(col("__s").getItem(1) / lit(1e6), 6).as("dsir_sum"),
+            // micro/1e6 is exact (integer micro-units): no round needed,
+            // and round(_, 6) must NOT be used here — Spark's round goes
+            // through BigDecimal.valueOf (shortest-decimal repr, HALF_UP)
+            // while DuckDB rounds the BINARY double, and a .5-boundary
+            // quotient diverged at the 10× gate (0.003994 vs 0.003993).
+            // floor(x·1e6 + 0.5)/1e6 is pure IEEE arithmetic — identical
+            // on any engine (the established cross-engine rule).
+            (col("__s").getItem(1) / lit(1e6)).as("dsir_sum"),
             when(col("__s").getItem(0) === 0, lit(null).cast("double"))
-              .otherwise(round(col("__s").getItem(1) / lit(1e6) /
-                col("__s").getItem(0), 6))
+              .otherwise(floor(col("__s").getItem(1) / lit(1e6) /
+                col("__s").getItem(0) * lit(1e6) + lit(0.5)) / lit(1e6))
               .as("dsir_avg"))
           .orderBy("doc_id")
       },
@@ -2120,9 +2127,10 @@ object QueriesExt {
           per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
               sum(wm) AS micro FROM b JOIN wts USING (bkt) GROUP BY doc_id)
         SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
-          round(coalesce(micro, 0) / 1000000.0, 6) AS dsir_sum,
+          coalesce(micro, 0) / 1000000.0 AS dsir_sum,
           CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
-            ELSE round(micro / 1000000.0 / n_grams, 6) END AS dsir_avg
+            ELSE floor(micro / 1000000.0 / n_grams * 1000000 + 0.5) / 1000000.0
+            END AS dsir_avg
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY doc_id""")),
     "vocab_top" -> Q(

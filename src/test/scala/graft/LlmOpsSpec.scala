@@ -377,11 +377,15 @@ class LlmOpsSpec extends AnyFunSuite {
     val tT = t.sum.toDouble + 4096.0; val rT = r.sum.toDouble + 4096.0
     def wm(b: Int): Long =
       math.floor((math.log((t(b) + 1.0) / tT) - math.log((r(b) + 1.0) / rT)) * 1e6 + 0.5).toLong
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // engine-identical arithmetic, not BigDecimal: dsir_sum is the plain
+    // long→double quotient, dsir_avg the floor(x·1e6+0.5)/1e6 IEEE form
+    // (Spark round(_,6) goes through shortest-decimal HALF_UP and
+    // diverged from DuckDB's binary rounding at the 10× gate)
     val expect = perDoc.map { case (id, _, bs) =>
       val micro = bs.map(wm).sum
-      (id, bs.size.toLong, r6(micro / 1e6),
-        if (bs.isEmpty) None else Some(r6(micro / 1e6 / bs.size)))
+      (id, bs.size.toLong, micro / 1e6,
+        if (bs.isEmpty) None
+        else Some(math.floor(micro / 1e6 / bs.size * 1e6 + 0.5) / 1e6))
     }
     assert(out == expect && out.nonEmpty)
     // the weights must discriminate: target-language docs score higher
