@@ -674,6 +674,26 @@ class PlanSpec extends AnyFunSuite {
       s"the candidate join must carry the LSH band key:\n$p")
   }
 
+  test("dsir_weights: scoring pass is one native walk behind the generator " +
+    "barrier — no join, exactly one dsir_score evaluation") {
+    val p = plan("dsir_weights")
+    assert(!p.contains("Join"),
+      s"the weight table rides the task binary — scoring must not join:\n$p")
+    val n = "dsir_score".r.findAllIn(p).size
+    assert(n == 1,
+      s"dsir_score must evaluate ONCE: without the explode(array(..)) " +
+        s"barrier CollapseProject substitutes the walk into every " +
+        s"consuming alias (n_grams, dsir_sum, dsir_avg); found $n")
+  }
+
+  test("dedup_spans: gram frequency partial-aggregates map-side; no cartesian") {
+    val p = plan("dedup_spans")
+    assert(p.contains("partial_count"),
+      s"the occurrence count must combine map-side before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the join-back must stay an equi-join on the gram identity:\n$p")
+  }
+
   test("corpus-wide plan audit: no estimate-stats broadcasts, and every " +
     "query's exchange count matches the recorded budget") {
     // LogicalRDD stats are per-row ESTIMATES; a broadcast built over one
