@@ -229,6 +229,62 @@ object QueriesExt {
       LlmOps.minhashGrouped(docs(s, d)).diskCheckpointLazy()
     }
 
+  /** Shared X15d substrate: `(w, spans)` — the normalized word arrays
+    * and the maximal duplicated word spans (algorithm + md5-bin16
+    * identity rationale at the `dedup_spans` registration). Recomputed
+    * per consumer like the X15c pipeline (the two consumers are
+    * alternative output shapes, not a fan-out worth a checkpoint).
+    *
+    * Positions carry the 16-byte md5 of the gram, not the gram string:
+    * the frequency aggregate and the join-back only need gram IDENTITY,
+    * and md5 equality is the house exactness bar (dedup_exact keys on
+    * sha2(norm) — collision odds at 10¹⁰ grams are ~2⁻⁶⁴
+    * birthday-adjusted). On the dense synthetic corpus where ~every
+    * position is duplicated this shrinks the two per-position shuffles
+    * ~40% (measured: the decade-4 tier ENOSPC'd the host's scratch
+    * with string keys). */
+  private def spanFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+    val w = base.repartition(LlmOps.spreadWidth(base))
+      .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("__w"))
+    val g = w.filter(size(col("__w")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(__w) - 5),
+             i -> array_join(slice(__w, i + 1, 5), ' '))""")))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"), unhex(md5(col("gram"))).as("h"))
+    val dupGrams = g.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+    val dup = g.join(dupGrams, Seq("h")).select(col("doc_id"), col("pos"))
+    val spans = dup
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("__isl"))
+      .agg(min(col("pos")).as("start_word"),
+        (max(col("pos")) - min(col("pos")) + lit(5)).as("len_words"))
+    (w, spans)
+  }
+
+  /** DuckDB mirror of [[spanFrames]] (string-keyed — the oracle's plan
+    * is its own business; md5 identity on the Spark side is exact
+    * modulo 2⁻¹²⁸ collisions). */
+  private val spansCtes =
+    s"""n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+          array_to_string(w[i+1:i+5], ' ') AS gram
+        FROM n, unnest(range(greatest(len(w) - 4, 0))) AS u(i)),
+      occ AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      dup AS (SELECT doc_id, pos FROM g JOIN occ USING (gram)),
+      isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup),
+      sp AS (SELECT doc_id, min(pos) AS start_word,
+          max(pos) - min(pos) + 5 AS len_words
+        FROM isl GROUP BY doc_id, grp)"""
+
   /** Signature groups `(gid, m, s0..s7)`, memoized (see [[mhGrouped]]). */
   private def mhGroups(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"derived:mh_groups:$d") {
@@ -1480,34 +1536,7 @@ object QueriesExt {
       // corpus-squared, output bounded by input positions.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val base = docs(s, d)
-        val w = base.repartition(LlmOps.spreadWidth(base))
-          .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("__w"))
-        // positions carry the 16-byte md5 of the gram, not the gram
-        // string: the frequency aggregate and the join-back only need
-        // gram IDENTITY, and md5 equality is the house exactness bar
-        // (dedup_exact keys on sha2(norm) — collision odds at 10¹⁰
-        // grams are ~2⁻⁶⁴ birthday-adjusted). On the dense synthetic
-        // corpus where ~every position is duplicated this shrinks the
-        // two per-position shuffles ~40% (measured: the decade-4 tier
-        // ENOSPC'd the host's scratch with string keys).
-        val g = w.filter(size(col("__w")) >= 5)
-          .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(0, size(__w) - 5),
-                 i -> array_join(slice(__w, i + 1, 5), ' '))""")))
-          .toDF("doc_id", "pos", "gram")
-          .select(col("doc_id"), col("pos"), unhex(md5(col("gram"))).as("h"))
-        val dupGrams = g.groupBy(col("h"))
-          .agg(count(lit(1)).as("occ"))
-          .filter(col("occ") >= 2)
-          .select(col("h"))
-        val dup = g.join(dupGrams, Seq("h")).select(col("doc_id"), col("pos"))
-        val spans = dup
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-          .groupBy(col("doc_id"), (col("pos") - col("rn")).as("__isl"))
-          .agg(min(col("pos")).as("start_word"),
-            (max(col("pos")) - min(col("pos")) + lit(5)).as("len_words"))
+        val (w, spans) = spanFrames(s, d)
         spans.join(w, Seq("doc_id"))
           .withColumn("span_idx", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("start_word"))).cast("int"))
@@ -1518,18 +1547,7 @@ object QueriesExt {
               .as("span_text"))
           .orderBy("doc_id", "span_idx")
       },
-      Some(s"""WITH n AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-          g AS (SELECT doc_id, CAST(i AS INT) AS pos,
-              array_to_string(w[i+1:i+5], ' ') AS gram
-            FROM n, unnest(range(greatest(len(w) - 4, 0))) AS u(i)),
-          occ AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-          dup AS (SELECT doc_id, pos FROM g JOIN occ USING (gram)),
-          isl AS (SELECT doc_id, pos,
-              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-            FROM dup),
-          sp AS (SELECT doc_id, min(pos) AS start_word,
-              max(pos) - min(pos) + 5 AS len_words
-            FROM isl GROUP BY doc_id, grp)
+      Some(s"""WITH $spansCtes
         SELECT sp.doc_id,
           CAST(row_number() OVER (PARTITION BY sp.doc_id ORDER BY start_word) AS INT)
             AS span_idx,
@@ -1539,6 +1557,56 @@ object QueriesExt {
             AS span_text
         FROM sp JOIN n ON sp.doc_id = n.doc_id
         ORDER BY sp.doc_id, span_idx""")),
+    "dedup_spans_cut" -> Q(
+      // X15e: the ExactSubstr ACTION — cut every duplicated span
+      // ([[spanFrames]]) and emit the surviving text, the dedup_lines
+      // kept_text shape at span grain. The cut is doc-local: the doc's
+      // own span list (bounded by doc length) gathers in one doc-grain
+      // aggregate, and a per-row array filter drops the covered word
+      // positions — no per-position shuffle beyond the substrate's.
+      (s, d) => {
+        val (w, spans) = spanFrames(s, d)
+        val agg = spans.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_spans"),
+          collect_list(struct(col("start_word").as("s"),
+            col("len_words").as("l"))).as("__sp"))
+        w.join(agg, Seq("doc_id"), "left")
+          .withColumn("__kept", expr(
+            """CASE WHEN __w IS NULL THEN array()
+               ELSE filter(sequence(0, size(__w) - 1),
+                 i -> isnull(__sp) OR NOT exists(__sp,
+                   p -> i >= p.s AND i < p.s + p.l)) END"""))
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            expr("CAST(CASE WHEN __w IS NULL THEN 0 ELSE size(__w) END AS BIGINT)")
+              .as("n_words"),
+            expr("""CAST(CASE WHEN __w IS NULL THEN 0 ELSE size(__w) END
+                    - size(__kept) AS BIGINT)""").as("n_cut_words"),
+            expr("array_join(transform(__kept, i -> element_at(__w, i + 1)), ' ')")
+              .as("kept_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $spansCtes,
+          cov AS (SELECT doc_id, start_word + j AS pos
+            FROM sp, unnest(range(len_words)) AS u(j)),
+          spc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+            FROM sp GROUP BY 1),
+          posn AS (SELECT n.doc_id, CAST(i AS INT) AS pos, w[i+1] AS word
+            FROM n, unnest(range(coalesce(len(w), 0))) AS u(i)),
+          kept AS (SELECT p.doc_id, p.pos, p.word FROM posn p
+            LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+            WHERE c.pos IS NULL),
+          ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              coalesce(string_agg(word, ' ' ORDER BY pos), '') AS kept_text
+            FROM kept GROUP BY doc_id)
+        SELECT n.doc_id,
+          coalesce(spc.n_spans, 0) AS n_spans,
+          CAST(coalesce(len(n.w), 0) AS BIGINT) AS n_words,
+          CAST(coalesce(len(n.w), 0) AS BIGINT) - coalesce(ka.n_kept, 0)
+            AS n_cut_words,
+          coalesce(ka.kept_text, '') AS kept_text
+        FROM n LEFT JOIN spc USING (doc_id) LEFT JOIN ka USING (doc_id)
+        ORDER BY n.doc_id""")),
     "repeated_ngrams" -> Q(
       // Sliding-window repeated-substring signal (X15c, the Spark-shaped
       // stand-in for suffix-array substring dedup): fraction of a doc's

@@ -397,6 +397,37 @@ class LlmOpsSpec extends AnyFunSuite {
       "en exemplar docs must out-score the raw rest on average")
   }
 
+  test("dedup_spans_cut: surviving text equals a Scala brute-force span cut (X15e)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_spans_cut")(spark, d)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val docs = graft.ops.Tables.documents(spark, d)
+      .select($"doc_id", LlmOps.normText($"text").as("n"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val words = docs.map { case (id, n) => id -> n.split(" ").toSeq }
+    val allGrams = words.flatMap { case (_, w) =>
+      if (w.length >= 5) w.sliding(5).map(_.mkString(" ")).toSeq else Seq.empty
+    }
+    val occ = allGrams.groupBy(identity).map { case (g, v) => g -> v.length }
+    val expect = words.map { case (id, w) =>
+      val dupPos =
+        if (w.length < 5) Seq.empty[Int]
+        else (0 to w.length - 5).filter(i => occ(w.slice(i, i + 5).mkString(" ")) >= 2)
+      val spans = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      val covered = spans.flatMap { case (s, e) => s until (e + 5) }.toSet
+      val kept = w.indices.filterNot(covered)
+      (id, spans.size.toLong, w.size.toLong, covered.size.toLong,
+        kept.map(w).mkString(" "))
+    }
+    assert(out == expect && out.nonEmpty)
+    assert(out.exists(_._4 > 0), "fixture must cut something — vacuous otherwise")
+    assert(out.exists(r => r._4 > 0 && r._5.nonEmpty),
+      "a doc must survive PARTIALLY cut (not only full kills) — vacuous otherwise")
+  }
+
   test("native DsirBigram: split-semantics brute-force parity on adversarial strings; interpreted == codegen") {
     val strs: Seq[String] = Seq(null, "", "one", "a b", "a  b", " lead",
       "trail ", "a b c d a b", "übergröße zh 中文 字 中文 字")

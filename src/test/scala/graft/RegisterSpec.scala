@@ -11,7 +11,7 @@ class RegisterSpec extends AnyFunSuite {
 
   /** The authoritative register size. Update this number IN THE SAME
     * COMMIT that adds or retires a query, never to silence a failure. */
-  val PinnedSize = 204 // r16: +dedup_spans, +dsir_weights
+  val PinnedSize = 205 // r16: +dedup_spans, +dedup_spans_cut, +dsir_weights
 
   test("query register size is pinned — silent shrinkage fails the build") {
     assert(SparkEntry.queries.size == PinnedSize,
