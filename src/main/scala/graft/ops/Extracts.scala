@@ -336,20 +336,27 @@ object Extracts {
       .agg(count(lit(1)).as("__g_c"),
         ps.indices.map(i => sum(when(v < col(s"__g_lo_$i"), 1L).otherwise(0L))
           .as(s"__g_b_$i")): _*)
-      // referenced twice (below-mass rollup + window cumulative); size is
-      // ~corpus/accuracy — corpus-PROPORTIONAL, so DISK_ONLY per the Ckpt
-      // policy, and lazy for the same dry-run reason as above
-      .diskCheckpointLazy()
-    val below = g.groupBy(z).agg(
-      ps.indices.map(i => sum(s"__g_b_$i").as(s"__g_below_$i")).head,
-      ps.indices.map(i => sum(s"__g_b_$i").as(s"__g_below_$i")).tail: _*)
+    // below-mass rollup as an UNORDERED window over the same zone
+    // partitioning the cumulative pass needs anyway — one exchange
+    // serves both window frames — computed BEFORE the in-window filter
+    // so the null-window group's below-counts participate. Round-15
+    // shape was a separate groupBy rollup + broadcast join back, which
+    // referenced `g` twice and paid a corpus/accuracy-sized DISK_ONLY
+    // checkpoint write+read; single-referenced, `g` needs no checkpoint
+    // at all (measured in r16: the checkpoint materialization + rollup
+    // join cost ~0.3-0.5 s per call at sf0.1). Guide §2.4 (two
+    // operations keyed the same way share one exchange) + §5 (persist
+    // only what is re-used).
+    val wAll = Window.partitionBy(z)
+    val gBelow = ps.indices.foldLeft(g) { (df, i) =>
+      df.withColumn(s"__g_below_$i", sum(col(s"__g_b_$i")).over(wAll))
+    }
     val wOrd = Window.partitionBy(z).orderBy("__g_wv")
-    // both attach sides are |zones|-row aggregates — broadcast them
-    // EXPLICITLY (inside joinOnZone) so the checkpoint-backed window
-    // frame (whose LogicalRDD stats are estimates) can never become the
-    // build side itself
-    val wnd0 = joinOnZone(joinOnZone(g.filter(col("__g_wv").isNotNull),
-      below, zone), bounds, zone)
+    // the bounds attach side is a |zones|-row aggregate — broadcast it
+    // EXPLICITLY (inside joinOnZone) so the window frame can never
+    // become the build side itself
+    val wnd0 = joinOnZone(gBelow.filter(col("__g_wv").isNotNull),
+      bounds, zone)
     val wv = col("__g_wv")
     // per-fraction conditional cumulative over ONE sort: cum_i counts
     // window-i values ≤ wv, so in-window-i rank ranges are exact
@@ -526,13 +533,18 @@ object Extracts {
       .agg(count(lit(1)).as("__t_c"),
         (1 until k).map(j => sum(when(v < col(s"__t_lo_$j"), 1L).otherwise(0L))
           .as(s"__t_b_$j")): _*)
-      .diskCheckpointLazy()
-    val below = g.groupBy(z).agg(
-      (1 until k).map(j => sum(s"__t_b_$j").as(s"__t_blo_$j")).head,
-      (1 until k).map(j => sum(s"__t_b_$j").as(s"__t_blo_$j")).tail: _*)
+    // below-mass rollup folded into an unordered window over the same
+    // zone partitioning as the cumulative pass (one exchange serves
+    // both), computed before the in-window filter — see the identical
+    // r16 rewrite in guidedPercentiles: `g` becomes single-referenced,
+    // so the former DISK_ONLY checkpoint (write+read per call) is gone.
+    val wAll = Window.partitionBy(z)
+    val gBelow = (1 until k).foldLeft(g) { (df, j) =>
+      df.withColumn(s"__t_blo_$j", sum(col(s"__t_b_$j")).over(wAll))
+    }
     val wOrd = Window.partitionBy(z).orderBy("__t_wv")
-    val wnd0 = joinOnZone(joinOnZone(g.filter(col("__t_wv").isNotNull),
-      below, zone), bounds, zone)
+    val wnd0 = joinOnZone(gBelow.filter(col("__t_wv").isNotNull),
+      bounds, zone)
     val wv = col("__t_wv")
     val wnd = (1 until k).foldLeft(wnd0) { (df, j) =>
       df.withColumn(s"__t_cum_$j",
