@@ -130,6 +130,13 @@ object native {
       Literal.create(weights.toSeq, ArrayType(LongType))))
   }
 
+  /** One-walk token-vote SimHash (see [[SimhashVotesExpr]]): packed
+    * nBits-bit signature per document, one md5 per token — replaces the
+    * token×bit explode + two aggregates. NULL in → NULL out. */
+  def simhash_votes(s: Column, nBits: Int): Column =
+    Bridge.column(SimhashVotesExpr(Bridge.expression(s),
+      org.apache.spark.sql.catalyst.expressions.Literal(nBits)))
+
   /** Primitive-array GK bracket sketch (see [[GkBracketAgg]]): array of
     * approximate quantiles at `fracs` with rank error ≤ count/accuracy —
     * the allocation-light `percentile_approx` replacement for the guided
@@ -156,5 +163,7 @@ object native {
     Bridge.registerFunction(spark, "dsir_buckets", args => DsirBuckets(args(0)))
     Bridge.registerFunction(spark, "dsir_score",
       args => DsirScore(args(0), args(1)))
+    Bridge.registerFunction(spark, "simhash_votes",
+      args => SimhashVotesExpr(args(0), args(1)))
   }
 }

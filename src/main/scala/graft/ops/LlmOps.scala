@@ -472,21 +472,20 @@ object LlmOps {
   def simhashBits(docs: DataFrame, id: String, textCol: String,
       nBits: Int): DataFrame = {
     require(nBits > 0 && nBits <= 60, s"nBits must be in (0, 60], got $nBits")
-    // same partition-spread rationale as [[minhashSignatures]]: the
-    // token × bit explode is ~1000x row amplification
-    val spread = docs.repartition(spreadWidth(docs))
-    val tokens = spread.select(col(id),
-      explode(split(normText(col(textCol)), " ")).as("w"))
-    val bits = tokens
-      .withColumn("j", explode(sequence(lit(0), lit(nBits - 1))))
-      .withColumn("hexd",
-        expr("instr('0123456789abcdef', substring(md5(w), 1 + CAST(floor(j/4) AS INT), 1)) - 1"))
-      .withColumn("contrib",
-        when(expr("(hexd >> (j % 4)) & 1") === 1, lit(1)).otherwise(lit(-1)))
-    bits.groupBy(col(id), col("j"))
-      .agg(sum(col("contrib")).as("sc"))
-      .withColumn("bit", when(col("sc") >= 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy(col(id))
-      .agg(sum(expr("bit << j")).as("simhash"))
+    // one native walk per document ([[graft.functions.SimhashVotesExpr]]):
+    // one md5 per token feeding all nBits vote counters. The round-15
+    // relational form exploded tokens × bits (~1000× row amplification,
+    // with md5(w) re-evaluated per (token, bit) row — 60 digests per
+    // token for the pairs query) through two aggregate shuffles; it
+    // measured ~8 s of executor time at sf0.1 where this walk is
+    // milliseconds, bit-identical (SimhashParitySpec pins the two forms
+    // against each other). The spread keeps the per-doc hash work off a
+    // single fat parquet partition; the null filter mirrors the old
+    // explode dropping NULL-text docs (null norm → no token rows → no
+    // group).
+    docs.repartition(spreadWidth(docs))
+      .select(col(id), graft.functions.native
+        .simhash_votes(normText(col(textCol)), nBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 }
