@@ -6061,10 +6061,13 @@ object QueriesExt {
         val m = u.crossJoin(broadcast(g))
           .withColumn("r_days", datediff(col("gmax"), col("last_day")).cast("long"))
           .select("user_id", "r_days", "n_events", "cents", "nu")
-        val ranked = bandedRank(bandedRank(bandedRank(m,
-          "r_days", "user_id", asc = true, "rr"),
-          "n_events", "user_id", asc = false, "rf"),
-          "cents", "user_id", asc = false, "rm")
+        // one shared bandedRanks pass (r16): the chained single-key form
+        // checkpointed the same user-grain frame three times and ran
+        // three edges aggregates — see Analytics.bandedRanks
+        val ranked = Analytics.bandedRanks(m, Seq(
+          ("r_days", "user_id", true, "rr"),
+          ("n_events", "user_id", false, "rf"),
+          ("cents", "user_id", false, "rm")))
         ranked
           .withColumn("r_s", (lit(5) - expr("(5*(rr-1)) div nu")).cast("int"))
           .withColumn("f_s", (lit(5) - expr("(5*(rf-1)) div nu")).cast("int"))

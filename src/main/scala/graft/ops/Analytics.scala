@@ -80,15 +80,19 @@ object Analytics {
     * the previous level's expression three times, tripling the tree per
     * step (3^12 nodes at maxBands = 4096 — measured OOM at plan time);
     * the fold keeps the expression linear and iterates at runtime. */
-  private def belowCount(edgesCol: String, keyCol: String,
-      maxBands: Int): Column = {
+  private def belowCountSql(edgesCol: String, keyCol: String,
+      maxBands: Int): String = {
     val steps = Iterator.iterate(maxBands / 2)(_ / 2).takeWhile(_ >= 1)
       .mkString(",")
-    expr(s"""aggregate(array($steps), 0, (pos, step) ->
+    s"""aggregate(array($steps), 0, (pos, step) ->
       IF(pos + step <= ${maxBands - 1}
            AND `$keyCol` > element_at(`$edgesCol`, pos + step),
-         pos + step, pos))""")
+         pos + step, pos))"""
   }
+
+  private def belowCount(edgesCol: String, keyCol: String,
+      maxBands: Int): Column =
+    expr(belowCountSql(edgesCol, keyCol, maxBands))
 
   /** In-plan effective band count: k = clamp(ceil(n/target), 1, maxBands)
     * — the ADAPTIVE piece. n comes from the same aggregate row that
@@ -130,55 +134,95 @@ object Analytics {
     *                 post-cap per-task share n/maxBands. */
   def bandedRank(df: DataFrame, key: String,
       tie: String, asc: Boolean, out: String,
+      target: Long = 1L << 16, maxBands: Int = 4096): DataFrame =
+    bandedRanks(df, Seq((key, tie, asc, out)), target, maxBands)
+
+  /** Multi-key [[bandedRank]]: k INDEPENDENT global ranks over the same
+    * frame in one shared pass structure (r16 optimization, guide §1.2
+    * "remove unnecessary passes"). The round-15 form CHAINED single-key
+    * calls — rfm_scores' triple nesting checkpointed the same
+    * population-grain frame three times, ran three separate edges
+    * aggregates, and sequenced ~24 tiny jobs. Here ONE input checkpoint
+    * serves every spec, ONE aggregate row carries every spec's edge
+    * grid (+ n), band assignment for all specs happens in one projection,
+    * and the banded frame is checkpointed once (only when specs > 1) so
+    * the per-spec offsets rollups and the window chain read materialized
+    * blocks. Output ranks are identical to the chained form: each
+    * spec's rank depends only on its own (key, tie) ordering and the
+    * equi-depth argument in the scaladoc above (band assignment is
+    * monotone in the key, ties share a band, offsets compose the exact
+    * global rank for ANY edge grid). */
+  def bandedRanks(df: DataFrame, specs: Seq[(String, String, Boolean, String)],
       target: Long = 1L << 16, maxBands: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(specs.nonEmpty, "bandedRanks needs at least one spec")
     require(target >= 1, "rows-per-band target must be positive")
     require(maxBands >= 2 && (maxBands & (maxBands - 1)) == 0,
       s"maxBands must be a power of two (binary-search descent), got $maxBands")
     // working-column clash would silently clobber + drop caller data
-    val clash = df.columns.toSet.intersect(
-      Set("band", "wi", "off", "edges", "__rr_n", "__rr_fine", "__rr_k", out))
+    val work = Set("__rr_n", "__rr_k", "__rr_wi", "__rr_bn") ++
+      specs.indices.flatMap(i =>
+        Seq(s"__rr_edges_$i", s"__rr_band_$i", s"__rr_off_$i")) ++
+      specs.map(_._4)
+    val clash = df.columns.toSet.intersect(work)
     require(clash.isEmpty,
-      s"bandedRank working columns collide with input: ${clash.mkString(", ")}")
+      s"bandedRanks working columns collide with input: ${clash.mkString(", ")}")
     val fracs = (1 until maxBands).map(i => lit(i.toDouble / maxBands))
     // LAZY DISK_ONLY checkpoint of the input: the edges aggregate, the
     // banded fact side, and the offsets rollup all read it — without the
     // sever, each consumer re-derives the caller's upstream (a user-grain
-    // rollup, or a PREVIOUS bandedRank in rfm_scores' triple nesting,
-    // where plan subtrees multiplied to 153 textual exchanges). The frame
-    // is population-grain (|users|/|docs|), so DISK_ONLY per Ckpt policy.
+    // rollup, where plan subtrees multiplied to 153 textual exchanges in
+    // the round-15 chained form). The frame is population-grain
+    // (|users|/|docs|), so DISK_ONLY per Ckpt policy.
     val base = df.diskCheckpointLazy()
     // accuracy 2·maxBands: edges only BALANCE the bands, never touch a
     // rank, but the GK rank error n/accuracy must stay under a fine-cell
     // width n/maxBands or the equi-depth grid degrades toward noise
-    val edges = base.agg(
-      count(lit(1)).as("__rr_n"),
+    val edgeAggs = specs.zipWithIndex.map { case ((key, _, _, _), i) =>
       array_sort(percentile_approx(col(key), array(fracs: _*),
-        lit(2 * maxBands))).as("edges"))
+        lit(2 * maxBands))).as(s"__rr_edges_$i")
+    }
+    val edges = base.agg(count(lit(1)).as("__rr_n"), edgeAggs: _*)
     // null keys and the all-NULL-key-column case (NULL edges array) both
     // leave the binary search at pos 0 — the degenerate first-band
     // placement (asc orders nulls first there; desc offsets compose the
     // same way since band assignment stays monotone)
-    val banded = base.crossJoin(broadcast(edges))
-      .withColumn("__rr_fine",
-        belowCount("edges", key, maxBands).cast("long"))
-      .withColumn("__rr_k", kBands("__rr_n", target, maxBands))
-      .withColumn("band", expr(s"(__rr_fine * __rr_k) div $maxBands"))
-      .drop("edges", "__rr_n", "__rr_fine", "__rr_k")
-    val ord =
-      if (asc) Seq(col(key).asc, col(tie).asc)
-      else Seq(col(key).desc, col(tie).asc)
-    val wIn = Window.partitionBy("band").orderBy(ord: _*)
-    val bandOrd = if (asc) col("band").asc else col("band").desc
-    val offs = banded.groupBy("band").agg(count(lit(1)).as("bn"))
-      .withColumn("off", coalesce(sum("bn").over(
-        Window.orderBy(bandOrd).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("band", "off")
-    banded.withColumn("wi", row_number().over(wIn).cast("long"))
-      .join(broadcast(offs), Seq("band"))
-      .withColumn(out, col("off") + col("wi"))
-      .drop("band", "wi", "off")
+    val banded0 = specs.zipWithIndex.foldLeft(
+        base.crossJoin(broadcast(edges))
+          .withColumn("__rr_k", kBands("__rr_n", target, maxBands))) {
+        case (acc, ((key, _, _, _), i)) =>
+          acc.withColumn(s"__rr_band_$i",
+            expr(s"(${belowCountSql(s"__rr_edges_$i", key, maxBands)}" +
+              s" * __rr_k) div $maxBands"))
+      }
+      .drop(Seq("__rr_n", "__rr_k") ++
+        specs.indices.map(i => s"__rr_edges_$i"): _*)
+    // with several specs the banded frame feeds specs offsets rollups +
+    // the window chain: checkpoint it once instead of re-deriving the
+    // binary searches per consumer; a single spec keeps the round-15
+    // two-consumer recompute (cheaper than a population write)
+    val banded = if (specs.length > 1) banded0.diskCheckpointLazy() else banded0
+    val ranked = specs.zipWithIndex.foldLeft(banded) {
+      case (acc, ((key, tie, asc, out), i)) =>
+        val bcol = col(s"__rr_band_$i")
+        val ord =
+          if (asc) Seq(col(key).asc, col(tie).asc)
+          else Seq(col(key).desc, col(tie).asc)
+        val wIn = Window.partitionBy(s"__rr_band_$i").orderBy(ord: _*)
+        val bandOrd = if (asc) bcol.asc else bcol.desc
+        val offs = banded.groupBy(s"__rr_band_$i")
+          .agg(count(lit(1)).as("__rr_bn"))
+          .withColumn(s"__rr_off_$i", coalesce(sum("__rr_bn").over(
+            Window.orderBy(bandOrd)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col(s"__rr_band_$i"), col(s"__rr_off_$i"))
+        acc.withColumn("__rr_wi", row_number().over(wIn).cast("long"))
+          .join(broadcast(offs), Seq(s"__rr_band_$i"))
+          .withColumn(out, col(s"__rr_off_$i") + col("__rr_wi"))
+          .drop("__rr_wi", s"__rr_off_$i")
+    }
+    ranked.drop(specs.indices.map(i => s"__rr_band_$i"): _*)
   }
 
   /** Per-zone equi-depth ntile — reproduces
