@@ -248,10 +248,12 @@ object QueriesExt {
     val base = docs(s, d)
     val w = base.repartition(LlmOps.spreadWidth(base))
       .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("__w"))
-    val g = w.filter(size(col("__w")) >= 5)
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, size(__w) - 5),
-             i -> array_join(slice(__w, i + 1, 5), ' '))""")))
+    // native O(len) 5-gram walk (r16): word_ngrams' empty array on
+    // sub-5-word docs makes posexplode drop exactly the rows the old
+    // size(__w) >= 5 filter did; positions are the same 0-based i
+    val g = w
+      .select(col("doc_id"), posexplode(graft.functions.native
+        .word_ngrams(array_join(col("__w"), " "), 5)))
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"), unhex(md5(col("gram"))).as("h"))
     val dupGrams = g.groupBy(col("h"))
@@ -1620,13 +1622,14 @@ object QueriesExt {
       // the DISTINCT pairs so a within-doc repeat never self-counts.
       (s, d) => {
         val base = docs(s, d)
+        // native O(len) 5-gram walk (r16): the interpreted transform/
+        // slice/array_join lambda allocated a fresh array + string build
+        // per gram; word_ngrams emits zero-copy byte slices (sub-5-word
+        // docs yield array() in both forms, so the explode row set is
+        // unchanged)
         val g = base.repartition(LlmOps.spreadWidth(base))
-          .withColumn("__w", split(LlmOps.normText(col("text")), " "))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(__w) >= 5
-               THEN transform(sequence(0, size(__w) - 5),
-                 i -> array_join(slice(__w, i + 1, 5), ' '))
-               ELSE array() END""")).as("gram"))
+          .select(col("doc_id"), explode(graft.functions.native
+            .word_ngrams(LlmOps.normText(col("text")), 5)).as("gram"))
           .distinct()
         val dfc = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         val per = g.join(dfc, Seq("gram"))

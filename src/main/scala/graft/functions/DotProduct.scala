@@ -130,6 +130,13 @@ object native {
       Literal.create(weights.toSeq, ArrayType(LongType))))
   }
 
+  /** O(len) word n-gram array (see [[WordNgramsExpr]]): zero-copy
+    * byte-slice windows — replaces the interpreted HOF shingle lambdas
+    * (the bigram form re-split the text per element: O(len²)/doc). */
+  def word_ngrams(s: Column, n: Int): Column =
+    Bridge.column(WordNgramsExpr(Bridge.expression(s),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
   /** One-walk token-vote SimHash (see [[SimhashVotesExpr]]): packed
     * nBits-bit signature per document, one md5 per token — replaces the
     * token×bit explode + two aggregates. NULL in → NULL out. */
@@ -165,5 +172,7 @@ object native {
       args => DsirScore(args(0), args(1)))
     Bridge.registerFunction(spark, "simhash_votes",
       args => SimhashVotesExpr(args(0), args(1)))
+    Bridge.registerFunction(spark, "word_ngrams",
+      args => WordNgramsExpr(args(0), args(1)))
   }
 }

@@ -43,14 +43,17 @@ object LlmOps {
       .groupBy(col("h"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
-  /** Word bigram shingles of a normalized text column (0-based Spark array
-    * indexing). Guarded: Spark's `sequence(a, b)` counts DOWN when `b < a`,
-    * so a one-word text must yield an empty array, not garbage indices. */
+  /** Word bigram shingles of a normalized text column — the native
+    * O(len) byte-slice walk ([[graft.functions.WordNgramsExpr]]).
+    * The r15 SQL-lambda form (`transform(sequence(...), i ->
+    * concat(split($textCol,' ')[i], ' ', split(...)[i+1]))`) re-split
+    * the whole text per element in interpreted mode — O(len²) per doc,
+    * and the dominant cost of the decontaminate/minhash family
+    * (measured ~9 s of executor time in `decontaminate` alone at
+    * sf0.1). Output identical including the null/one-word → empty-array
+    * CASE arm (WordNgramsSpec pins parity against the lambda form). */
   def bigramShingles(textCol: String): Column =
-    expr(s"""CASE WHEN size(split($textCol, ' ')) >= 2
-             THEN transform(sequence(0, size(split($textCol, ' ')) - 2),
-                  i -> concat(split($textCol, ' ')[i], ' ', split($textCol, ' ')[i+1]))
-             ELSE array() END""")
+    graft.functions.native.word_ngrams(col(textCol), 2)
 
   /** Per-permutation shingle hash: 4 permutations share one md5 call via
     * non-overlapping 8-hex-char windows (md5 mixes uniformly, so disjoint
