@@ -3020,7 +3020,13 @@ object QueriesExt {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val tok = tokens(s, d)
+        // (doc, token) grain is shared by the df rollup and the scored
+        // join: DISK_ONLY checkpoint per the corpus-sized-shared-frame
+        // policy (Ckpt) — un-severed, each consumer re-ran the tokenize
+        // + partial aggregate (no exchange reuse across the subtrees;
+        // measured ~2.2 s per recompute at sf0.1)
         val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+          .diskCheckpoint()
         val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
@@ -3061,7 +3067,10 @@ object QueriesExt {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val tok = tokens(s, d)
+        // shared (doc, token) grain, three consumers (dl, dfq, scored
+        // join): DISK_ONLY checkpoint — same rationale as tfidf_top
         val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+          .diskCheckpoint()
         val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
