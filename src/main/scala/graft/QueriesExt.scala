@@ -1631,6 +1631,10 @@ object QueriesExt {
           .select(col("doc_id"), explode(graft.functions.native
             .word_ngrams(LlmOps.normText(col("text")), 5)).as("gram"))
           .distinct()
+          // two consumers (df rollup + join back) re-ran the explode +
+          // distinct without this sever: DISK_ONLY per the corpus-sized
+          // shared-frame policy (r16; same rationale as tfidf's tf)
+          .diskCheckpoint()
         val dfc = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         val per = g.join(dfc, Seq("gram"))
           .groupBy(col("doc_id"))
