@@ -250,10 +250,13 @@ object QueriesExt {
       .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("__w"))
     // native O(len) 5-gram walk (r16): word_ngrams' empty array on
     // sub-5-word docs makes posexplode drop exactly the rows the old
-    // size(__w) >= 5 filter did; positions are the same 0-based i
-    val g = w
+    // size(__w) >= 5 filter did; positions are the same 0-based i. The
+    // walk reads the normalized STRING (one more normText evaluation off
+    // the raw text — cheaper than rebuilding it with array_join(__w) and
+    // far cheaper than the interpreted slice/join lambda it replaces).
+    val g = base.repartition(LlmOps.spreadWidth(base))
       .select(col("doc_id"), posexplode(graft.functions.native
-        .word_ngrams(array_join(col("__w"), " "), 5)))
+        .word_ngrams(LlmOps.normText(col("text")), 5)))
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"), unhex(md5(col("gram"))).as("h"))
     val dupGrams = g.groupBy(col("h"))
