@@ -425,19 +425,30 @@ object QueriesExt {
         graft.functions.native.char_ngrams(col("norm"), 3)))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("sh"),
         floor(col("n_chars") / 4).as("band"))
-    val a = withSh.select(col("doc_id").as("doc_a"), col("lang"),
+    // packed sorted sets ride the band join instead of raw shingle
+    // arrays (r16, functions.PackedSet): fewer bytes per candidate row
+    // and a zero-allocation linear-merge intersect per pair — identical
+    // values (full-byte identity; set sizes taken from the array before
+    // packing)
+    val withPk = withSh
+      .withColumn("pk", graft.functions.native.pack_sorted_set(col("sh")))
+      .withColumn("ns", size(col("sh")))
+    val a = withPk.select(col("doc_id").as("doc_a"), col("lang"),
       col("n_chars").as("na"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
-    val b = withSh.select(col("doc_id").as("doc_b"), col("lang"),
-      col("n_chars").as("nb"), col("sh").as("shb"), col("band").as("jband"))
-    val sha = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = withPk.select(col("doc_id").as("doc_b"), col("lang"),
+      col("n_chars").as("nb"), col("pk").as("pkb"), col("ns").as("nsb"),
+      col("band").as("jband"))
+    val sha = withPk.select(col("doc_id").as("doc_a"), col("pk").as("pka"),
+      col("ns").as("nsa"))
     a.join(b, Seq("lang", "jband"))
       .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 3)
       .join(sha, Seq("doc_a"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("inter", graft.functions.native
+        .packed_intersect_count(col("pka"), col("pkb")))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")), 6).as("jaccard"))
+          (col("nsa") + col("nsb") - col("inter")), 6).as("jaccard"))
   }
 
   /** Oracle CTE chain mirroring [[ngramJaccardPairs]] — ends in
@@ -5868,14 +5879,23 @@ object QueriesExt {
         // starved drive killed the build at every partition count, while
         // sort-merge streams array rows through a spillable sorter. The
         // sort key is one long (doc id); the array payload just rides.
+        // the pair sides carry the PACKED sorted set (r16,
+        // functions.PackedSet) instead of the raw array<string>: same
+        // full-byte identity (no hashing), ~2-4× fewer bytes through the
+        // two merge-join sorters, and the per-pair intersection is a
+        // linear memcmp merge with zero allocation instead of
+        // array_intersect's per-row hash-set build. n_a is taken from
+        // the array BEFORE packing (identical value: s is distinct).
+        val shPack = shArr.select(col("doc_id"),
+          graft.functions.native.pack_sorted_set(col("s")).as("p"),
+          size(col("s")).cast("long").as("n"))
         cand
-          .join(shArr.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-            .hint("merge"), Seq("doc_a"))
-          .join(shArr.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+          .join(shPack.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+            col("n").as("n_a")).hint("merge"), Seq("doc_a"))
+          .join(shPack.select(col("doc_id").as("doc_b"), col("p").as("pb"))
             .hint("merge"), Seq("doc_b"))
-          .withColumn("n_a", size(col("sa")).cast("long"))
-          .withColumn("n_inter",
-            size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("n_inter", graft.functions.native
+            .packed_intersect_count(col("pa"), col("pb")).cast("long"))
           // 20-shingle floor and integer C >= 0.5 threshold: both engines
           // make the identical cut with no float compare
           .filter(col("n_a") >= 20 && col("n_inter") * 2 >= col("n_a"))

@@ -144,6 +144,15 @@ object native {
     Bridge.column(SimhashVotesExpr(Bridge.expression(s),
       org.apache.spark.sql.catalyst.expressions.Literal(nBits)))
 
+  /** Packed sorted string-set + linear-merge intersection count (see
+    * [[PackedSet]]): the compact exact carrier for pairwise set-overlap
+    * joins — full-byte identity, no hashing. */
+  def pack_sorted_set(arr: Column): Column =
+    Bridge.column(PackSortedSet(Bridge.expression(arr)))
+
+  def packed_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(PackedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
   /** Primitive-array GK bracket sketch (see [[GkBracketAgg]]): array of
     * approximate quantiles at `fracs` with rank error ≤ count/accuracy —
     * the allocation-light `percentile_approx` replacement for the guided
@@ -174,5 +183,9 @@ object native {
       args => SimhashVotesExpr(args(0), args(1)))
     Bridge.registerFunction(spark, "word_ngrams",
       args => WordNgramsExpr(args(0), args(1)))
+    Bridge.registerFunction(spark, "pack_sorted_set",
+      args => PackSortedSet(args(0)))
+    Bridge.registerFunction(spark, "packed_intersect_count",
+      args => PackedIntersectCount(args(0), args(1)))
   }
 }
