@@ -1666,9 +1666,9 @@ object QueriesExt {
             .word_ngrams(LlmOps.normText(col("text")), 5)).as("gram"))
           .distinct()
           // two consumers (df rollup + join back) re-ran the explode +
-          // distinct without this sever: DISK_ONLY per the corpus-sized
-          // shared-frame policy (r16; same rationale as tfidf's tf)
-          .diskCheckpoint()
+          // distinct without this sever: lazy DISK_ONLY per the corpus-
+          // sized shared-frame policy (r16; same rationale as tfidf's tf)
+          .diskCheckpointLazy()
         val dfc = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         val per = g.join(dfc, Seq("gram"))
           .groupBy(col("doc_id"))
@@ -3059,12 +3059,16 @@ object QueriesExt {
         import org.apache.spark.sql.expressions.Window
         val tok = tokens(s, d)
         // (doc, token) grain is shared by the df rollup and the scored
-        // join: DISK_ONLY checkpoint per the corpus-sized-shared-frame
-        // policy (Ckpt) — un-severed, each consumer re-ran the tokenize
-        // + partial aggregate (no exchange reuse across the subtrees;
-        // measured ~2.2 s per recompute at sf0.1)
+        // join: LAZY DISK_ONLY checkpoint per the corpus-sized
+        // shared-frame policy (Ckpt) — un-severed, each consumer re-ran
+        // the tokenize + partial aggregate (no exchange reuse across the
+        // subtrees; measured ~2.2 s per recompute at sf0.1). A
+        // window-count df over the same frame was tried and REJECTED:
+        // a hot token ("the") puts ~n_docs rows in one window partition
+        // — a single-task wall at corpus scale that the map-side-partial
+        // vocab aggregate + join shape never has.
         val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-          .diskCheckpoint()
+          .diskCheckpointLazy()
         val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
@@ -3106,9 +3110,9 @@ object QueriesExt {
         import org.apache.spark.sql.expressions.Window
         val tok = tokens(s, d)
         // shared (doc, token) grain, three consumers (dl, dfq, scored
-        // join): DISK_ONLY checkpoint — same rationale as tfidf_top
+        // join): lazy DISK_ONLY checkpoint — same rationale as tfidf_top
         val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-          .diskCheckpoint()
+          .diskCheckpointLazy()
         val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
@@ -3824,7 +3828,7 @@ object QueriesExt {
         // per the corpus-sized shared-frame policy (r16)
         val items = sessionizedEvents(s, d)
           .select(col("user_id"), col("sid"), col("event_type")).distinct()
-          .diskCheckpoint()
+          .diskCheckpointLazy()
         val nBaskets = items.select(col("user_id"), col("sid")).distinct()
           .agg(count(lit(1)).as("n_baskets"))
         val single = items.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
@@ -5427,7 +5431,7 @@ object QueriesExt {
         val tl = tokens(s, d)
           .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
           .groupBy(col("token"), col("lang")).agg(count(lit(1)).as("a"))
-          .diskCheckpoint()
+          .diskCheckpointLazy()
         val ta = tl.groupBy("token").agg(sum("a").as("ta"))
         val la = tl.groupBy("lang").agg(sum("a").as("la"))
         val nn = tl.agg(sum("a").as("nn"))
