@@ -4245,19 +4245,19 @@ object QueriesExt {
       // decimals BEFORE the |rz| > 3.5 decision; degenerate zones
       // (MAD = 0) score 0 by definition in both engines.
       (s, d) => {
-        // (median, MAD) via sketch-guided exact selection: same values as
-        // the buffering medians with bounded state everywhere — this
-        // query was the r6 spill drive's fatality (its MEMORY_AND_DISK
-        // checkpoint held the whole unified pool) and the buffering
-        // median measured super-linear at 100x (SCALE.md). Five pruned
-        // 2-column scans replace the corpus-sized checkpoint outright.
+        // (median, MAD) via the shared three-scan guided engine
+        // (Extracts.guidedMedianMad, r17): one GK bracket scan whose
+        // sketch also yields the deviation bracket, one median window
+        // scan, one deviation window scan, then the scoring pass — four
+        // pruned 2-column scans where the r16 shape paid five (the
+        // deviation bracket scan is derived, not run). Same exact
+        // values, bounded state everywhere — this query was the r6
+        // spill drive's fatality (its MEMORY_AND_DISK checkpoint held
+        // the whole unified pool) and the buffering median measured
+        // super-linear at 100x (SCALE.md).
         val px = Tables.pixels(s, d).select(col("asdf_id"), col("value"))
-        val med = Extracts.guidedQuantiles(px, Seq(0.5), Seq("med"))
-        val dev = Extracts.joinOnZone(px, med, "asdf_id")
-          .select(col("asdf_id"),
-            abs(col("value") - col("med")).as("value"))
-        val mad = Extracts.guidedQuantiles(dev, Seq(0.5), Seq("mad"))
-        val stats = Extracts.joinOnZone(med, mad, "asdf_id")
+        val stats = Extracts.guidedMedianMad(px, "asdf_id", "value",
+          "med", "mad")
         Extracts.joinOnZone(px, stats, "asdf_id")
           .select(col("asdf_id"),
             when(col("mad") === 0, lit(0.0))

@@ -161,6 +161,20 @@ object native {
     Bridge.column(GkBracketAgg(Bridge.expression(v.cast("double")), fracs, accuracy)
       .toAggregateExpression())
 
+  /** GK bracket plus the SERIALIZED summary:
+    * `struct<qs: array<double>, state: binary>` — lets a |zones|-row
+    * post-pass re-interrogate the sketch ([[GkDevBracket]]) instead of
+    * paying a second corpus scan (the mad engine's deviation bracket). */
+  def gk_bracket_state(v: Column, fracs: Seq[Double], accuracy: Int): Column =
+    Bridge.column(GkBracketAgg(Bridge.expression(v.cast("double")), fracs,
+      accuracy, withState = true).toAggregateExpression())
+
+  /** Deviation-median window [lo, hi] from a `gk_bracket_state` blob and
+    * the exact median (see [[GkSketch.devBracket]]). */
+  def gk_dev_bracket(state: Column, med: Column): Column =
+    Bridge.column(GkDevBracket(Bridge.expression(state),
+      Bridge.expression(med.cast("double"))))
+
   /** Make the native expressions callable by name from `spark.sql` on a
     * live session (cluster-wide: `--conf spark.sql.extensions=
     * graft.plans.GraftExtensions`). */

@@ -199,25 +199,17 @@ object Extracts {
         guidedPercentile(pixels, zone, value, 0.5, guidedAccuracy)
           .select(z, col("__g_res").as(method))
       case "mad" | "mad_guided" =>
-        // two guided medians: per-zone median, broadcast back (|zones|
-        // rows), then the guided median of |v − med| — same answer as the
-        // buffering `mad_buffer`, never more than O(n/accuracy) reducer state.
-        // NOT checkpointed (round-15 A/B): the guided engine reads its
-        // input four times across the two calls, but each read is a
-        // 2-column pushed parquet scan + broadcast probe — codegen'd
-        // columnar, ~0.3 s at sf0.1 — while a shared DISK_ONLY checkpoint
-        // replaces them with java-serialized block reads plus an up-front
-        // corpus write. Measured (DriveBenchSubset, warm, sf0.1):
-        // 2.7 s direct vs 3.8 s checkpointed. The cost here is the GK
-        // insert loop, not scan re-derivation; mad_buffer checkpoints
-        // because ITS passes re-buffer whole value sets, not for the scan.
-        val pv = pixels
-        val med = guidedPercentile(pv, zone, value, 0.5, guidedAccuracy)
-          .select(z, col("__g_res").as("__g_med"))
-        val dev = joinOnZone(pv, med, zone)
-          .select(z, abs(v - col("__g_med")).as(value))
-        guidedPercentile(dev, zone, value, 0.5, guidedAccuracy)
-          .select(z, col("__g_res").as(method))
+        // three-scan guided (median, MAD): value bracket (which also
+        // serializes the sketch), median window scan, deviation window
+        // scan — the deviation BRACKET is derived from the value sketch
+        // ([[guidedMedianMad]]), not scanned. Same exact answer as the
+        // buffering `mad_buffer`, never more than O(n/accuracy) reducer
+        // state. Still NOT disk-checkpointing the pixel projection
+        // (round-15 A/B): each scan is a 2-column pushed parquet scan +
+        // broadcast probe — cheaper than java-serialized block re-reads.
+        guidedMedianMad(pixels, zone, value, "__g_medn", method,
+          guidedAccuracy)
+          .select(z, col(method))
       case other => throw new IllegalArgumentException(s"unknown extract method: $other")
     }
   }
@@ -323,7 +315,27 @@ object Extracts {
       // all of them — via the Ckpt helper so a dry-run (planOnly)
       // construction stays job-free even under AQE
       .smallCheckpointLazy()
-    def inWin(i: Int) = v.between(col(s"__g_lo_$i"), col(s"__g_hi_$i"))
+    guidedSelect(pixels, bounds, zone, v, ps)
+  }
+
+  /** The guided engine's SELECTION passes, shared by the percentile and
+    * mad engines: given a bounds frame
+    * `(zone, __g_n, __g_lo_0…__g_lo_{k-1}, __g_hi_0…)` — from a GK
+    * bracket scan, or DERIVED (the mad deviation window comes from the
+    * value sketch, [[GkSketch.devBracket]]) — run ONE windowed
+    * (zone, value) count scan plus the tiny-frame cumulative selection,
+    * and return (zone, __g_res_0…__g_res_{k-1}) with each column the
+    * EXACT `percentile(value, ps(i))`. `v` is evaluated AFTER the bounds
+    * attach, so a caller may select a value derived from attached bounds
+    * columns (the mad pass reads `abs(value − __g_med)` with `__g_med`
+    * riding the bounds frame — one broadcast attach serves both the
+    * deviation computation and its window). `bounds` is referenced three
+    * times (window join, selection re-attach, zone retention) — callers
+    * pass it checkpointed. */
+  private def guidedSelect(pixels: DataFrame, bounds: DataFrame,
+      zone: String, v: Column, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = col(zone)
     // window-aggregate pass: one scan, (zone, distinct-window-value)
     // grain over the UNION of windows. Rows outside every window collapse
     // into the null group — kept only for the strictly-below counts.
@@ -331,6 +343,7 @@ object Extracts {
     // and the buffering aggregates compute a real value for it — an
     // equi-join here would silently drop that group and break the
     // "identical output" contract for nullable zone keys
+    def inWin(i: Int) = v.between(col(s"__g_lo_$i"), col(s"__g_hi_$i"))
     val g = joinOnZone(pixels, bounds, zone)
       .groupBy(z, when(ps.indices.map(inWin).reduce(_ || _), v).as("__g_wv"))
       .agg(count(lit(1)).as("__g_c"),
@@ -400,6 +413,81 @@ object Extracts {
     // zones whose values are all null have no window rows but must stay
     // present (exact `percentile` emits them with a null result)
     joinOnZone(bounds.select(z), selected, zone, "left")
+  }
+
+  /** Guided EXACT (median, MAD) in THREE corpus scans instead of four
+    * (round-17, VERDICT r16 #1): the old mad path ran the full guided
+    * engine twice — value bracket scan, value window scan, DEVIATION
+    * BRACKET SCAN, deviation window scan. The deviation bracket never
+    * needed its own scan: the value sketch from scan 1 bounds the
+    * deviation CDF around any center, so once the exact median is known
+    * the deviation-median window falls out of a |zones|-row sketch walk
+    * ([[GkSketch.devBracket]], serialized into the bounds frame by
+    * `gk_bracket_state`). Exactness is untouched — the windowed count
+    * pass recomputes exact ranks and the raise_error coverage guard
+    * still backstops the bracket — only WHICH valid window feeds it
+    * changed. Bonus: the median rides the deviation-bounds frame, so the
+    * deviation scan's single broadcast attach serves both the |v − med|
+    * computation and its window (the old shape paid separate med-attach
+    * and bounds-attach joins).
+    *
+    * Returns (zone, medName, madName) — exactly
+    * `percentile(v, 0.5)` and `percentile(abs(v − med), 0.5)`, DuckDB
+    * `median`/`mad` parity like the engine it replaces. */
+  def guidedMedianMad(pixels: DataFrame, zone: String = "asdf_id",
+      value: String = "value", medName: String = "med",
+      madName: String = "mad", accuracy: Int = 1000): DataFrame = {
+    require(accuracy >= 100,
+      s"guided accuracy $accuracy is below the contract floor 100 — " +
+        "results stay exact at any accuracy, but windows cover " +
+        "~6n/accuracy rows and zones with n <= 2*accuracy fully buffer, " +
+        "so coarser settings silently abandon the bounded-state contract")
+    val reserved = Set("__g_n", "__g_min", "__g_max", "__g_pa", "__g_sk",
+      "__g_wv", "__g_c", "__g_lo_0", "__g_hi_0", "__g_b_0", "__g_below_0",
+      "__g_res_0", "__g_med", "__g_db")
+    val clash = pixels.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"guidedMedianMad working columns collide: ${clash.mkString(", ")}")
+    val z = col(zone)
+    val v = col(value)
+    val e = 3.0 / accuracy
+    val widen = col("__g_n") <= 2L * accuracy
+    // bracket pass (corpus scan 1): median window ± the sketch itself
+    val bounds = pixels.groupBy(z).agg(
+        count(v).as("__g_n"), min(v).as("__g_min"), max(v).as("__g_max"),
+        graft.functions.native.gk_bracket_state(v, Seq(0.5 - e, 0.5 + e),
+          accuracy).as("__g_pa"))
+      .select(z, col("__g_n"),
+        when(widen, col("__g_min"))
+          .otherwise(element_at(col("__g_pa.qs"), 1)).as("__g_lo_0"),
+        when(widen, col("__g_max"))
+          .otherwise(element_at(col("__g_pa.qs"), 2)).as("__g_hi_0"),
+        col("__g_pa.state").as("__g_sk"))
+      // referenced by the median selection (3×) and the deviation-bounds
+      // build; the O(accuracy)-byte sketch blob rides only this
+      // |zones|-row frame — every fact-side attach projects it away
+      .smallCheckpointLazy()
+    // median selection (corpus scan 2) — blob projected OUT of the attach
+    val med = guidedSelect(pixels,
+        bounds.select(z, col("__g_n"), col("__g_lo_0"), col("__g_hi_0")),
+        zone, v, Seq(0.5))
+      .withColumnRenamed("__g_res_0", "__g_med")
+      // referenced twice (deviation bounds + final combine): checkpoint,
+      // or each reference re-runs the whole median pipeline
+      .smallCheckpointLazy()
+    // deviation bounds: |zones|-row sketch walk, NO corpus scan
+    val devB = joinOnZone(bounds, med, zone)
+      .withColumn("__g_db",
+        graft.functions.native.gk_dev_bracket(col("__g_sk"), col("__g_med")))
+      .select(z, col("__g_n"), col("__g_med"),
+        col("__g_db.lo").as("__g_lo_0"), col("__g_db.hi").as("__g_hi_0"))
+      .smallCheckpointLazy()
+    // deviation selection (corpus scan 3): med rides devB, so this pass's
+    // one broadcast attach yields both |v − med| and its window
+    val mad = guidedSelect(pixels, devB, zone,
+      abs(v - col("__g_med")), Seq(0.5))
+    joinOnZone(med.select(z, col("__g_med").as(medName)),
+      mad.select(z, col("__g_res_0").as(madName)), zone, "left")
   }
 
   /** Null-safe zone-key attach: joins `left` to the |zones|-row `right`

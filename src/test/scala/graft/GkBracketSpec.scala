@@ -189,4 +189,86 @@ class GkBracketSpec extends AnyFunSuite {
           s"(${g.getDouble(1)}, ${g.getDouble(2)}) vs (${e.getDouble(1)}, ${e.getDouble(2)})")
     }
   }
+
+  test("devBracket covers the deviation-median interpolation ranks " +
+      "(adversarial distributions × accuracy × fan-in)") {
+    // the r17 mad engine derives the deviation window from the VALUE
+    // sketch (no second GK scan): pin lo ≤ d_(kLo) ∧ hi ≥ d_(kHi)
+    // against exact deviation order statistics, through the full Spark
+    // aggregation path (update → serialize → merge → eval), with the
+    // exact interpolated median as the center — precisely how
+    // Extracts.guidedMedianMad drives it.
+    val rnd = new scala.util.Random(41)
+    def exactMedian(sorted: Array[Double]): Double = {
+      val n = sorted.length
+      val r = 1.0 + 0.5 * (n - 1)
+      val lo = sorted(math.floor(r).toInt - 1)
+      val hi = sorted(math.ceil(r).toInt - 1)
+      lo + (r - math.floor(r)) * (hi - lo)
+    }
+    val dists: Seq[(String, Array[Double])] = Seq(
+      "uniform" -> Array.fill(30000)(rnd.nextDouble() * 1e6),
+      "heavy_ties" -> Array.fill(30000)(
+        if (rnd.nextDouble() < 0.9) 42.0 else rnd.nextDouble() * 100),
+      "exp_skew" -> Array.fill(30000)(math.pow(rnd.nextDouble(), 8) * 1e9),
+      "bimodal_far" -> Array.fill(30000)(
+        if (rnd.nextBoolean()) rnd.nextDouble() else 1e8 + rnd.nextDouble()),
+      "sorted" -> Array.tabulate(30000)(_.toDouble),
+      "constant" -> Array.fill(5000)(7.0),
+      "tiny" -> Array.fill(37)(rnd.nextDouble() * 10),
+      "negatives" -> Array.fill(30000)(rnd.nextGaussian() * 1e3 - 5e2))
+    for ((label, data) <- dists; accuracy <- Seq(100, 1000);
+         parts <- Seq(1, 7)) {
+      val row = data.toSeq.toDF("v").repartition(parts)
+        .agg(native.gk_bracket_state(col("v"), Seq(0.5), accuracy).as("b"))
+        .select(col("b.state")).head()
+      val sk = GkSketch.deserialize(row.getAs[Array[Byte]](0))
+      val sorted = data.sorted
+      val med = exactMedian(sorted)
+      val (lo, hi) = sk.devBracket(med)
+      val devs = data.map(x => math.abs(x - med)).sorted
+      val n = data.length.toLong
+      val kLo = ((n + 1) / 2).toInt
+      val kHi = ((n + 2) / 2).toInt
+      assert(lo <= devs(kLo - 1) && hi >= devs(kHi - 1),
+        f"$label acc=$accuracy parts=$parts: window [$lo,$hi] misses " +
+          f"deviation ranks $kLo/$kHi = ${devs(kLo - 1)}/${devs(kHi - 1)}")
+      // state-bound sanity (tightness, not correctness): the selection
+      // pass aggregates at (zone, DISTINCT value) grain — tie runs
+      // compress to one row — so the state metric is DISTINCT deviations
+      // in the window, O(n/accuracy) on the narrow path (bound slack
+      // ≤ ~4εn per side plus one inter-tuple gap crossing per side;
+      // generous 40× headroom so distribution shape can never flake)
+      if (n > 2L * accuracy) {
+        val distinctIn = devs.filter(dv => dv >= lo && dv <= hi)
+          .distinct.length.toLong
+        assert(distinctIn <= 40L * n / accuracy + 8,
+          s"$label acc=$accuracy parts=$parts: window holds " +
+            s"$distinctIn distinct deviations of $n rows")
+      }
+    }
+  }
+
+  test("guidedMedianMad equals buffering median/mad exactly on fixture data") {
+    val d = "/root/testdata/sf0.001"
+    val px = graft.ops.Tables.pixels(spark, d)
+    val got = graft.ops.Extracts.guidedMedianMad(px, "asdf_id", "value")
+      .orderBy("asdf_id").collect()
+    val exact = px.groupBy("asdf_id")
+      .agg(expr("median(value)").as("m"))
+      .join(px, Seq("asdf_id"))
+      .groupBy(col("asdf_id"), col("m"))
+      .agg(expr("median(abs(value - m))").as("md"))
+      .orderBy("asdf_id").collect()
+    assert(got.length == exact.length)
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    got.zip(exact).foreach { case (g, e) =>
+      assert(close(g.getDouble(1), e.getDouble(1)) &&
+        close(g.getDouble(2), e.getDouble(2)),
+        s"median/mad diverged at zone ${g.get(0)}: " +
+          s"(${g.getDouble(1)}, ${g.getDouble(2)}) vs " +
+          s"(${e.getDouble(1)}, ${e.getDouble(2)})")
+    }
+  }
 }
