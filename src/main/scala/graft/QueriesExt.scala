@@ -2373,11 +2373,21 @@ object QueriesExt {
         // for the rest of a 190-query Verify run.
         val toks = tokens(s, d).select(col("token"))
           .diskCheckpoint()
-        val rows = array((0 until dRows).map(lit): _*)
-        val bucket =
-          expr(s"cast(conv(substring(md5(concat(row, '|', token)), 1, 8), 16, 10) as bigint) % $wBuckets")
-        val sketch = toks.select(col("token"), explode(rows).as("row"))
-          .withColumn("bucket", bucket)
+        // ONE md5 per token (r17, VERDICT r16 #4): the 128-bit digest is
+        // sliced into four 32-bit words, one CMS row per word — replacing
+        // four per-(row,token) digests (the 4×md5 bucket explode was ~7 s
+        // of this query's ~8.9 s executor time at sf0.1; guide §1.2
+        // per-task work). The CMS law is hash-family independent
+        // (est ≥ true for ANY buckets; the within_bound slack stays 16×
+        // the expected collision mass at w=4096, measured and asserted
+        // TRUE by the oracle at sf0.01/sf0.1), and the declared output
+        // (token, cnt, within_bound) never carries a bucket value, so
+        // the hash swap cannot move a compared cell.
+        val buckets = array((0 until dRows).map(i =>
+          expr(s"cast(conv(substring(__h, ${1 + 8 * i}, 8), 16, 10) as bigint)" +
+            s" % $wBuckets")): _*)
+        val sketch = toks.withColumn("__h", md5(col("token")))
+          .select(posexplode(buckets).as(Seq("row", "bucket")))
           .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
         val totals = toks.agg(count(lit(1)).as("total"))
         val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -2387,8 +2397,9 @@ object QueriesExt {
         // ever rests on stats ESTIMATES (the LogicalRDD broadcast-cliff
         // lesson) — this one was the odd bare site out
         top.crossJoin(broadcast(totals))
-          .select(col("token"), col("cnt"), col("total"), explode(rows).as("row"))
-          .withColumn("bucket", bucket)
+          .withColumn("__h", md5(col("token")))
+          .select(col("token"), col("cnt"), col("total"),
+            posexplode(buckets).as(Seq("row", "bucket")))
           .join(broadcast(sketch), Seq("row", "bucket"))
           .groupBy(col("token"), col("cnt"), col("total"))
           .agg(min(col("c")).as("est"))
