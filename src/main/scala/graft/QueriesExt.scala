@@ -5945,11 +5945,31 @@ object QueriesExt {
         val shPack = shArr.select(col("doc_id"),
           graft.functions.native.pack_sorted_set(col("s")).as("p"),
           size(col("s")).cast("long").as("n"))
+          // r17: pack ONCE — the two attach projections previously each
+          // re-ran pack_sorted_set over every doc's array; DISK_ONLY per
+          // the corpus-sized shared-frame policy. The projections below
+          // stay COLUMN-IDENTICAL ((doc_id, p, n) under both alias sets)
+          // so they canonicalize to the same Exchange(hash(doc_id))
+          // subtree and the packed corpus is exchanged once, reused by
+          // both attach joins (guide §2.4).
+          .diskCheckpointLazy()
         cand
+          // r17: build side flipped to the CANDIDATE PAIRS (two longs,
+          // |pairs| rows) via shuffle_hash — fixed-width long rows are
+          // the one shape the r6 starved drills cleared for rigid hash
+          // builds — so the packed-blob side STREAMS as probe instead of
+          // sorting through the merge sorter. The pb attach keeps merge:
+          // its left side already carries pa blobs, and a blob-side hash
+          // build is exactly the r6 fatality. Both shPack sides stay
+          // broadcast-proof (build/merge pinned in the plan, never left
+          // to LogicalRDD estimate stats). Gated by DriveSpill --starved
+          // and the 10x exponent re-run (SCALE.md r17).
+          .hint("shuffle_hash")
           .join(shPack.select(col("doc_id").as("doc_a"), col("p").as("pa"),
-            col("n").as("n_a")).hint("merge"), Seq("doc_a"))
-          .join(shPack.select(col("doc_id").as("doc_b"), col("p").as("pb"))
-            .hint("merge"), Seq("doc_b"))
+            col("n").as("n_a")), Seq("doc_a"))
+          .join(shPack.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+            col("n").as("__n_b")).hint("merge"), Seq("doc_b"))
+          .drop("__n_b")
           .withColumn("n_inter", graft.functions.native
             .packed_intersect_count(col("pa"), col("pb")).cast("long"))
           // 20-shingle floor and integer C >= 0.5 threshold: both engines
