@@ -272,9 +272,9 @@ object Extracts {
         "results stay exact at any accuracy, but windows cover " +
         "~6n/accuracy rows and zones with n <= 2*accuracy fully buffer, " +
         "so coarser settings silently abandon the bounded-state contract")
-    val reserved = Set("__g_n", "__g_wv", "__g_c", "__g_cum") ++
+    val reserved = Set("__g_n", "__g_wv", "__g_c", "__g_cumall") ++
       ps.indices.flatMap(i => Seq(s"__g_lo_$i", s"__g_hi_$i", s"__g_b_$i",
-        s"__g_below_$i", s"__g_res_$i"))
+        s"__g_below_$i", s"__g_ub_$i", s"__g_res_$i"))
     val clash = pixels.columns.toSet.intersect(reserved)
     require(clash.isEmpty,
       s"guidedPercentiles working columns collide: ${clash.mkString(", ")}")
@@ -359,11 +359,12 @@ object Extracts {
     // at all (measured in r16: the checkpoint materialization + rollup
     // join cost ~0.3-0.5 s per call at sf0.1). Guide §2.4 (two
     // operations keyed the same way share one exchange) + §5 (persist
-    // only what is re-used).
+    // only what is re-used). Single select, not a withColumn fold: each
+    // withColumn re-analyzes the whole plan (driver-side O(k²) on the
+    // multi-fraction tile callers — r17).
     val wAll = Window.partitionBy(z)
-    val gBelow = ps.indices.foldLeft(g) { (df, i) =>
-      df.withColumn(s"__g_below_$i", sum(col(s"__g_b_$i")).over(wAll))
-    }
+    val gBelow = g.select(col("*") +: ps.indices.map(i =>
+      sum(col(s"__g_b_$i")).over(wAll).as(s"__g_below_$i")): _*)
     val wOrd = Window.partitionBy(z).orderBy("__g_wv")
     // the bounds attach side is a |zones|-row aggregate — broadcast it
     // EXPLICITLY (inside joinOnZone) so the window frame can never
@@ -371,21 +372,28 @@ object Extracts {
     val wnd0 = joinOnZone(gBelow.filter(col("__g_wv").isNotNull),
       bounds, zone)
     val wv = col("__g_wv")
-    // per-fraction conditional cumulative over ONE sort: cum_i counts
-    // window-i values ≤ wv, so in-window-i rank ranges are exact
-    val wnd = ps.indices.foldLeft(wnd0) { (df, i) =>
-      df.withColumn(s"__g_cum_$i",
-        sum(when(wv.between(col(s"__g_lo_$i"), col(s"__g_hi_$i")),
-          col("__g_c")).otherwise(0L)).over(wOrd))
-    }
+    // ONE unconditional running sum plus per-fraction UNORDERED
+    // below-window offsets replaces the k conditional running sums of
+    // the r16 shape (WindowExec evaluates window expressions
+    // interpreted — k running `when(between)` sums were ~0.5 s of the
+    // 10-tile call at sf0.1, r17): for an in-window-i row,
+    // cum_i = cumAll − ub_i counts exactly the window-i values ≤ wv —
+    // a union row with lo_i ≤ value ≤ wv ≤ hi_i IS in window i, and
+    // cum_i is only ever read at in-window rows.
+    val wnd = wnd0.select(col("*") +:
+      (sum(col("__g_c")).over(wOrd).as("__g_cumall") +:
+        ps.indices.map(i =>
+          sum(when(wv < col(s"__g_lo_$i"), col("__g_c")).otherwise(0L))
+            .over(wAll).as(s"__g_ub_$i")).toSeq): _*)
     val aggs = ps.indices.flatMap { i =>
       // r = 1 + p(n-1): the 1-based fractional rank `percentile` interpolates
       val r = lit(1.0) + lit(ps(i)) * (col("__g_n") - 1).cast("double")
       val kLo = floor(r)
       val kHi = ceil(r)
       val inW = wv.between(col(s"__g_lo_$i"), col(s"__g_hi_$i"))
-      val lo1 = col(s"__g_below_$i") + col(s"__g_cum_$i") - col("__g_c") + 1
-      val hi1 = col(s"__g_below_$i") + col(s"__g_cum_$i")
+      val cum = col("__g_cumall") - col(s"__g_ub_$i")
+      val lo1 = col(s"__g_below_$i") + cum - col("__g_c") + 1
+      val hi1 = col(s"__g_below_$i") + cum
       Seq(
         min(when(inW && lo1 <= kLo && kLo <= hi1, wv)).as(s"__g_vlo_$i"),
         min(when(inW && lo1 <= kHi && kHi <= hi1, wv)).as(s"__g_vhi_$i"),
@@ -444,7 +452,7 @@ object Extracts {
         "so coarser settings silently abandon the bounded-state contract")
     val reserved = Set("__g_n", "__g_min", "__g_max", "__g_pa", "__g_sk",
       "__g_wv", "__g_c", "__g_lo_0", "__g_hi_0", "__g_b_0", "__g_below_0",
-      "__g_res_0", "__g_med", "__g_db")
+      "__g_cumall", "__g_ub_0", "__g_res_0", "__g_med", "__g_db")
     val clash = pixels.columns.toSet.intersect(reserved)
     require(clash.isEmpty,
       s"guidedMedianMad working columns collide: ${clash.mkString(", ")}")
@@ -588,8 +596,9 @@ object Extracts {
         "~6n/accuracy rows, so coarser settings silently abandon the " +
         "bounded-state contract")
     val reserved = (1 until k).flatMap(j => Seq(s"__t_lo_$j", s"__t_hi_$j",
-      s"__t_b_$j", s"__t_blo_$j", s"__t_cum_$j", s"__t_va_$j", s"__t_vb_$j")) ++
-      Seq("__t_n", "__t_mn", "__t_mx", "__t_pa", "__t_wv", "__t_c", "t")
+      s"__t_b_$j", s"__t_blo_$j", s"__t_ub_$j", s"__t_va_$j", s"__t_vb_$j")) ++
+      Seq("__t_n", "__t_mn", "__t_mx", "__t_pa", "__t_wv", "__t_c",
+        "__t_cumall", "t")
     val clash = pixels.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"guidedTileBounds working columns collide: ${clash.mkString(", ")}")
@@ -626,19 +635,23 @@ object Extracts {
     // both), computed before the in-window filter — see the identical
     // r16 rewrite in guidedPercentiles: `g` becomes single-referenced,
     // so the former DISK_ONLY checkpoint (write+read per call) is gone.
+    // Single selects + one unconditional running sum with unordered
+    // below-window offsets — the same r17 rewrite as guidedSelect (the
+    // k−1 conditional running sums were ~0.5 s of interpreted WindowExec
+    // per 10-tile call at sf0.1, and each withColumn re-analyzed the
+    // growing plan on the driver).
     val wAll = Window.partitionBy(z)
-    val gBelow = (1 until k).foldLeft(g) { (df, j) =>
-      df.withColumn(s"__t_blo_$j", sum(col(s"__t_b_$j")).over(wAll))
-    }
+    val gBelow = g.select(col("*") +: (1 until k).map(j =>
+      sum(col(s"__t_b_$j")).over(wAll).as(s"__t_blo_$j")): _*)
     val wOrd = Window.partitionBy(z).orderBy("__t_wv")
     val wnd0 = joinOnZone(gBelow.filter(col("__t_wv").isNotNull),
       bounds, zone)
     val wv = col("__t_wv")
-    val wnd = (1 until k).foldLeft(wnd0) { (df, j) =>
-      df.withColumn(s"__t_cum_$j",
-        sum(when(wv.between(col(s"__t_lo_$j"), col(s"__t_hi_$j")),
-          col("__t_c")).otherwise(0L)).over(wOrd))
-    }
+    val wnd = wnd0.select(col("*") +:
+      (sum(col("__t_c")).over(wOrd).as("__t_cumall") +:
+        (1 until k).map(j =>
+          sum(when(wv < col(s"__t_lo_$j"), col("__t_c")).otherwise(0L))
+            .over(wAll).as(s"__t_ub_$j")).toSeq): _*)
     // boundary ranks from ntile's remainder rule (q = n div k,
     // rem = n mod k): tile t ends at rank b_t = t·q + least(t, rem);
     // tile t+1 starts at a_{t+1} = b_t + 1 — both extracted from
@@ -649,8 +662,9 @@ object Extracts {
         least(lit(j.toLong), nC % k)
       val aRank = bRank + 1L
       val inW = wv.between(col(s"__t_lo_$j"), col(s"__t_hi_$j"))
-      val lo1 = col(s"__t_blo_$j") + col(s"__t_cum_$j") - col("__t_c") + 1
-      val hi1 = col(s"__t_blo_$j") + col(s"__t_cum_$j")
+      val cum = col("__t_cumall") - col(s"__t_ub_$j")
+      val lo1 = col(s"__t_blo_$j") + cum - col("__t_c") + 1
+      val hi1 = col(s"__t_blo_$j") + cum
       Seq(
         min(when(inW && lo1 <= bRank && bRank <= hi1, wv)).as(s"__t_vb_$j"),
         min(when(inW && lo1 <= aRank && aRank <= hi1, wv)).as(s"__t_va_$j"))
