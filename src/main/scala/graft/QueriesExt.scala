@@ -205,6 +205,26 @@ object QueriesExt {
   private def hexv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     instr(lit("0123456789abcdef"), c) - 1
 
+  /** The memoized derived substrates — in-session equivalents of frames
+    * a real deployment materializes once ([[Tables.memo]] callers) —
+    * with display names, exposed so the bench can FORCE and TIME each
+    * build up front and emit the seconds in its artifact (`substrates`
+    * map). Under the bench's one-JVM protocol these builds were paid in
+    * whichever consumer's unmeasured warm-up ran first, so the artifact
+    * showed the five sessionize consumers (for example) without the
+    * user-window pass appearing anywhere — bench-flattering by
+    * construction (r16 verdict "What's wrong"). Ordered so dependents
+    * follow their prerequisites (mh_groups builds on mh_grouped). */
+  val substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    ("minhash_pairs", (s: SparkSession, d: String) => dupPairs(s, d)),
+    ("mh_grouped", (s: SparkSession, d: String) => mhGrouped(s, d)),
+    ("mh_groups", (s: SparkSession, d: String) => mhGroups(s, d)),
+    ("mh_qedges", (s: SparkSession, d: String) => mhQEdges(s, d)),
+    ("dup_clusters", (s: SparkSession, d: String) => dupClusters(s, d)),
+    ("embed_clusters", (s: SparkSession, d: String) => embedClusters(s, d)),
+    ("sessionized_events",
+      (s: SparkSession, d: String) => sessionizedEvents(s, d)))
+
   /** LSH candidate pairs, memoized per (session, sf dir) with a lazy
     * localCheckpoint: the three independent consumers (pair listing,
     * connected components, degree histogram) each trigger the full
@@ -246,17 +266,25 @@ object QueriesExt {
   private def spanFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = docs(s, d)
-    val w = base.repartition(LlmOps.spreadWidth(base))
-      .select(col("doc_id"), split(LlmOps.normText(col("text")), " ").as("__w"))
+    // ONE normalized projection below ONE spread exchange (r17, advisor
+    // finding): both returned frames derive from `nf`, so their
+    // identical scan→normalize→repartition subtrees share the exchange
+    // at runtime (guide §2.4) — the r16 shape repartitioned `base`
+    // twice and evaluated normText once per frame.
+    val nf = base
+      .select(col("doc_id"), LlmOps.normText(col("text")).as("__t"))
+      .repartition(LlmOps.spreadWidth(base))
+    val w = nf.select(col("doc_id"), split(col("__t"), " ").as("__w"))
     // native O(len) 5-gram walk (r16): word_ngrams' empty array on
     // sub-5-word docs makes posexplode drop exactly the rows the old
     // size(__w) >= 5 filter did; positions are the same 0-based i. The
-    // walk reads the normalized STRING (one more normText evaluation off
-    // the raw text — cheaper than rebuilding it with array_join(__w) and
-    // far cheaper than the interpreted slice/join lambda it replaces).
-    val g = base.repartition(LlmOps.spreadWidth(base))
+    // walk reads the normalized STRING directly (byte-equivalent to the
+    // old array_join(slice(__w,…)) grams — WordNgramsSpec pins the
+    // split/join round trip) and is far cheaper than the interpreted
+    // slice/join lambda it replaced.
+    val g = nf
       .select(col("doc_id"), posexplode(graft.functions.native
-        .word_ngrams(LlmOps.normText(col("text")), 5)))
+        .word_ngrams(col("__t"), 5)))
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"), unhex(md5(col("gram"))).as("h"))
     val dupGrams = g.groupBy(col("h"))

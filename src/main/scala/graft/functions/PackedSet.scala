@@ -35,8 +35,12 @@ object PackedSet {
     var i = 0
     while (i < n) {
       val u = arr.getUTF8String(i)
-      require(u != null, "pack_sorted_set: null element (shingle " +
-        "producers are never-null; a null here is a caller bug)")
+      if (u == null) throw new IllegalStateException(
+        s"pack_sorted_set: null element at index $i of a $n-element " +
+          "array. The engine's shingle producers are never-null by " +
+          "construction, so a null here is a caller bug — pre-filter " +
+          "(array_compact) or fix the producer; pack_sorted_set " +
+          "deliberately defines no null semantics to silently encode.")
       val b = u.getBytes
       require(b.length <= 0x7fff,
         s"pack_sorted_set entry exceeds 32767 bytes (${b.length})")

@@ -167,6 +167,18 @@ object Analytics {
     val clash = df.columns.toSet.intersect(work)
     require(clash.isEmpty,
       s"bandedRanks working columns collide with input: ${clash.mkString(", ")}")
+    // clashes AMONG the specs are just as silent (r16 advisor): two
+    // specs sharing an `out` would let the later withColumn overwrite
+    // the earlier rank, and a spec keying on another spec's `out` would
+    // resolve (or not) by fold order
+    require(specs.map(_._4).distinct.size == specs.size,
+      s"bandedRanks specs share an out column: ${specs.map(_._4).mkString(", ")}")
+    val outs = specs.map(_._4).toSet
+    specs.foreach { case (key, tie, _, out) =>
+      require(!outs.contains(key) && !outs.contains(tie),
+        s"bandedRanks spec ($key, $tie -> $out) reads a column another " +
+          "spec writes — order-dependent and unsupported")
+    }
     val fracs = (1 until maxBands).map(i => lit(i.toDouble / maxBands))
     // LAZY DISK_ONLY checkpoint of the input: the edges aggregate, the
     // banded fact side, and the offsets rollup all read it — without the

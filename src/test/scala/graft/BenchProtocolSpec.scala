@@ -25,6 +25,14 @@ class BenchProtocolSpec extends AnyFunSuite {
     Bench.validateProtocolLine(totalOnly, requireQueries = false)
   }
 
+  test("substrates map validates when present, rejects non-number values") {
+    val withSubs = good.replace(""","queries":""",
+      ""","substrates":{"minhash_pairs":2.5,"sessionized_events":0.4},"queries":""")
+    Bench.validateProtocolLine(withSubs, requireQueries = true)
+    val bad = withSubs.replace("\"minhash_pairs\":2.5", "\"minhash_pairs\":\"x\"")
+    assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))
+  }
+
   test("NaN timing is rejected (invalid JSON number token)") {
     val bad = good.replace("\"q2\":11.25", "\"q2\":NaN")
     assertThrows[Exception](Bench.validateProtocolLine(bad, requireQueries = true))

@@ -48,10 +48,13 @@ class WordNgramsSpec extends AnyFunSuite {
     }
   }
 
-  test("split/join round trip keeps spanFrames' rebuilt norm lossless") {
-    // spanFrames rebuilds the normalized text as array_join(__w, ' ')
-    // before the native walk; equality must hold byte-for-byte even
-    // with empty tokens present
+  test("split/join round trip: reading the normalized string directly " +
+      "is byte-equivalent to the old array_join(slice(__w,…)) grams") {
+    // spanFrames feeds the native walk the normalized STRING, while its
+    // word frame is split(norm, ' ') — the r15 gram form rebuilt the
+    // text as array_join(slice(__w,…), ' '). The two agree iff
+    // array_join(split(t, ' '), ' ') == t byte-for-byte (including
+    // empty tokens from runs of delimiters), which this pins.
     val df = texts.filter(_ != null).toDF("t")
     val rows = df.select(col("t"),
       array_join(split(col("t"), " "), " ").as("rt")).collect()
