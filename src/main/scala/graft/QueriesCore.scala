@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.ops.Ckpt._
 import graft.ops.HashKey._
 
 /** A registered operator query: the Spark implementation plus (where
@@ -135,18 +136,27 @@ object QueriesCore {
       (s, d) => {
         val p = 0.95; val acc = 1000
         val px = Tables.pixels(s, d)
-        val sk = Extracts.extract(px, "percentile_sketch", p = p, accuracy = acc)
-          .withColumnRenamed("percentile_sketch", "approx")
+        // ONE aggregate provides the sketch value AND the exact row
+        // count (r17: the count previously ran as its own corpus pass —
+        // five scans where four carry the same information). The frame
+        // is |zones| rows referenced twice (exact attach + rank-check
+        // broadcast): lazy small checkpoint, or each reference re-runs
+        // the sketch pass.
+        val sk = px.groupBy(col("asdf_id"))
+          .agg(percentile_approx(col("value"), lit(p), lit(acc)).as("approx"),
+            count(lit(1)).as("n"))
+          .smallCheckpointLazy()
         // the exact side rides the guided selection (same values as the
         // buffering percentile, bounded state) so the CONTRACT query
         // itself scales — measured 81.9 s at 100x when this side buffered
         val exact = Extracts.joinOnZone(
-            px.groupBy(col("asdf_id")).agg(count(lit(1)).as("n")),
+            sk.select(col("asdf_id"), col("n")),
             Extracts.guidedQuantiles(
               px.select(col("asdf_id"), col("value")), Seq(p), Seq("pg")),
             "asdf_id")
           .select(col("asdf_id"), col("n"), round(col("pg"), 6).as("p95_r"))
-        val ranks = px.join(broadcast(sk), "asdf_id")
+        val ranks = px.join(
+            broadcast(sk.select(col("asdf_id"), col("approx"))), "asdf_id")
           .groupBy(col("asdf_id"))
           .agg(sum(when(col("value") <= col("approx"), 1L).otherwise(0L)).as("cnt_le"),
             sum(when(col("value") < col("approx"), 1L).otherwise(0L)).as("cnt_lt"))
