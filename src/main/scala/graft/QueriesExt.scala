@@ -3963,6 +3963,11 @@ object QueriesExt {
               wk, Seq(0.5, 0.95), Seq("q50", "q95"), zone = "wk"), "wk")
           .select(col("wk"), col("n"), round(col("q50"), 6).as("p50_r"),
             round(col("q95"), 6).as("p95_r"), col("a50"), col("a95"))
+          // |weeks|-row frame referenced twice (rank-check broadcast +
+          // final join) whose lineage includes the whole sketch + guided
+          // pipeline: lazy small checkpoint, or both passes run twice
+          // (r17 — the same double-reference the engine severs everywhere)
+          .smallCheckpointLazy()
         val ranks = wk.join(broadcast(agg.select("wk", "a50", "a95")), "wk")
           .groupBy(col("wk"))
           .agg(sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
