@@ -377,7 +377,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("extract_percentile_sketch: sketch partials merge map-side and the " +
     "|zones|-row sketch frame broadcasts back (no second fact shuffle)") {
-    val p = plan("extract_percentile_sketch")
+    // planOnly: the r17 (approx, n) small checkpoint otherwise hides the
+    // sketch aggregate behind a LogicalRDD and the partial-agg pin can't
+    // see it (checkpoint helpers are identity under planOnly, so the
+    // full lineage is visible; semantics are unchanged either way)
+    val p = graft.ops.Ckpt.planOnly(plan("extract_percentile_sketch"))
     assert(p.contains("partial_percentile_approx") ||
       "(?i)partial.*percentile".r.findFirstIn(p).isDefined,
       s"sketch must partial-aggregate before the exchange:\n$p")
