@@ -5981,10 +5981,13 @@ object QueriesExt {
           // r17: pack ONCE — the two attach projections previously each
           // re-ran pack_sorted_set over every doc's array; DISK_ONLY per
           // the corpus-sized shared-frame policy. The projections below
-          // stay COLUMN-IDENTICAL ((doc_id, p, n) under both alias sets)
-          // so they canonicalize to the same Exchange(hash(doc_id))
-          // subtree and the packed corpus is exchanged once, reused by
-          // both attach joins (guide §2.4).
+          // are column-identical, but the exchanges do NOT unify
+          // (verified in plans/r17 + shuffle-byte counts): the optimizer
+          // pushes the query's final n_a >= 20 filter below the pa
+          // projection only — which is the better outcome, since it
+          // prunes the pa attach input at the scan instead of after the
+          // join (the "length-floor before the attach" the r16 verdict
+          // asked for, done by pushdown).
           .diskCheckpointLazy()
         cand
           // r17: build side flipped to the CANDIDATE PAIRS (two longs,
